@@ -1,0 +1,243 @@
+"""The core 'annotate' query — AHRD.main end-to-end as one declarative plan.
+
+Pipeline (parity with AHRD.java:57-95,174-245):
+
+  query FASTA (A2)        seq-sim tables (A3+A4)      subject FASTA DBs (A5)
+        \\                     |                          /
+         +---- J1 equi-join ---+--- J2 equi-join --------+
+                               |
+              C6 gate: blacklist (C2) -> filter (C3) -> tokenize (T1)
+                       -> validity (C5) -> short accession (C8)
+                               |
+          E2/E3 aggregations (over ALL valid hits)   K1 top-200/(protein,db)
+                               |                         |
+            E4/E5/E6 token scores (tokens of top-k only) |
+                               +------------+------------+
+                                            |
+                         E7/E8/E9 description scores per hit
+                                            |
+                     E10 winner (+GO preference) + E11 GO transfer (J3)
+                                            |
+                  InterPro domains (A6/A7) -> J9 most-informative filter
+                                            |
+                        output table (B1 columns as data, not CSV)
+
+All joins against the subject FASTA DB are equi-joins on hit accession; the
+hits side is semi-filtered first, mirroring BlastResult.java:348.  Dimension
+dictionaries (InterPro DB, GOA) are broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ahrd_spark.config import AhrdConfig
+from ahrd_spark.functions.format import quality_code_expr
+from ahrd_spark.functions.text import (
+    apply_filter_regexes,
+    blacklist_fails_expr,
+    named_group_index,
+    tokenize_expr,
+)
+from ahrd_spark.operators.go_transfer import transfer_go
+from ahrd_spark.operators.interpro_filter import (
+    filter_most_informative,
+    interpro_closure,
+)
+from ahrd_spark.operators.scoring import (
+    protein_totals,
+    score_hits,
+    select_winners,
+    token_cumulative,
+    token_scores,
+    top_k_hits,
+    with_overlap,
+)
+from ahrd_spark.sources.blast_tabular import read_seq_sim_table
+from ahrd_spark.sources.fasta import read_query_fasta, read_subject_fasta_db
+from ahrd_spark.sources.goa import read_goa
+from ahrd_spark.sources.interpro import read_interpro_db, read_interpro_raw
+
+
+def short_accession_expr(hit_acc, regex: str):
+    """C8 (BlastResult.java:533-547): extract the named group
+    ``shortAccession`` with find() semantics; fall back to the full
+    accession when the regex does not match."""
+    idx = named_group_index(regex, "shortAccession")
+    extracted = F.regexp_extract(hit_acc, regex, idx)
+    return F.coalesce(F.nullif(extracted, F.lit("")), hit_acc)
+
+
+def gate_candidates(hits: DataFrame, db_cfg) -> DataFrame:
+    """C6 (BlastResult.java:492-522): description blacklist -> ordered filter
+    regexes -> tokenize -> validity predicate (C5, BlastResult.java:457-465).
+    Expects hits with a `description` column already joined in."""
+    df = hits.filter(~blacklist_fails_expr(F.col("description"), db_cfg.blacklist))
+    df = df.withColumn(
+        "description", apply_filter_regexes(F.col("description"), db_cfg.filter)
+    )
+    df = df.withColumn(
+        "tokens", tokenize_expr(F.col("description"), db_cfg.token_blacklist)
+    )
+    return df.filter(
+        (F.col("hit_acc") != "")
+        & F.col("bit_score").isNotNull()
+        & (F.col("description") != "")
+        & F.col("q_start").isNotNull()
+        & F.col("q_end").isNotNull()
+        & (F.col("q_start") < F.col("q_end"))
+        & F.col("s_start").isNotNull()
+        & F.col("s_end").isNotNull()
+        & (F.col("s_end") > F.col("s_start"))
+        & F.col("s_len").isNotNull()
+        & F.col("e_value").isNotNull()
+        & (F.size("tokens") > 0)
+    )
+
+
+def load_candidate_hits(spark: SparkSession, cfg: AhrdConfig) -> DataFrame:
+    """Scan + join + gate all configured databases into one candidate-hit
+    DataFrame: (protein_acc, db, hit_acc, short_acc, e_value, bit_score,
+    q_start, q_end, s_start, s_end, s_len, qlen, description, tokens,
+    line_no)."""
+    proteins = read_query_fasta(spark, cfg.proteins_fasta).select(
+        F.col("accession").alias("protein_acc"), F.col("seq_len").alias("qlen")
+    )
+    per_db = []
+    for db_cfg in cfg.blast_dbs:
+        raw = read_seq_sim_table(spark, cfg, db_cfg.name)
+        subj = read_subject_fasta_db(
+            spark, db_cfg.fasta_db, db_cfg.name, db_cfg.fasta_header_regex
+        ).select("hit_acc", "description", "s_len")
+        # J2: semi-filter the (large) subject DB scan down to actual hits,
+        # then attach description + subject length.
+        subj = subj.join(
+            raw.select("hit_acc").distinct(), "hit_acc", "left_semi"
+        )
+        joined = raw.join(subj, "hit_acc")
+        gated = gate_candidates(joined, db_cfg)
+        gated = gated.withColumn(
+            "short_acc",
+            short_accession_expr(F.col("hit_acc"), db_cfg.short_accession_regex),
+        )
+        per_db.append(gated)
+    hits = per_db[0]
+    for other in per_db[1:]:
+        hits = hits.unionByName(other)
+    # J1: attach query length (inner join mirrors the reference's insistence
+    # that every query accession exists in the protein DB)
+    return hits.join(F.broadcast(proteins), "protein_acc")
+
+
+def score_candidates(hits: DataFrame, cfg: AhrdConfig) -> DataFrame:
+    """E2..E9 over a gated candidate-hit DataFrame -> per-hit scores for the
+    per-(protein,db) top-k."""
+    totals = protein_totals(hits, cfg.db_weights)
+    cumulative = token_cumulative(hits, cfg.db_weights)
+    topk = top_k_hits(hits, cfg.top_blast_results)
+    tscores = token_scores(
+        topk,
+        cumulative,
+        totals,
+        cfg.token_score_bit_score_weight,
+        cfg.token_score_database_score_weight,
+        cfg.token_score_overlap_score_weight,
+    )
+    return score_hits(topk, tscores, totals, cfg.dsbs_weights)
+
+
+def run_annotate(spark: SparkSession, cfg: AhrdConfig) -> DataFrame:
+    """Full annotate run -> one row per query protein with the reference's
+    B1 output columns as data:
+    (protein_acc, hit_acc, quality_code, description, interpro ARRAY<STRUCT>,
+    go_terms ARRAY<STRING>).  Proteins without a winner keep the
+    'Unknown protein' description (AbstractOutputWriter.java:50-57).
+    """
+    proteins = read_query_fasta(spark, cfg.proteins_fasta).select(
+        F.col("accession").alias("protein_acc")
+    )
+    hits = load_candidate_hits(spark, cfg)
+    scored = score_candidates(hits, cfg)
+
+    goa = None
+    if cfg.has_go:
+        goa = read_goa(
+            spark,
+            cfg.gene_ontology_result,
+            cfg.reference_go_regex,
+            short_accessions=hits.select("short_acc"),
+        )
+    winners = select_winners(
+        with_overlap(scored), goa=goa, prefer_go=cfg.prefer_reference_with_go_annos
+    )
+    out = proteins.join(
+        winners.select(
+            "protein_acc",
+            "hit_acc",
+            "description",
+            "desc_score",
+            "desc_high_score",
+            "short_acc",
+            quality_code_expr(
+                F.col("bit_score"),
+                F.col("e_value"),
+                F.col("overlap"),
+                F.col("desc_high_score"),
+            ).alias("quality_code"),
+        ),
+        "protein_acc",
+        "left",
+    ).withColumn(
+        "description",
+        F.coalesce(F.col("description"), F.lit("Unknown protein")),
+    )
+
+    if goa is not None:
+        go = transfer_go(winners, goa)
+        out = out.join(go, "protein_acc", "left")
+    else:
+        out = out.withColumn("go_terms", F.lit(None).cast("array<string>"))
+    out = out.withColumn(
+        "go_terms", F.coalesce(F.col("go_terms"), F.array().cast("array<string>"))
+    )
+
+    if cfg.interpro_database and cfg.interpro_result:
+        ipr_db = read_interpro_db(spark, cfg.interpro_database)
+        ipr_raw = read_interpro_raw(spark, cfg.interpro_result)
+        # J5: dictionary lookup — drop hits whose IPR id is unknown (warned
+        # in the reference) and attach names
+        ipr_hits = ipr_raw.join(
+            F.broadcast(ipr_db.select("ipr_id")), "ipr_id", "left_semi"
+        )
+        closure = interpro_closure(ipr_db)
+        kept = filter_most_informative(ipr_hits, closure)
+        kept = kept.join(F.broadcast(ipr_db.select("ipr_id", "name")), "ipr_id")
+        domains = kept.groupBy("protein_acc").agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("ipr_id"), F.col("name")))
+            ).alias("interpro")
+        )
+        out = out.join(domains, "protein_acc", "left")
+    else:
+        out = out.withColumn(
+            "interpro",
+            F.lit(None).cast("array<struct<ipr_id:string,name:string>>"),
+        )
+    out = out.withColumn(
+        "interpro",
+        F.coalesce(
+            F.col("interpro"),
+            F.array().cast("array<struct<ipr_id:string,name:string>>"),
+        ),
+    )
+    return out.select(
+        "protein_acc",
+        "hit_acc",
+        "quality_code",
+        "description",
+        "interpro",
+        "go_terms",
+        "desc_score",
+        "desc_high_score",
+    )

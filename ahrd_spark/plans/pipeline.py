@@ -1,0 +1,226 @@
+"""The staged KG-construction pipeline: docs -> triples.
+
+Stages (each checkpointed with lineage + metrics, resumable exactly):
+
+1. ``mention_detect``  shred docs' blast_hit spans into candidate hits and
+   run the C2/C3/T1/C5 gate (descriptor-mention detection).
+2. ``link_score``      AHRD scoring core (E2..E9) + K1 + E10 winner
+   selection (+ GO preference) -> entity linking of each doc to its
+   best description entity.
+3. ``canonicalize``    GO transfer (E11), InterPro most-informative filter
+   (J9), connected-components canonicalization over synonym edges.
+4. ``materialize``     emit the triples graph table
+   (subj, pred, obj, obj_kind, score, src_db, src_hit).
+
+The docs table is hash-partitioned by doc_id; every stage's shuffle is keyed
+by doc_id/protein_acc (+token), so partitioning carries through.  The span
+arrays are never rewritten — ``span_fingerprint`` equality between input and
+every checkpoint proves the per-row invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ahrd_spark.config import AhrdConfig
+from ahrd_spark.functions.text import (
+    apply_filter_regexes,
+    blacklist_fails_expr,
+    tokenize_expr,
+)
+from ahrd_spark.operators.connected_components import canonical_map
+from ahrd_spark.operators.go_transfer import transfer_go
+from ahrd_spark.operators.interpro_filter import (
+    filter_most_informative,
+    interpro_closure,
+)
+from ahrd_spark.operators.scoring import select_winners, with_overlap
+from ahrd_spark.plans.annotate import score_candidates, short_accession_expr
+from ahrd_spark.plans.checkpoint import CheckpointManager
+from ahrd_spark.plans.docs import docs_to_hits
+from ahrd_spark.sources.goa import read_goa
+from ahrd_spark.sources.interpro import read_interpro_db, read_interpro_raw
+
+
+def gate_candidates_multi(hits: DataFrame, cfg: AhrdConfig) -> DataFrame:
+    """C6 gate across all databases in ONE pass: per-db regex lists are
+    folded into when() chains keyed on the db column (small constant number
+    of databases -> still one codegen'd projection, no union-of-scans)."""
+    db_col = F.col("db")
+
+    fail = F.lit(False)
+    for d in cfg.blast_dbs:
+        fail = F.when(
+            db_col == d.name, blacklist_fails_expr(F.col("description"), d.blacklist)
+        ).otherwise(fail)
+    df = hits.filter(~fail)
+
+    filtered = F.col("description")
+    tokens = None
+    for d in cfg.blast_dbs:
+        fexpr = apply_filter_regexes(F.col("description"), d.filter)
+        texpr = tokenize_expr(fexpr, d.token_blacklist)
+        filtered = F.when(db_col == d.name, fexpr).otherwise(filtered)
+        tokens = (
+            F.when(db_col == d.name, texpr).otherwise(tokens)
+            if tokens is not None
+            else F.when(db_col == d.name, texpr)
+        )
+    short = F.col("hit_acc")
+    for d in cfg.blast_dbs:
+        short = F.when(
+            db_col == d.name,
+            short_accession_expr(F.col("hit_acc"), d.short_accession_regex),
+        ).otherwise(short)
+    df = (
+        df.withColumn("description", filtered)
+        .withColumn("tokens", tokens)
+        .withColumn("short_acc", short)
+    )
+    known_dbs = [d.name for d in cfg.blast_dbs]
+    return df.filter(
+        (F.col("hit_acc") != "")
+        & F.col("bit_score").isNotNull()
+        & (F.col("description") != "")
+        & F.col("q_start").isNotNull()
+        & F.col("q_end").isNotNull()
+        & (F.col("q_start") < F.col("q_end"))
+        & F.col("s_start").isNotNull()
+        & F.col("s_end").isNotNull()
+        & (F.col("s_end") > F.col("s_start"))
+        & F.col("s_len").isNotNull()
+        & F.col("e_value").isNotNull()
+        & (F.size("tokens") > 0)
+        & F.col("db").isin(known_dbs)
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    cfg: AhrdConfig,
+    workdir: str,
+    synonym_edges: DataFrame | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Execute (or resume) the 4-stage pipeline; returns the triples table."""
+    ckpt = CheckpointManager(
+        spark,
+        workdir,
+        config_obj={
+            "cfg": cfg.__dict__ | {"blast_dbs": [d.__dict__ for d in cfg.blast_dbs]},
+        },
+    )
+
+    # -- stage 1: mention-detect --------------------------------------
+    def build_mentions():
+        return gate_candidates_multi(docs_to_hits(docs), cfg)
+
+    mentions = ckpt.run_stage(
+        "mention_detect", build_mentions, key="protein_acc",
+        num_partitions=num_partitions,
+    )
+
+    # -- stage 2: link-score ------------------------------------------
+    goa = None
+    if cfg.has_go:
+        goa = read_goa(
+            spark,
+            cfg.gene_ontology_result,
+            cfg.reference_go_regex,
+            short_accessions=mentions.select("short_acc"),
+        )
+
+    def build_winners():
+        scored = score_candidates(mentions, cfg)
+        return select_winners(
+            with_overlap(scored), goa=goa, prefer_go=cfg.prefer_reference_with_go_annos
+        ).select(
+            "protein_acc", "db", "hit_acc", "short_acc", "description",
+            "e_value", "bit_score", "overlap", "desc_score", "desc_high_score",
+        )
+
+    winners = ckpt.run_stage(
+        "link_score", build_winners, key="protein_acc",
+        inputs=["mention_detect"], num_partitions=num_partitions,
+    )
+
+    # -- stage 3: canonicalize ----------------------------------------
+    def build_canonical():
+        pieces = []
+        if goa is not None:
+            go = transfer_go(winners, goa).select(
+                "protein_acc",
+                F.explode("go_terms").alias("obj"),
+                F.lit("hasGOTerm").alias("pred"),
+                F.lit("go_term").alias("obj_kind"),
+            )
+            pieces.append(go)
+        if cfg.interpro_database and cfg.interpro_result:
+            ipr_db = read_interpro_db(spark, cfg.interpro_database)
+            ipr_raw = read_interpro_raw(spark, cfg.interpro_result)
+            ipr_hits = ipr_raw.join(
+                F.broadcast(ipr_db.select("ipr_id")), "ipr_id", "left_semi"
+            )
+            kept = filter_most_informative(ipr_hits, interpro_closure(ipr_db))
+            pieces.append(
+                kept.select(
+                    "protein_acc",
+                    F.col("ipr_id").alias("obj"),
+                    F.lit("hasDomain").alias("pred"),
+                    F.lit("interpro").alias("obj_kind"),
+                )
+            )
+        if not pieces:
+            return spark.createDataFrame(
+                [], "protein_acc string, obj string, pred string, obj_kind string"
+            )
+        ents = pieces[0]
+        for p in pieces[1:]:
+            ents = ents.unionByName(p)
+        cmap = canonical_map(synonym_edges, ents.select("obj"))
+        return ents.join(
+            F.broadcast(cmap.withColumnRenamed("node", "obj")), "obj", "left"
+        ).select(
+            "protein_acc", "pred",
+            F.coalesce("canonical", "obj").alias("obj"),
+            "obj_kind",
+        )
+
+    canonical = ckpt.run_stage(
+        "canonicalize", build_canonical, key="protein_acc",
+        inputs=["link_score"], num_partitions=num_partitions,
+    )
+
+    # -- stage 4: materialize -----------------------------------------
+    def build_triples():
+        desc_triples = winners.select(
+            F.col("protein_acc").alias("subj"),
+            F.lit("hasDescription").alias("pred"),
+            F.col("description").alias("obj"),
+            F.lit("description").alias("obj_kind"),
+            F.col("desc_score").alias("score"),
+            F.col("db").alias("src_db"),
+            F.col("hit_acc").alias("src_hit"),
+        )
+        ent_triples = (
+            canonical.join(
+                winners.select("protein_acc", "db", "hit_acc"), "protein_acc", "left"
+            )
+            .select(
+                F.col("protein_acc").alias("subj"),
+                "pred",
+                "obj",
+                "obj_kind",
+                F.lit(None).cast("double").alias("score"),
+                F.col("db").alias("src_db"),
+                F.col("hit_acc").alias("src_hit"),
+            )
+        )
+        return desc_triples.unionByName(ent_triples)
+
+    return ckpt.run_stage(
+        "materialize", build_triples, key="subj",
+        inputs=["link_score", "canonicalize"], num_partitions=num_partitions,
+    )

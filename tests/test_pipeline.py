@@ -1,0 +1,128 @@
+"""Docs->triples pipeline tests: golden parity, span-sequence invariant,
+checkpoint lineage + exact resume, connected-components canonicalization."""
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ahrd_spark.config import load_config
+from ahrd_spark.operators.connected_components import (
+    canonical_map,
+    connected_components,
+)
+from ahrd_spark.plans.docs import build_docs, docs_to_hits, span_fingerprint
+from ahrd_spark.plans.pipeline import run_pipeline
+
+from test_e2e_annotate import golden_triples, load_golden
+
+REF = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def test_run_cfg():
+    return load_config(f"{REF}/test/resources/ahrd_input_test_run.yml", base_dir=REF)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, test_run_cfg):
+    return build_docs(spark, test_run_cfg).cache()
+
+
+def test_docs_shape_and_roundtrip(spark, docs, test_run_cfg):
+    rows = {r["doc_id"]: r["spans"] for r in docs.collect()}
+    assert set(rows) == {
+        "NoBlastResults",
+        "gene:chr01.502:mRNA:chr01.502",
+        "gene:chr01.1056:mRNA:chr01.1056",
+    }
+    spans502 = rows["gene:chr01.502:mRNA:chr01.502"]
+    assert spans502[0]["kind"] == "query"
+    assert [s["offset"] for s in spans502] == list(range(len(spans502)))
+    kinds = {s["kind"] for s in spans502}
+    assert {"blast_hit:swissprot", "blast_hit:tair", "blast_hit:trembl",
+            "interpro_hit"} <= kinds
+    # shredding docs back into hits reproduces the direct-scan row counts:
+    hits = docs_to_hits(docs)
+    assert hits.filter(F.col("db") == "tair").count() == 207
+    # qlen recovered from the query span sequence text
+    qlens = {
+        r["protein_acc"]: r["qlen"]
+        for r in hits.select("protein_acc", "qlen").distinct().collect()
+    }
+    assert qlens["gene:chr01.502:mRNA:chr01.502"] == 108
+    assert qlens["gene:chr01.1056:mRNA:chr01.1056"] == 829
+
+
+def test_pipeline_golden_parity_and_resume(spark, docs, test_run_cfg, tmp_path):
+    workdir = str(tmp_path / "ckpt")
+    triples = run_pipeline(spark, docs, test_run_cfg, workdir)
+    got = {
+        (r["subj"], r["pred"], r["obj"]) for r in triples.collect()
+    }
+    expected = golden_triples(load_golden("golden_test_run.csv"))
+    assert got == expected
+
+    # span-sequence invariant: the docs table is untouched by the run
+    fp1 = {r["doc_id"]: r["span_hash"] for r in span_fingerprint(docs).collect()}
+    docs2 = build_docs(spark, test_run_cfg)
+    fp2 = {r["doc_id"]: r["span_hash"] for r in span_fingerprint(docs2).collect()}
+    assert fp1 == fp2
+
+    # lineage sidecars exist with per-partition metrics
+    for stage in ("mention_detect", "link_score", "canonicalize", "materialize"):
+        with open(os.path.join(workdir, stage, "_lineage.json")) as fh:
+            lin = json.load(fh)
+        assert lin["total_rows"] == sum(p["rows"] for p in lin["partitions"])
+        assert lin["fingerprint"]
+
+    # exact resume: nuke the last two stages, rerun -> identical triples,
+    # and the earlier checkpoints are reused (sidecar timestamps unchanged)
+    t_mention = json.load(
+        open(os.path.join(workdir, "mention_detect", "_lineage.json"))
+    )["written_at_ms"]
+    import shutil
+
+    shutil.rmtree(os.path.join(workdir, "canonicalize"))
+    shutil.rmtree(os.path.join(workdir, "materialize"))
+    triples2 = run_pipeline(spark, docs, test_run_cfg, workdir)
+    got2 = {(r["subj"], r["pred"], r["obj"]) for r in triples2.collect()}
+    assert got2 == got
+    t_mention2 = json.load(
+        open(os.path.join(workdir, "mention_detect", "_lineage.json"))
+    )["written_at_ms"]
+    assert t_mention2 == t_mention  # stage was NOT recomputed
+
+    # config change invalidates resume
+    cfg2 = test_run_cfg.with_(token_score_bit_score_weight=0.4,
+                              token_score_database_score_weight=0.4)
+    triples3 = run_pipeline(spark, docs, cfg2, workdir)
+    assert triples3.count() > 0
+    t_mention3 = json.load(
+        open(os.path.join(workdir, "mention_detect", "_lineage.json"))
+    )["written_at_ms"]
+    assert t_mention3 != t_mention  # recomputed under new config
+
+
+def test_connected_components(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e"), ("x", "a")], "u string, v string"
+    )
+    cc = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert cc["a"] == cc["b"] == cc["c"] == cc["x"] == "a"
+    assert cc["d"] == cc["e"] == "d"
+
+
+def test_canonical_map_identity_without_edges(spark):
+    nodes = spark.createDataFrame([("GO:1",), ("GO:2",)], "obj string")
+    m = {r["node"]: r["canonical"] for r in canonical_map(None, nodes).collect()}
+    assert m == {"GO:1": "GO:1", "GO:2": "GO:2"}
+
+
+def test_canonical_map_collapses_synonyms(spark):
+    nodes = spark.createDataFrame([("GO:2",), ("GO:9",)], "obj string")
+    edges = spark.createDataFrame([("GO:2", "GO:1")], "u string, v string")
+    m = {r["node"]: r["canonical"] for r in canonical_map(edges, nodes).collect()}
+    assert m == {"GO:2": "GO:1", "GO:9": "GO:9"}
