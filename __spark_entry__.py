@@ -1,38 +1,877 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in ``queries()`` exercises an ahrd_spark library operator over
+the driver-generated testdata tables; ``oracle_sql()`` holds the equivalent
+DuckDB SQL run side-by-side at sf=0.01.
+
+The AHRD scoring queries run over a candidate-hit table derived
+deterministically from the ``documents`` table (each document = one BLAST
+hit, documents grouped into proteins by doc_id % 25, three databases by
+doc_id % 3) so the full scoring core (SURVEY.md section 2: E1-E10, K1, T1,
+A4...) is verified against an independent SQL engine, not just unit goldens.
+
+All float outputs are rounded to 6 decimals on both sides (aggregation
+order across engines differs in the last bits).  All integer outputs are
+BIGINT on both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ahrd_spark.config import TOKEN_SPLITTER_REGEX
+from ahrd_spark.functions.format import quality_code_expr
+from ahrd_spark.functions.text import tokenize_expr
+from ahrd_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signature,
+    simhash_expr,
+)
+from ahrd_spark.operators.interpro_filter import filter_most_informative
+from ahrd_spark.operators.connected_components import connected_components
+from ahrd_spark.operators.scoring import (
+    overlap_score_expr,
+    protein_totals,
+    score_hits,
+    select_winners,
+    token_cumulative,
+    token_scores,
+    top_k_hits,
+    with_overlap,
+)
+from ahrd_spark.operators.similarity import cosine_topk, lsh_bucketed_topk
+from ahrd_spark.operators.textstats import (
+    bpe_ish_token_count_expr,
+    fingerprint_expr,
+    lang_id_expr,
+    quality_score_expr,
+    stopword_ratio_expr,
+    ws_token_count_expr,
+)
+from ahrd_spark.operators.multimodal import decode_media
+from ahrd_spark.streaming.pipeline import windowed_event_counts
+
+# ---------------------------------------------------------------------------
+# shared constants (mirrored into the SQL oracles)
+# ---------------------------------------------------------------------------
+TOPK = 5
+DB_WEIGHTS = {"db0": 100, "db1": 50, "db2": 10}
+DSBSW = {"db0": 0.2, "db1": 0.4, "db2": 0.4}
+TOKEN_W = (0.5, 0.3, 0.2)
+
+_SQL_SPLIT = TOKEN_SPLITTER_REGEX.replace("'", "''")
+SQL_TOKENIZE = (
+    "list_sort(list_filter(list_distinct("
+    f"regexp_split_to_array(lower({{col}}), '{_SQL_SPLIT}')), x -> x <> ''))"
+)
+
+# hits derivation shared by the scoring queries (see module docstring)
+SQL_HITS = f"""
+hits AS (
+  SELECT 'p' || (doc_id % 25)                  AS protein_acc,
+         'db' || (doc_id % 3)                  AS db,
+         'd' || doc_id                         AS hit_acc,
+         'd' || doc_id                         AS short_acc,
+         CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + doc_id) AS e_value,
+         CAST(n_chars AS DOUBLE)               AS bit_score,
+         doc_id % 40 + 1                       AS q_start,
+         doc_id % 40 + 51 + doc_id % 13        AS q_end,
+         doc_id % 7 + 1                        AS s_start,
+         doc_id % 7 + 61 + doc_id % 17         AS s_end,
+         doc_id % 100 + 150                    AS s_len,
+         250                                   AS qlen,
+         text                                  AS description,
+         {SQL_TOKENIZE.format(col='text')}     AS tokens,
+         doc_id                                AS line_no
+  FROM documents)
+"""
+SQL_DBW = "CASE db WHEN 'db0' THEN 100 WHEN 'db1' THEN 50 ELSE 10 END"
+SQL_DSBSW = (
+    "CASE db WHEN 'db0' THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.4 AS DOUBLE) END"
+)
+SQL_OVL = (
+    "((q_end - q_start + CAST(1.0 AS DOUBLE)) + (s_end - s_start + CAST(1.0 AS DOUBLE)))"
+    " / (qlen + s_len)"
+)
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def derived_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    return _docs(spark, sf_dir).select(
+        F.concat(F.lit("p"), (d % 25).cast("string")).alias("protein_acc"),
+        F.concat(F.lit("db"), (d % 3).cast("string")).alias("db"),
+        F.concat(F.lit("d"), d.cast("string")).alias("hit_acc"),
+        F.concat(F.lit("d"), d.cast("string")).alias("short_acc"),
+        (F.lit(1.0) / (F.lit(1.0) + d)).alias("e_value"),
+        F.col("n_chars").cast("double").alias("bit_score"),
+        (d % 40 + 1).alias("q_start"),
+        (d % 40 + 51 + d % 13).alias("q_end"),
+        (d % 7 + 1).alias("s_start"),
+        (d % 7 + 61 + d % 17).alias("s_end"),
+        (d % 100 + 150).alias("s_len"),
+        F.lit(250).cast("bigint").alias("qlen"),
+        F.col("text").alias("description"),
+        tokenize_expr(F.col("text")).alias("tokens"),
+        d.alias("line_no"),
+    )
+
+
+def _scored(spark, sf_dir):
+    hits = derived_hits(spark, sf_dir)
+    totals = protein_totals(hits, DB_WEIGHTS)
+    cumulative = token_cumulative(hits, DB_WEIGHTS)
+    topk = top_k_hits(hits, TOPK)
+    tscores = token_scores(topk, cumulative, totals, *TOKEN_W)
+    return score_hits(topk, tscores, totals, DSBSW), tscores
+
+
+# SQL mirror of the scoring chain: CTEs through token scores (E2..E6 + K1)
+SQL_TOKSCORES_CTES = f"""
+WITH {SQL_HITS},
+ovl AS (SELECT *, {SQL_OVL} AS overlap, {SQL_DBW} AS dbw FROM hits),
+totals AS (
+  SELECT protein_acc, sum(bit_score) tot_bit, sum(CAST(dbw AS DOUBLE)) tot_db,
+         sum(overlap) tot_ovl, max(bit_score) max_bit
+  FROM ovl GROUP BY protein_acc),
+exploded AS (
+  SELECT o.protein_acc, u.token, o.bit_score, CAST(o.dbw AS DOUBLE) dbw, o.overlap
+  FROM ovl o, unnest(o.tokens) AS u(token)),
+cum AS (
+  SELECT protein_acc, token, sum(bit_score) cum_bit, sum(dbw) cum_db,
+         sum(overlap) cum_ovl
+  FROM exploded GROUP BY protein_acc, token),
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY protein_acc, db
+                                 ORDER BY e_value ASC, line_no ASC) rk
+    FROM ovl) WHERE rk <= {TOPK}),
+tk_tokens AS (
+  SELECT DISTINCT t.protein_acc, u.token FROM topk t, unnest(t.tokens) AS u(token)),
+raw AS (
+  SELECT k.protein_acc, k.token,
+         {TOKEN_W[0]} * c.cum_bit / t.tot_bit
+       + {TOKEN_W[1]} * c.cum_db  / t.tot_db
+       + {TOKEN_W[2]} * c.cum_ovl / t.tot_ovl AS raw_score
+  FROM tk_tokens k
+  JOIN cum c USING (protein_acc, token)
+  JOIN totals t USING (protein_acc)),
+tok_scores AS (
+  SELECT protein_acc, token,
+         CASE WHEN raw_score > high/2 THEN raw_score
+              ELSE raw_score - high/2 END AS token_score,
+         high AS token_high_score,
+         raw_score > high/2 AS informative
+  FROM (SELECT *, max(raw_score) OVER (PARTITION BY protein_acc) high FROM raw))
+"""
+
+# ... extended through per-hit description scores (E7..E9)
+SQL_SCORED = SQL_TOKSCORES_CTES + f""",
+hit_tokens AS (
+  SELECT t.protein_acc, t.db, t.hit_acc, u.token
+  FROM topk t, unnest(t.tokens) AS u(token)),
+hit_agg AS (
+  SELECT protein_acc, db, hit_acc, sum(token_score) sum_ts,
+         count(*) n_tokens, sum(CASE WHEN informative THEN 1 ELSE 0 END) n_inf,
+         any_value(token_high_score) high
+  FROM hit_tokens JOIN tok_scores USING (protein_acc, token)
+  GROUP BY protein_acc, db, hit_acc),
+scored AS (
+  SELECT k.*, a.sum_ts, a.n_tokens, a.n_inf, a.high, t.max_bit,
+         CASE WHEN a.n_inf = 0 THEN CAST(0.0 AS DOUBLE)
+              ELSE (a.sum_ts / a.high) * a.n_inf / a.n_tokens END AS lexical,
+         CASE WHEN a.n_inf = 0 THEN CAST(0.0 AS DOUBLE)
+              ELSE (a.sum_ts / a.high) * a.n_inf / a.n_tokens END
+         + {SQL_DSBSW} * k.bit_score / t.max_bit AS desc_score
+  FROM topk k
+  JOIN hit_agg a USING (protein_acc, db, hit_acc)
+  JOIN totals t USING (protein_acc))
+"""
+
+
+# ---------------------------------------------------------------------------
+# entry + queries + oracles
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full AHRD scoring core + winner selection at sf0.001."""
+    return queries()["ahrd_winner"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- AHRD scoring core (E-ops, K1, T1) over derived hits ----------
+    def ahrd_winner(spark, sf):
+        scored, _ = _scored(spark, sf)
+        w = select_winners(with_overlap(scored))
+        return w.select(
+            "protein_acc",
+            "hit_acc",
+            F.round("desc_score", 6).alias("desc_score_r"),
+            F.round("desc_high_score", 6).alias("desc_high_r"),
+            quality_code_expr(
+                F.col("bit_score"), F.col("e_value"), F.col("overlap"),
+                F.col("desc_high_score"),
+            ).alias("quality_code"),
+        )
+
+    q["ahrd_winner"] = ahrd_winner
+
+    def ahrd_hit_scores(spark, sf):
+        scored, _ = _scored(spark, sf)
+        return scored.select(
+            "protein_acc", "db", "hit_acc",
+            F.round("lexical_score", 6).alias("lexical_r"),
+            F.round("rel_bit_score", 6).alias("rel_bit_r"),
+            F.round("desc_score", 6).alias("desc_r"),
+        )
+
+    q["ahrd_hit_scores"] = ahrd_hit_scores
+
+    def ahrd_token_scores(spark, sf):
+        _, tscores = _scored(spark, sf)
+        return tscores.select(
+            "protein_acc", "token",
+            F.round("token_score", 6).alias("token_score_r"),
+            F.round("token_high_score", 6).alias("high_r"),
+            F.col("informative"),
+        )
+
+    q["ahrd_token_scores"] = ahrd_token_scores
+
+    def ahrd_token_cumulative(spark, sf):
+        hits = derived_hits(spark, sf)
+        return token_cumulative(hits, DB_WEIGHTS).select(
+            "protein_acc", "token",
+            F.round("cum_bit", 6).alias("cum_bit_r"),
+            F.round("cum_db", 6).alias("cum_db_r"),
+            F.round("cum_ovl", 6).alias("cum_ovl_r"),
+        )
+
+    q["ahrd_token_cumulative"] = ahrd_token_cumulative
+
+    def ahrd_protein_totals(spark, sf):
+        hits = derived_hits(spark, sf)
+        return protein_totals(hits, DB_WEIGHTS).select(
+            "protein_acc",
+            F.round("tot_bit", 6).alias("tot_bit_r"),
+            F.round("tot_db", 6).alias("tot_db_r"),
+            F.round("tot_ovl", 6).alias("tot_ovl_r"),
+            F.round("max_bit", 6).alias("max_bit_r"),
+        )
+
+    q["ahrd_protein_totals"] = ahrd_protein_totals
+
+    def ahrd_topk(spark, sf):
+        hits = derived_hits(spark, sf)
+        return top_k_hits(hits, TOPK).select("protein_acc", "db", "hit_acc")
+
+    q["ahrd_topk"] = ahrd_topk
+
+    def overlap_scores(spark, sf):
+        hits = derived_hits(spark, sf)
+        return with_overlap(hits).select(
+            "hit_acc", F.round("overlap", 9).alias("overlap_r")
+        )
+
+    q["overlap_scores"] = overlap_scores
+
+    def go_transfer(spark, sf):
+        scored, _ = _scored(spark, sf)
+        winners = select_winners(scored)
+        goa = _docs(spark, sf).filter(F.col("doc_id") % 7 == 0).select(
+            F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("short_acc"),
+            F.concat(F.lit("GO:"), (F.col("doc_id") % 13).cast("string")).alias(
+                "go_term"
+            ),
+        )
+        from ahrd_spark.operators.go_transfer import transfer_go
+
+        out = transfer_go(winners, goa)
+        return out.select(
+            "protein_acc", F.explode("go_terms").alias("go_term")
+        )
+
+    q["go_transfer"] = go_transfer
+
+    # ---- scans / dedup ------------------------------------------------
+    def hsp_dedup(spark, sf):
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        best = li.groupBy("l_orderkey", "l_partkey").agg(
+            F.max_by(
+                F.struct("l_extendedprice", "l_suppkey"),
+                F.struct(F.col("l_extendedprice"), (-F.col("l_linenumber"))),
+            ).alias("b")
+        )
+        return best.select(
+            "l_orderkey", "l_partkey",
+            F.col("b.l_extendedprice").alias("best_price"),
+            F.col("b.l_suppkey").alias("best_supp"),
+        )
+
+    q["hsp_dedup"] = hsp_dedup
+
+    def tokenize(spark, sf):
+        return _docs(spark, sf).select(
+            "doc_id", F.explode(tokenize_expr(F.col("text"))).alias("token")
+        )
+
+    q["tokenize"] = tokenize
+
+    def doc_fingerprint(spark, sf):
+        return _docs(spark, sf).select(
+            "doc_id", fingerprint_expr(F.col("text")).alias("fingerprint")
+        )
+
+    q["doc_fingerprint"] = doc_fingerprint
+
+    def dedup_exact(spark, sf):
+        return exact_dedup(_docs(spark, sf)).select(
+            "content_hash", "canonical_id", "dup_count"
+        )
+
+    q["dedup_exact"] = dedup_exact
+
+    def dedup_minhash(spark, sf):
+        sig = minhash_signature(_docs(spark, sf), num_hashes=4)
+        return sig.select(
+            "doc_id",
+            F.col("sig")[0].alias("h0"),
+            F.col("sig")[1].alias("h1"),
+            F.col("sig")[2].alias("h2"),
+            F.col("sig")[3].alias("h3"),
+        )
+
+    q["dedup_minhash"] = dedup_minhash
+
+    def dedup_lsh_pairs(spark, sf):
+        sig = minhash_signature(_docs(spark, sf), num_hashes=4)
+        return lsh_candidate_pairs(sig, bands=2, rows_per_band=2)
+
+    q["dedup_lsh_pairs"] = dedup_lsh_pairs
+
+    def dedup_jaccard(spark, sf):
+        docs = _docs(spark, sf)
+        pairs = docs.select(
+            F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1).alias("doc_b")
+        ).join(
+            docs.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_semi"
+        )
+        return jaccard_pairs(docs, pairs).select(
+            "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard_r")
+        )
+
+    q["dedup_jaccard"] = dedup_jaccard
+
+    def dedup_simhash(spark, sf):
+        return _docs(spark, sf).select(
+            "doc_id", simhash_expr(F.col("text"), bits=16).alias("simhash")
+        )
+
+    q["dedup_simhash"] = dedup_simhash
+
+    # ---- text analysis ------------------------------------------------
+    def text_stats(spark, sf):
+        docs = _docs(spark, sf)
+        toks = tokenize_expr(F.col("text"))
+        from ahrd_spark.operators.textstats import LANG_STOPWORDS
+
+        return docs.select(
+            "doc_id",
+            ws_token_count_expr(F.col("text")).cast("bigint").alias("ws_tokens"),
+            bpe_ish_token_count_expr(F.col("text")).cast("bigint").alias("bpe_tokens"),
+            F.round(
+                stopword_ratio_expr(toks, LANG_STOPWORDS["en"]), 6
+            ).alias("en_stopword_ratio"),
+            F.round(quality_score_expr(F.col("text")), 6).alias("quality_r"),
+        )
+
+    q["text_stats"] = text_stats
+
+    def lang_id(spark, sf):
+        return _docs(spark, sf).select(
+            "doc_id", lang_id_expr(F.col("text")).alias("lang_guess")
+        )
+
+    q["lang_id"] = lang_id
+
+    # ---- similarity search -------------------------------------------
+    def ann_cosine_topk(spark, sf):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        queries_df = emb.filter(F.col("vec_id") < 5)
+        corpus = emb.filter(F.col("vec_id") >= 5)
+        return cosine_topk(queries_df, corpus, k=3).select(
+            "query_id", "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.round("cosine", 6).alias("cosine_r"),
+        )
+
+    q["ann_cosine_topk"] = ann_cosine_topk
+
+    # ---- events: windows, sessions -----------------------------------
+    def events_windowed(spark, sf):
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        out = windowed_event_counts(ev, window="1 hour")
+        return out.select(
+            F.unix_timestamp("window_start").cast("bigint").alias("window_epoch"),
+            "event_type",
+            "n_events",
+            F.round("sum_value", 6).alias("sum_value_r"),
+        )
+
+    q["events_windowed"] = events_windowed
+
+    def events_sessionize(spark, sf):
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ts = F.col("ts").cast("timestamp")  # parquet NTZ -> TZ (session UTC)
+        gap = F.unix_micros(ts) - F.unix_micros(F.lag(ts).over(w))
+        new_sess = F.when(
+            gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1)
+        ).otherwise(F.lit(0))
+        return (
+            ev.withColumn("new_sess", new_sess)
+            .groupBy("user_id")
+            .agg(F.sum("new_sess").cast("bigint").alias("n_sessions"),
+                 F.count("*").alias("n_events"))
+        )
+
+    q["events_sessionize"] = events_sessionize
+
+    # ---- hierarchy filter (J9 analog on TPC-H dims) -------------------
+    def most_informative_domains(spark, sf):
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        nation = spark.read.parquet(f"{sf}/nation.parquet")
+        prot = F.concat(F.lit("c"), (F.col("c_custkey") % 20).cast("string"))
+        nat_dom = cust.select(
+            prot.alias("protein_acc"),
+            F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("ipr_id"),
+        )
+        reg_dom = (
+            cust.filter(F.col("c_custkey") % 3 == 0)
+            .join(nation, cust.c_nationkey == nation.n_nationkey)
+            .select(
+                prot.alias("protein_acc"),
+                F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias(
+                    "ipr_id"
+                ),
+            )
+        )
+        domains = nat_dom.unionByName(reg_dom).distinct()
+        closure = nation.select(
+            F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("ipr_id"),
+            F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias(
+                "superior_id"
+            ),
+        )
+        return filter_most_informative(domains, closure)
+
+    q["most_informative_domains"] = most_informative_domains
+
+    # ---- evaluation (S-ops) -------------------------------------------
+    def fbeta_eval(spark, sf):
+        docs = _docs(spark, sf)
+        toksets = docs.select(
+            "doc_id", tokenize_expr(F.col("text")).alias("toks")
+        )
+        a = toksets.alias("a")
+        b = toksets.select(
+            (F.col("doc_id") - 1).alias("doc_id"), F.col("toks").alias("ref_toks")
+        ).alias("b")
+        joined = a.join(b, "doc_id")
+        tp = F.size(F.array_intersect("toks", "ref_toks")).cast("double")
+        n_asg = F.size("toks").cast("double")
+        n_ref = F.size("ref_toks").cast("double")
+        pr = tp / n_asg
+        rc = tp / n_ref
+        f1 = F.when(tp > 0, (2 * pr * rc) / (pr + rc)).otherwise(F.lit(0.0))
+        return joined.select(
+            "doc_id",
+            tp.cast("bigint").alias("tp"),
+            F.round(rc, 6).alias("tpr_r"),
+            F.round(f1, 6).alias("f1_r"),
+        )
+
+    q["fbeta_eval"] = fbeta_eval
+
+    # ---- connected components ----------------------------------------
+    def cc_components(spark, sf):
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        edges = ev.select(
+            F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("u"),
+            F.concat(F.lit("u"), ((F.col("user_id") * 2 + 7) % 97).cast("string")).alias(
+                "v"
+            ),
+        ).distinct()
+        return connected_components(edges).select("node", "component")
+
+    q["cc_components"] = cc_components
+
+    # ---- oracle-less (rows-only checks) -------------------------------
+    def ann_lsh_topk(spark, sf):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        queries_df = emb.filter(F.col("vec_id") < 5)
+        corpus = emb.filter(F.col("vec_id") >= 5)
+        return lsh_bucketed_topk(queries_df, corpus, dim=64, k=3, bits=4).select(
+            "query_id", "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.round("cosine", 6).alias("cosine_r"),
+        )
+
+    q["ann_lsh_topk"] = ann_lsh_topk
+
+    def multimodal_decode(spark, sf):
+        docs = _docs(spark, sf)
+        media = docs.select(
+            F.md5("text").alias("media_id"),
+            F.element_at(
+                F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).alias("kind"),
+            F.encode("text", "UTF-8").alias("payload"),
+            F.lit("application/octet-stream").alias("mime"),
+            F.concat(F.lit("synth://"), F.col("doc_id").cast("string")).alias(
+                "source_ref"
+            ),
+        )
+        return decode_media(media)
+
+    q["multimodal_decode"] = multimodal_decode
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["ahrd_winner"] = f"""
+{SQL_SCORED}
+SELECT protein_acc, hit_acc,
+       round(desc_score, 6) AS desc_score_r,
+       round(high_all, 6) AS desc_high_r,
+       (CASE WHEN bit_score > 50 AND e_value < 0.1 THEN '*' ELSE '-' END)
+       || (CASE WHEN overlap > 0.6 THEN '*' ELSE '-' END)
+       || (CASE WHEN high_all >= 0.5 THEN '*' ELSE '-' END) AS quality_code
+FROM (
+  SELECT *, max(desc_score) OVER (PARTITION BY protein_acc) AS high_all,
+         row_number() OVER (PARTITION BY protein_acc
+                            ORDER BY desc_score DESC, line_no DESC,
+                                     db DESC, hit_acc DESC) AS wrk
+  FROM scored)
+WHERE wrk = 1
+"""
+
+    o["ahrd_hit_scores"] = f"""
+{SQL_SCORED}
+SELECT protein_acc, db, hit_acc,
+       round(lexical, 6) AS lexical_r,
+       round({SQL_DSBSW} * bit_score / max_bit, 6) AS rel_bit_r,
+       round(desc_score, 6) AS desc_r
+FROM scored
+"""
+
+    o["ahrd_token_scores"] = f"""
+{SQL_TOKSCORES_CTES}
+SELECT protein_acc, token, round(token_score, 6) AS token_score_r,
+       round(token_high_score, 6) AS high_r, informative
+FROM tok_scores
+"""
+
+    o["ahrd_token_cumulative"] = f"""
+WITH {SQL_HITS},
+ovl AS (SELECT *, {SQL_OVL} AS overlap, {SQL_DBW} AS dbw FROM hits),
+exploded AS (
+  SELECT o.protein_acc, u.token, o.bit_score, CAST(o.dbw AS DOUBLE) dbw, o.overlap
+  FROM ovl o, unnest(o.tokens) AS u(token))
+SELECT protein_acc, token,
+       round(sum(bit_score), 6) AS cum_bit_r,
+       round(sum(dbw), 6) AS cum_db_r,
+       round(sum(overlap), 6) AS cum_ovl_r
+FROM exploded GROUP BY protein_acc, token
+"""
+
+    o["ahrd_protein_totals"] = f"""
+WITH {SQL_HITS},
+ovl AS (SELECT *, {SQL_OVL} AS overlap, {SQL_DBW} AS dbw FROM hits)
+SELECT protein_acc,
+       round(sum(bit_score), 6) AS tot_bit_r,
+       round(sum(CAST(dbw AS DOUBLE)), 6) AS tot_db_r,
+       round(sum(overlap), 6) AS tot_ovl_r,
+       round(max(bit_score), 6) AS max_bit_r
+FROM ovl GROUP BY protein_acc
+"""
+
+    o["ahrd_topk"] = f"""
+WITH {SQL_HITS}
+SELECT protein_acc, db, hit_acc FROM (
+  SELECT *, row_number() OVER (PARTITION BY protein_acc, db
+                               ORDER BY e_value ASC, line_no ASC) rk
+  FROM hits) WHERE rk <= {TOPK}
+"""
+
+    o["overlap_scores"] = f"""
+WITH {SQL_HITS}
+SELECT hit_acc, round({SQL_OVL}, 9) AS overlap_r FROM hits
+"""
+
+    o["go_transfer"] = f"""
+{SQL_SCORED},
+winners AS (
+  SELECT protein_acc, short_acc FROM (
+    SELECT *, row_number() OVER (PARTITION BY protein_acc
+                                 ORDER BY desc_score DESC, line_no DESC,
+                                          db DESC, hit_acc DESC) AS wrk
+    FROM scored) WHERE wrk = 1),
+goa AS (
+  SELECT 'd' || doc_id AS short_acc, 'GO:' || (doc_id % 13) AS go_term
+  FROM documents WHERE doc_id % 7 = 0)
+SELECT w.protein_acc, g.go_term
+FROM winners w JOIN goa g USING (short_acc)
+"""
+
+    o["hsp_dedup"] = """
+SELECT l_orderkey, l_partkey, best_price, best_supp FROM (
+  SELECT l_orderkey, l_partkey, l_extendedprice AS best_price,
+         l_suppkey AS best_supp,
+         row_number() OVER (PARTITION BY l_orderkey, l_partkey
+                            ORDER BY l_extendedprice DESC, l_linenumber ASC) rk
+  FROM lineitem) WHERE rk = 1
+"""
+
+    tok = SQL_TOKENIZE.format(col="text")
+    o["tokenize"] = f"""
+SELECT d.doc_id, u.token
+FROM (SELECT doc_id, {tok} AS toks FROM documents) d, unnest(d.toks) AS u(token)
+"""
+
+    o["doc_fingerprint"] = f"""
+SELECT doc_id, md5(array_to_string(list_sort({tok}), '')) AS fingerprint
+FROM documents
+"""
+
+    o["dedup_exact"] = """
+SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+       count(*) AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+    # minhash: shingles of 3 whitespace tokens, md5-seeded min per hash
+    sql_shingles = (
+        "list_distinct([array_to_string(toks[i:i+2], ' ') "
+        "for i in generate_series(1, greatest(len(toks) - 2, 1))])"
+    )
+    minhash_cte = f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents),
+sh AS (SELECT doc_id, {sql_shingles} AS shingles FROM t),
+sig AS (
+  SELECT doc_id,
+         list_aggregate([md5(s || '#0') for s in shingles], 'min') AS h0,
+         list_aggregate([md5(s || '#1') for s in shingles], 'min') AS h1,
+         list_aggregate([md5(s || '#2') for s in shingles], 'min') AS h2,
+         list_aggregate([md5(s || '#3') for s in shingles], 'min') AS h3
+  FROM sh)
+"""
+    o["dedup_minhash"] = minhash_cte + "SELECT doc_id, h0, h1, h2, h3 FROM sig"
+
+    o["dedup_lsh_pairs"] = minhash_cte + """
+, banded AS (
+  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(h2 || '|' || h3) AS bucket FROM sig)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+    o["dedup_jaccard"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS toks
+  FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard_r
+FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+"""
+
+    simhash_bits = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN ascii(substr(md5(token), {i + 1}, 1)) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) > 0 THEN {2 ** i} ELSE 0 END)"
+        for i in range(16)
+    )
+    o["dedup_simhash"] = f"""
+WITH t AS (
+  SELECT d.doc_id, u.token
+  FROM (SELECT doc_id, {tok} AS toks FROM documents) d,
+       unnest(d.toks) AS u(token))
+SELECT doc_id, CAST({simhash_bits} AS BIGINT) AS simhash
+FROM t GROUP BY doc_id
+"""
+
+    en_sw = "['the','of','and','to','in','is','a','that','for','with']"
+    o["text_stats"] = f"""
+SELECT doc_id,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+         AS ws_tokens,
+       CAST(len(list_filter(regexp_split_to_array(text, '\\W+'), x -> x <> ''))
+            + length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS BIGINT)
+         AS bpe_tokens,
+       round(CASE WHEN len({tok}) > 0
+             THEN CAST(len(list_intersect({tok}, {en_sw})) AS DOUBLE) / len({tok})
+             ELSE CAST(0.0 AS DOUBLE) END, 6) AS en_stopword_ratio,
+       round(
+         0.25 * (CASE WHEN length(text) BETWEEN 50 AND 20000
+                      THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.25 AS DOUBLE) END)
+       + 0.35 * (CASE WHEN length(text) > 0
+                      THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                           AS DOUBLE) / length(text)
+                      ELSE CAST(0.0 AS DOUBLE) END)
+       + 0.25 * (CAST(1.0 AS DOUBLE) - least(
+             (CASE WHEN length(text) > 0
+                   THEN CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))
+                        AS DOUBLE) / length(text)
+                   ELSE CAST(0.0 AS DOUBLE) END) * 4, CAST(1.0 AS DOUBLE)))
+       + 0.15 * (CASE WHEN (CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) > 0
+                      THEN CAST(length(text) AS DOUBLE)
+                           / (CASE WHEN trim(text) = '' THEN 1
+                              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+                      ELSE CAST(0.0 AS DOUBLE) END) BETWEEN 3.0 AND 12.0
+                      THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END)
+       , 6) AS quality_r
+FROM documents
+"""
+
+    langs = {
+        "de": "['der','die','das','und','ist','nicht','ein','mit','für','von']",
+        "en": en_sw,
+        "es": "['el','la','los','y','es','un','una','para','en','que']",
+        "fr": "['le','la','les','et','est','un','une','pour','dans','que']",
+    }
+    lang_score = ", ".join(
+        f"len(list_intersect(toks, {sw})) AS s_{code}" for code, sw in langs.items()
+    )
+    # mirror the Spark fold: iterate alphabetically, strictly-greater wins
+    o["lang_id"] = f"""
+WITH t AS (SELECT doc_id, {tok} AS toks FROM documents),
+s AS (SELECT doc_id, {lang_score} FROM t)
+SELECT doc_id,
+  CASE
+    WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
+    WHEN s_es > greatest(s_de, s_en) THEN 'es'
+    WHEN s_en > s_de THEN 'en'
+    WHEN s_de > 0 THEN 'de'
+    ELSE 'und'
+  END AS lang_guess
+FROM s
+"""
+
+    o["ann_cosine_topk"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id >= 5),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         list_dot_product(q.qv, c.cv)
+         / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv)))
+           AS cosine
+  FROM c, q)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       round(cosine, 6) AS cosine_r
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) rank
+      FROM scored)
+WHERE rank <= 3
+"""
+
+    o["events_windowed"] = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_epoch,
+       event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value_r
+FROM events GROUP BY 1, 2
+"""
+
+    o["events_sessionize"] = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+    o["most_informative_domains"] = """
+WITH nat_dom AS (
+  SELECT DISTINCT 'c' || (c_custkey % 20) AS protein_acc,
+         'n' || c_nationkey AS ipr_id
+  FROM customer),
+reg_dom AS (
+  SELECT DISTINCT 'c' || (c_custkey % 20) AS protein_acc,
+         'r' || n_regionkey AS ipr_id
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  WHERE c_custkey % 3 = 0),
+domains AS (SELECT * FROM nat_dom UNION SELECT * FROM reg_dom),
+closure AS (
+  SELECT 'n' || n_nationkey AS ipr_id, 'r' || n_regionkey AS superior_id
+  FROM nation)
+SELECT d.protein_acc, d.ipr_id
+FROM domains d
+WHERE NOT EXISTS (
+  SELECT 1 FROM closure c JOIN domains o
+    ON o.protein_acc = d.protein_acc AND o.ipr_id = c.superior_id
+  WHERE c.ipr_id = d.ipr_id AND o.ipr_id <> d.ipr_id)
+"""
+
+    o["fbeta_eval"] = f"""
+WITH t AS (SELECT doc_id, {tok} AS toks FROM documents),
+j AS (
+  SELECT a.doc_id, a.toks,
+         b.toks AS ref_toks
+  FROM t a JOIN t b ON b.doc_id = a.doc_id + 1),
+m AS (
+  SELECT doc_id,
+         CAST(len(list_intersect(toks, ref_toks)) AS DOUBLE) AS tp,
+         CAST(len(toks) AS DOUBLE) AS n_asg,
+         CAST(len(ref_toks) AS DOUBLE) AS n_ref
+  FROM j)
+SELECT doc_id, CAST(tp AS BIGINT) AS tp,
+       round(tp / n_ref, 6) AS tpr_r,
+       round(CASE WHEN tp > 0
+             THEN (2 * (tp/n_asg) * (tp/n_ref)) / ((tp/n_asg) + (tp/n_ref))
+             ELSE CAST(0.0 AS DOUBLE) END, 6) AS f1_r
+FROM m
+"""
+
+    o["cc_components"] = """
+WITH edges AS (
+  SELECT DISTINCT 'u' || user_id AS u,
+         'u' || ((user_id * 2 + 7) % 97) AS v
+  FROM events),
+sym AS (SELECT u, v FROM edges WHERE u <> v
+        UNION SELECT v, u FROM edges WHERE u <> v),
+nodes AS (SELECT DISTINCT u AS n FROM sym),
+reach AS (
+  SELECT n AS node, n AS r FROM nodes
+  UNION
+  SELECT reach.node, sym.v AS r
+  FROM reach JOIN sym ON sym.u = reach.r)
+SELECT node, min(r) AS component FROM reach GROUP BY node
+"""
+    o["cc_components"] = "WITH RECURSIVE " + o["cc_components"].split("WITH ", 1)[1]
+
+    return o

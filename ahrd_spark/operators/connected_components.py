@@ -26,20 +26,20 @@ def _canon_edges(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 20, checkpoint_every: int = 5
+    edges: DataFrame, max_iter: int = 20, checkpoint_every: int = 1
 ) -> DataFrame:
     """-> (node, component): component = MIN node id (ordering of the node
     type) of the node's connected component.  Nodes appearing only as
     isolated vertices are callers' responsibility (map them to themselves).
     """
-    spark = edges.sparkSession
     # parent pointers: start with each node's smallest neighbor (or itself)
-    e = _canon_edges(edges).cache()
+    e = _canon_edges(edges)
     both = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
+    ).localCheckpoint(eager=True)
     parent = both.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("p"))
     parent = parent.select(F.col("u").alias("node"), F.least("p", "node").alias("comp"))
+    parent = parent.localCheckpoint(eager=True)
 
     for i in range(max_iter):
         # pointer jumping: comp <- comp's comp  (path halving)
@@ -71,6 +71,9 @@ def connected_components(
                 F.least(F.coalesce("ncomp", "comp"), F.col("comp")).alias("comp"),
             )
         )
+        # truncate lineage every round — the plan otherwise grows
+        # exponentially (parent feeds itself twice per iteration) and the
+        # convergence check would re-evaluate the whole history
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             new_parent = new_parent.localCheckpoint(eager=True)
         # convergence: no node changed its component

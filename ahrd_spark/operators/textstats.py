@@ -32,11 +32,13 @@ def ws_token_count_expr(text: Column) -> Column:
 
 
 def bpe_ish_token_count_expr(text: Column) -> Column:
-    """BPE-ish subword-unit estimate: count of maximal runs matching
-    word-pieces / digits / single punctuation (a cheap, deterministic proxy
-    for tokenizer cost accounting over a corpus)."""
-    pieces = F.split(text, r"(?<=\W)|(?=\W)")
-    return F.size(F.filter(pieces, lambda p: F.trim(p) != ""))
+    """BPE-ish subword-unit estimate: maximal word runs + each non-space
+    punctuation character as its own unit (a cheap, deterministic proxy for
+    tokenizer cost accounting over a corpus).  Formulated without regex
+    lookarounds so the same expression runs on RE2-based engines."""
+    word_runs = F.size(F.filter(F.split(text, r"\W+"), lambda p: p != ""))
+    punct_chars = F.length(F.regexp_replace(text, r"[\w\s]", ""))
+    return word_runs + punct_chars
 
 
 def stopword_ratio_expr(tokens: Column, stopwords: list[str]) -> Column:

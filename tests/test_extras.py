@@ -1,0 +1,171 @@
+"""Unit tests for the training-data-pipeline extras: dedup, similarity
+search, text stats, multimodal plumbing, streaming windowed aggs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ahrd_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signature,
+    simhash_expr,
+)
+from ahrd_spark.operators.multimodal import decode_media, fetch_media_stub
+from ahrd_spark.operators.similarity import cosine_topk, lsh_bucketed_topk
+from ahrd_spark.operators.textstats import (
+    bpe_ish_token_count_expr,
+    lang_id_expr,
+    quality_score_expr,
+    ws_token_count_expr,
+)
+from ahrd_spark.streaming.pipeline import windowed_event_counts
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup
+        (2, "the quick brown fox jumps over a lazy dog today"),  # near dup
+        (3, "der hund ist nicht ein fuchs und das ist gut"),
+        (4, "completely different content about spark engines"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs).collect()
+    by_canon = {r["canonical_id"]: r["dup_count"] for r in out}
+    assert by_canon[0] == 2  # docs 0 and 1 collapse
+    assert len(out) == 4
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    sig = minhash_signature(docs, num_hashes=16)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(sig, bands=8, rows_per_band=2).collect()
+    }
+    assert (0, 1) in pairs  # exact dups always collide
+    assert not any(3 in p or 4 in p for p in pairs if p != (3, 4))
+
+
+def test_jaccard(spark, docs):
+    pairs = spark.createDataFrame([(0, 1), (0, 4)], "doc_a bigint, doc_b bigint")
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in jaccard_pairs(docs, pairs).collect()}
+    assert out[(0, 1)] == 1.0
+    assert out[(0, 4)] < 0.2
+
+
+def test_simhash_near_for_near_dups(spark, docs):
+    out = {r["doc_id"]: r["sh"] for r in docs.select(
+        "doc_id", simhash_expr(F.col("text"), bits=16).alias("sh")).collect()}
+    assert out[0] == out[1]
+    ham = bin(out[0] ^ out[2]).count("1")
+    ham_far = bin(out[0] ^ out[4]).count("1")
+    assert ham <= ham_far
+
+
+def test_text_stats(spark):
+    df = spark.createDataFrame([("hello world, nice day!",)], "text string")
+    r = df.select(
+        ws_token_count_expr(F.col("text")).alias("ws"),
+        bpe_ish_token_count_expr(F.col("text")).alias("bpe"),
+        quality_score_expr(F.col("text")).alias("q"),
+    ).first()
+    assert r["ws"] == 4
+    assert r["bpe"] == 6  # 4 words + ',' + '!'
+    assert 0.0 <= r["q"] <= 1.0
+
+
+def test_lang_id(spark, docs):
+    out = {r["doc_id"]: r["lang"] for r in docs.select(
+        "doc_id", lang_id_expr(F.col("text")).alias("lang")).collect()}
+    assert out[0] == "en"
+    assert out[3] == "de"
+
+
+def test_cosine_topk_and_lsh(spark):
+    import math
+
+    def vec(angle):
+        return [math.cos(angle), math.sin(angle), 0.0, 0.0]
+
+    rows = [(i, vec(i * 0.1)) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = emb.filter(F.col("vec_id") == 0)
+    c = emb.filter(F.col("vec_id") > 0)
+    top = cosine_topk(q, c, k=3).collect()
+    assert [r["neighbor_id"] for r in top] == [1, 2, 3]
+    assert top[0]["cosine"] > 0.99
+    # LSH variant returns a subset ranking consistent with cosine order
+    lsh = lsh_bucketed_topk(q, c, dim=4, k=3, bits=2).collect()
+    got = [r["neighbor_id"] for r in lsh]
+    assert got == sorted(got, key=lambda n: dict(
+        (r["neighbor_id"], -r["cosine"]) for r in lsh)[n])
+
+
+def test_multimodal_decode(spark, docs):
+    media = docs.select(
+        F.md5("text").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit("ref://x").alias("source_ref"),
+    )
+    out = decode_media(media).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["n_bytes"] > 0 and r["width"] and r["height"]
+    # deterministic: same payload -> same fingerprint/shape
+    again = decode_media(media).collect()
+    assert sorted(map(str, out)) == sorted(map(str, again))
+
+
+def test_fetch_media_stub_from_docs_spans(spark):
+    from ahrd_spark.plans.docs import synthesize_docs
+
+    docs = synthesize_docs(spark, 4, hits_per_doc=3)
+    media = fetch_media_stub(docs)
+    assert media.count() == 12
+    decoded = decode_media(media)
+    assert decoded.count() == 12
+
+
+def test_windowed_event_counts_batch(spark):
+    rows = [
+        ("2024-01-01 00:10:00", "click", 1.0),
+        ("2024-01-01 00:50:00", "click", 2.0),
+        ("2024-01-01 01:10:00", "click", 4.0),
+        ("2024-01-01 00:20:00", "error", 8.0),
+    ]
+    ev = spark.createDataFrame(rows, "ts string, event_type string, value double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = {(str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+           for r in windowed_event_counts(ev, window="1 hour").collect()}
+    assert out[("2024-01-01 00:00:00", "click")] == (2, 3.0)
+    assert out[("2024-01-01 01:00:00", "click")] == (1, 4.0)
+    assert out[("2024-01-01 00:00:00", "error")] == (1, 8.0)
+
+
+def test_stream_mention_detect(spark, tmp_path):
+    """Structured Streaming variant: same gate plan, streaming execution."""
+    from ahrd_spark.plans.docs import synthesize_docs
+    from ahrd_spark.plans.pipeline import gate_candidates_multi
+    from ahrd_spark.plans.docs import docs_to_hits
+    from ahrd_spark.streaming.pipeline import stream_mention_detect
+    from bench import _pipeline_cfg
+
+    cfg = _pipeline_cfg()
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    docs = synthesize_docs(spark, 50, hits_per_doc=5)
+    docs.write.parquet(src)
+    q = stream_mention_detect(spark, cfg, src, sink, ck, trigger_once=True)
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink).count()
+    expected = gate_candidates_multi(docs_to_hits(docs), cfg).count()
+    assert got == expected > 0
