@@ -96,14 +96,12 @@ def gate_candidates(hits: DataFrame, db_cfg) -> DataFrame:
     )
 
 
-def load_candidate_hits(spark: SparkSession, cfg: AhrdConfig) -> DataFrame:
-    """Scan + join + gate all configured databases into one candidate-hit
-    DataFrame: (protein_acc, db, hit_acc, short_acc, e_value, bit_score,
-    q_start, q_end, s_start, s_end, s_len, qlen, description, tokens,
-    line_no)."""
-    proteins = read_query_fasta(spark, cfg.proteins_fasta).select(
-        F.col("accession").alias("protein_acc"), F.col("seq_len").alias("qlen")
-    )
+def load_raw_hits_with_desc(spark: SparkSession, cfg: AhrdConfig) -> DataFrame:
+    """Scan + join all configured databases WITHOUT the C6 gate: the raw
+    parsed hits (post HSP-dedup) with subject description + length attached.
+    This is the input both to the candidate gate and to the evaluator's
+    'best unchanged blast hit' competitors (which must see pre-blacklist
+    descriptions, BlastResult.java:494-504)."""
     per_db = []
     for db_cfg in cfg.blast_dbs:
         raw = read_seq_sim_table(spark, cfg, db_cfg.name)
@@ -115,8 +113,27 @@ def load_candidate_hits(spark: SparkSession, cfg: AhrdConfig) -> DataFrame:
         subj = subj.join(
             raw.select("hit_acc").distinct(), "hit_acc", "left_semi"
         )
-        joined = raw.join(subj, "hit_acc")
-        gated = gate_candidates(joined, db_cfg)
+        per_db.append(raw.join(subj, "hit_acc"))
+    hits = per_db[0]
+    for other in per_db[1:]:
+        hits = hits.unionByName(other)
+    return hits
+
+
+def load_candidate_hits(spark: SparkSession, cfg: AhrdConfig) -> DataFrame:
+    """Scan + join + gate all configured databases into one candidate-hit
+    DataFrame: (protein_acc, db, hit_acc, short_acc, e_value, bit_score,
+    q_start, q_end, s_start, s_end, s_len, qlen, description, tokens,
+    line_no)."""
+    proteins = read_query_fasta(spark, cfg.proteins_fasta).select(
+        F.col("accession").alias("protein_acc"), F.col("seq_len").alias("qlen")
+    )
+    per_db = []
+    for db_cfg in cfg.blast_dbs:
+        raw = load_raw_hits_with_desc(
+            spark, cfg.with_(blast_dbs=(db_cfg,))
+        )
+        gated = gate_candidates(raw, db_cfg)
         gated = gated.withColumn(
             "short_acc",
             short_accession_expr(F.col("hit_acc"), db_cfg.short_accession_regex),

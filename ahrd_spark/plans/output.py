@@ -1,0 +1,129 @@
+"""Output writers — the reference's file formats produced distributively.
+
+Parity:
+- B1 TSV writer     OutputWriter.java:24-99 + description-line builder
+  AbstractOutputWriter.java:43-78 ('# AHRD-Version' banner, blank line,
+  header row, 'Unknown protein' fallback keeping the column structure,
+  InterPro cell as sorted 'IPR (name)' comma-joined, GO cell sorted
+  comma-joined)
+- B3 FASTA writer   FastaOutputWriter.java:18-30
+- B4 HRD-scores     OutputWriter.java:109-132 (every candidate's AHRD score
+  — input for GEV fitting downstream)
+
+The line rendering is a column expression; the write is an ordinary
+distributed text write (optionally coalesced for a single file at small
+scale — the reference's single-file shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+AHRD_VERSION = "3.11"  # format-compat banner (src/ahrd/controller/AHRD.java:32)
+
+HEADER = (
+    "Protein-Accession\tBlast-Hit-Accession\tAHRD-Quality-Code\t"
+    "Human-Readable-Description\tInterpro-ID (Description)\tGene-Ontology-Term"
+)
+
+
+def annotation_lines(result: DataFrame) -> DataFrame:
+    """run_annotate output -> one formatted TSV line per protein (column
+    ``line``), ordered like the reference (insertion order is HashMap-
+    dependent there; we sort by accession for determinism)."""
+    ipr_cell = F.concat_ws(
+        ", ",
+        F.transform(
+            F.col("interpro"),
+            lambda s: F.concat(s["ipr_id"], F.lit(" ("), s["name"], F.lit(")")),
+        ),
+    )
+    go_cell = F.concat_ws(", ", F.col("go_terms"))
+    known = F.concat_ws(
+        "\t",
+        F.col("protein_acc"),
+        F.col("hit_acc"),
+        F.col("quality_code"),
+        F.col("description"),
+        ipr_cell,
+        go_cell,
+    )
+    unknown = F.concat(
+        F.col("protein_acc"), F.lit("\t\t\tUnknown protein\t"),
+        ipr_cell, F.lit("\t"), go_cell,
+    )
+    return result.select(
+        F.col("protein_acc"),
+        F.when(F.col("hit_acc").isNotNull(), known).otherwise(unknown).alias(
+            "line"
+        ),
+    ).orderBy("protein_acc")
+
+
+def write_annotation_tsv(result: DataFrame, path: str, single_file: bool = True):
+    """B1: write the annotation table in the reference's TSV shape."""
+    lines = annotation_lines(result).select(
+        F.lit(1).alias("ord"), F.col("protein_acc").alias("key"), "line"
+    )
+    header = lines.sparkSession.createDataFrame(
+        [
+            (0, "0", f"# AHRD-Version {AHRD_VERSION}"),
+            (0, "1", ""),
+            (0, "2", HEADER),
+        ],
+        "ord int, key string, line string",
+    )
+    out = header.unionByName(lines)
+    if single_file:
+        out = out.repartition(1).sortWithinPartitions("ord", "key")
+    else:
+        out = out.orderBy("ord", "key")
+    out.select("line").write.mode("overwrite").text(path)
+
+
+def fasta_lines(result: DataFrame, sequences: DataFrame) -> DataFrame:
+    """B3: '>' + space-separated description line + AA sequence."""
+    ipr_cell = F.concat_ws(
+        ", ",
+        F.transform(
+            F.col("interpro"),
+            lambda s: F.concat(s["ipr_id"], F.lit(" ("), s["name"], F.lit(")")),
+        ),
+    )
+    desc = F.when(
+        F.col("hit_acc").isNotNull(),
+        F.concat_ws(
+            " ", F.col("protein_acc"), F.col("hit_acc"), F.col("quality_code"),
+            F.col("description"),
+        ),
+    ).otherwise(F.concat_ws(" ", F.col("protein_acc"), F.lit("Unknown protein")))
+    joined = result.join(
+        sequences.select(
+            F.col("accession").alias("protein_acc"), "sequence"
+        ),
+        "protein_acc",
+    )
+    return joined.select(
+        F.concat(
+            F.lit(">"), desc,
+            F.when(ipr_cell != "", F.concat(F.lit(" "), ipr_cell)).otherwise(F.lit("")),
+            F.lit("\n"), F.col("sequence"),
+        ).alias("line")
+    ).orderBy("line")
+
+
+def write_hrd_scores(scored: DataFrame, path: str, single_file: bool = True):
+    """B4: every candidate hit's description score (GEV-fitting input)."""
+    lines = scored.select(
+        F.concat_ws(
+            "\t", F.col("protein_acc"), F.col("hit_acc"),
+            F.col("desc_score").cast("string"),
+        ).alias("line")
+    ).orderBy("line")
+    header = scored.sparkSession.createDataFrame(
+        [("Protein-Accesion\tBlast-Hit-Accession\tAHRD-Score",)], "line string"
+    )
+    out = header.unionByName(lines)
+    writer = out.coalesce(1) if single_file else out
+    writer.write.mode("overwrite").text(path)

@@ -1,0 +1,36 @@
+"""B1 TSV writer byte-parity against the reference's own output files."""
+
+import glob
+
+import pytest
+
+from ahrd_spark.config import load_config
+from ahrd_spark.plans.annotate import run_annotate
+from ahrd_spark.plans.output import annotation_lines, write_annotation_tsv
+
+REF = "/root/reference"
+FIXDIR = "/root/repo/tests/fixtures"
+
+
+@pytest.mark.parametrize(
+    "yml,golden_file",
+    [
+        ("ahrd_example_input.yml", "golden_example.csv"),
+        ("ahrd_example_input_go_prediction.yml", "golden_go.csv"),
+        ("test/resources/ahrd_input_test_run.yml", "golden_test_run.csv"),
+    ],
+)
+def test_tsv_lines_match_reference_bytes(spark, tmp_path, yml, golden_file):
+    cfg = load_config(f"{REF}/{yml}", base_dir=REF)
+    result = run_annotate(spark, cfg)
+    out_dir = str(tmp_path / "out")
+    write_annotation_tsv(result, out_dir)
+    part = glob.glob(f"{out_dir}/part-*")[0]
+    with open(part) as fh:
+        got = fh.read().rstrip("\n").split("\n")
+    with open(f"{FIXDIR}/{golden_file}") as fh:
+        exp = fh.read().rstrip("\n").split("\n")
+    # same banner/header/blank-line structure
+    assert got[0] == exp[0] and got[1] == exp[1] and got[2] == exp[2]
+    # data rows: identical as a SET (reference row order is HashMap-driven)
+    assert sorted(got[3:]) == sorted(exp[3:])
