@@ -23,3 +23,61 @@ def transfer_go(winners: DataFrame, goa: DataFrame) -> DataFrame:
         .groupBy("protein_acc")
         .agg(F.array_sort(F.collect_set("go_term")).alias("go_terms"))
     )
+
+
+def go_dag_closure(edges: DataFrame, max_iter: int = 32) -> DataFrame:
+    """Transitive closure of a GO is-a DAG given (child, parent) edges ->
+    (go_term, ancestor).  Generalizes the InterPro parent-chain recursion
+    (InterproResult.java:198-244) to the GO ontology — the reference
+    declares a goDB (AHRD.java:40) but never populates it in this version;
+    the engine makes DAG propagation a first-class operator.
+
+    The ontology is dictionary-sized -> iterative self-join on the driver's
+    Spark session, broadcast downstream."""
+    e = edges.toDF("go_term", "ancestor").filter(
+        F.col("go_term") != F.col("ancestor")
+    ).distinct()
+    closure = e
+    frontier = e
+    for _ in range(max_iter):
+        nxt = (
+            frontier.alias("f")
+            .join(e.alias("e"), F.col("f.ancestor") == F.col("e.go_term"))
+            .select(
+                F.col("f.go_term").alias("go_term"),
+                F.col("e.ancestor").alias("ancestor"),
+            )
+            .distinct()
+            .join(closure, ["go_term", "ancestor"], "left_anti")
+        )
+        nxt = nxt.persist()
+        if nxt.count() == 0:
+            break
+        closure = closure.unionByName(nxt)
+        frontier = nxt
+    return closure
+
+
+def propagate_go_ancestors(
+    go_annotations: DataFrame, dag_edges: DataFrame
+) -> DataFrame:
+    """Expand (protein_acc, go_term) annotations with all DAG ancestors
+    (the 'true-path rule'): a protein annotated with a term is implicitly
+    annotated with every ancestor.  Output distinct
+    (protein_acc, go_term, is_direct)."""
+    closure = go_dag_closure(dag_edges)
+    direct = go_annotations.select(
+        "protein_acc", "go_term", F.lit(True).alias("is_direct")
+    )
+    inherited = (
+        go_annotations.join(F.broadcast(closure), "go_term")
+        .select(
+            "protein_acc",
+            F.col("ancestor").alias("go_term"),
+            F.lit(False).alias("is_direct"),
+        )
+        .join(direct.select("protein_acc", "go_term"),
+              ["protein_acc", "go_term"], "left_anti")
+        .distinct()
+    )
+    return direct.unionByName(inherited)

@@ -1,0 +1,363 @@
+"""Simulated-annealing parameter trainer — Trainer.main (§3.3) re-imagined
+for Spark.
+
+Parity (reference file:line):
+- SA loop                 Trainer.java:93-138 (memoization :100-106)
+- acceptance probability  Trainer.java:179-199
+  P = 1 when better/equal; else exp(diff * sf / T) with diff < 0
+  (goldens 0.005628006 / 0.5957108, TrainerTest.java:106-128)
+- accept/reject codes     Trainer.java:263-286 (0..3)
+- averages                Trainer.java:215-245
+- cool down               Trainer.java:206-209
+- neighbour mutation      Parameters.java:132-303 (Gaussian |N(mean,sd)|
+  step, token-weight renormalization to sum 1 rounded to 4 dp, db weight
+  step = ceil(100*gauss), hill-climb bias pMutateSameParameter
+  Parameters.java:85-95)
+
+Spark-first design: the expensive, parameter-INDEPENDENT work (scan, gate,
+tokenize, top-k, per-(protein,token,db) explode, reference tokens) is
+computed ONCE and cached; each SA iteration is a handful of cheap
+re-aggregations over those cached frames with the new weights folded in as
+literal map expressions.  The reference re-runs its whole scoring per
+iteration (75k iterations by default); here an iteration touches only
+cached columnar data.  The TrainerBatcher's 1024 parallel SA starts
+(TrainerBatcher.java:22) map to running this loop once per start point —
+the per-start work is a driver loop; fan out with ordinary spark-submit
+arrays or one driver iterating start points.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from dataclasses import dataclass, field, replace
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ahrd_spark.config import AhrdConfig
+from ahrd_spark.operators.evaluation import eval_tokens_expr, fbeta_expr
+from ahrd_spark.operators.scoring import (
+    jdiv,
+    select_winners,
+    top_k_hits,
+    weight_map_expr,
+    with_overlap,
+)
+from ahrd_spark.plans.annotate import load_candidate_hits
+from ahrd_spark.sources.fasta import read_references_fasta
+
+
+def _round_n(x: float, n: int) -> float:
+    # Utils.roundToNDecimalPlaces (Math.round = half-up on positives)
+    f = 10.0 ** n
+    return math.floor(x * f + 0.5) / f
+
+
+@dataclass(frozen=True)
+class Params:
+    token_bit: float
+    token_db: float
+    token_ovl: float
+    db_weight: tuple  # ((db, int), ...) sorted by db
+    dsbsw: tuple  # ((db, float), ...) sorted by db
+    last_mutated: int | None = None
+
+    def key(self):
+        return (
+            round(self.token_bit, 4), round(self.token_db, 4),
+            round(self.token_ovl, 4), self.db_weight, self.dsbsw,
+        )
+
+    def db_weight_map(self):
+        return dict(self.db_weight)
+
+    def dsbsw_map(self):
+        return dict(self.dsbsw)
+
+
+def params_from_config(cfg: AhrdConfig) -> Params:
+    return Params(
+        token_bit=cfg.token_score_bit_score_weight,
+        token_db=cfg.token_score_database_score_weight,
+        token_ovl=cfg.token_score_overlap_score_weight,
+        db_weight=tuple(sorted(cfg.db_weights.items())),
+        dsbsw=tuple(sorted(cfg.dsbs_weights.items())),
+    )
+
+
+def normalize_token_weights(b: float, d: float, o: float):
+    """Parameters.normalizeTokenScoreWeights: divide by the 4dp-rounded sum,
+    round each to 4dp."""
+    s = _round_n(b + d + o, 4)
+    return (_round_n(b / s, 4), _round_n(d / s, 4), _round_n(o / s, 4))
+
+
+class Trainer:
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: AhrdConfig,
+        seed: int = 42,
+        temperature: int | None = None,
+        cool_down_by: int = 1,
+        scaling_factor: float = 2_500_000_000.0,
+        mutator_mean: float = 0.25,
+        mutator_deviation: float = 0.15,
+        p_mutate_same_scale: float = 0.7,
+        remember_path: bool = True,
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.rng = random.Random(seed)
+        self.temperature = temperature if temperature is not None else 75000
+        self.cool_down_by = cool_down_by
+        self.sf = scaling_factor
+        self.mutator_mean = mutator_mean
+        self.mutator_dev = mutator_deviation
+        self.p_same_scale = p_mutate_same_scale
+        self.remember_path = remember_path
+        self.db_names = sorted(cfg.db_names)
+
+        # ---- parameter-independent cached frames ----------------------
+        hits = with_overlap(load_candidate_hits(spark, cfg)).cache()
+        self.topk = top_k_hits(hits, cfg.top_blast_results).cache()
+        # per-(protein, token, db): bit/overlap sums + hit count (db weight
+        # folds in per iteration as weight * n_hits)
+        self.cum_parts = (
+            hits.select(
+                "protein_acc", "db", F.explode("tokens").alias("token"),
+                "bit_score", "overlap",
+            )
+            .groupBy("protein_acc", "token", "db")
+            .agg(
+                F.sum("bit_score").alias("bit_part"),
+                F.sum("overlap").alias("ovl_part"),
+                F.count("*").alias("n_hits"),
+            )
+            .cache()
+        )
+        self.tot_parts = (
+            hits.groupBy("protein_acc", "db")
+            .agg(
+                F.sum("bit_score").alias("bit_part"),
+                F.sum("overlap").alias("ovl_part"),
+                F.count("*").alias("n_hits"),
+                F.max("bit_score").alias("max_bit_part"),
+            )
+            .cache()
+        )
+        self.tk_tokens = (
+            self.topk.select("protein_acc", F.explode("tokens").alias("token"))
+            .distinct()
+            .cache()
+        )
+        self.refs = (
+            read_references_fasta(spark, cfg.references_fasta)
+            .select(
+                F.col("accession").alias("protein_acc"),
+                F.col("tokens").alias("ref_tokens"),
+            )
+            .cache()
+        )
+        self.n_proteins = (
+            hits.select("protein_acc").distinct().count()
+        )
+        # SA state
+        self.accepted: Params | None = None
+        self.accepted_score: float | None = None
+        self.best: Params | None = None
+        self.best_score: float = float("-inf")
+        self.best_temperature: int | None = None
+        self.tested: dict = {}
+        self.path_log: list[dict] = []
+
+    # ---- objective function ------------------------------------------
+    def avg_eval_score(self, p: Params) -> float:
+        key = p.key()
+        if self.remember_path and key in self.tested:
+            return self.tested[key]
+        dbw = weight_map_expr(p.db_weight_map())
+        dsbsw = weight_map_expr(p.dsbsw_map())
+
+        totals = self.tot_parts.groupBy("protein_acc").agg(
+            F.sum("bit_part").alias("tot_bit"),
+            F.sum(dbw[F.col("db")] * F.col("n_hits")).alias("tot_db"),
+            F.sum("ovl_part").alias("tot_ovl"),
+            F.max("max_bit_part").alias("max_bit"),
+        )
+        cum = self.cum_parts.groupBy("protein_acc", "token").agg(
+            F.sum("bit_part").alias("cum_bit"),
+            F.sum(dbw[F.col("db")] * F.col("n_hits")).alias("cum_db"),
+            F.sum("ovl_part").alias("cum_ovl"),
+        )
+        raw = (
+            self.tk_tokens.join(cum, ["protein_acc", "token"])
+            .join(totals, "protein_acc")
+            .select(
+                "protein_acc", "token",
+                (
+                    F.lit(p.token_bit) * jdiv(F.col("cum_bit"), F.col("tot_bit"))
+                    + F.lit(p.token_db) * jdiv(F.col("cum_db"), F.col("tot_db"))
+                    + F.lit(p.token_ovl) * jdiv(F.col("cum_ovl"), F.col("tot_ovl"))
+                ).alias("raw_score"),
+            )
+        )
+        from pyspark.sql import Window
+
+        wnd = Window.partitionBy("protein_acc")
+        tok_scores = raw.withColumn(
+            "high", F.max("raw_score").over(wnd)
+        ).select(
+            "protein_acc", "token",
+            F.when(F.col("raw_score") > F.col("high") / 2, F.col("raw_score"))
+            .otherwise(F.col("raw_score") - F.col("high") / 2)
+            .alias("token_score"),
+            (F.col("raw_score") > F.col("high") / 2).alias("informative"),
+            F.col("high"),
+        )
+        per_hit = (
+            self.topk.select(
+                "protein_acc", "db", "hit_acc",
+                F.explode("tokens").alias("token"),
+            )
+            .join(tok_scores, ["protein_acc", "token"])
+            .groupBy("protein_acc", "db", "hit_acc")
+            .agg(
+                F.sum("token_score").alias("sum_ts"),
+                F.count("*").alias("n_tokens"),
+                F.sum(F.col("informative").cast("long")).alias("n_inf"),
+                F.first("high").alias("high"),
+            )
+        )
+        lexical = F.when(F.col("n_inf") == 0, F.lit(0.0)).otherwise(
+            jdiv(
+                jdiv(F.col("sum_ts"), F.col("high")),
+                jdiv(
+                    F.col("n_tokens").cast("double"),
+                    F.col("n_inf").cast("double"),
+                ),
+            )
+        )
+        scored = (
+            self.topk.join(per_hit, ["protein_acc", "db", "hit_acc"])
+            .join(totals.select("protein_acc", "max_bit"), "protein_acc")
+            .withColumn(
+                "desc_score",
+                lexical + dsbsw[F.col("db")] * jdiv(F.col("bit_score"), F.col("max_bit")),
+            )
+        )
+        winners = select_winners(scored)
+        evald = winners.join(self.refs, "protein_acc").select(
+            fbeta_expr(
+                eval_tokens_expr(
+                    F.col("description"), F.col("tokens"),
+                    self.cfg.evaluate_valid_tokens,
+                ),
+                F.col("ref_tokens"),
+                self.cfg.f_measure_beta_parameter,
+            ).alias("f")
+        )
+        row = evald.agg(
+            F.sum(F.when(~F.isnan("f"), F.col("f")).otherwise(0.0)).alias("s")
+        ).first()
+        score = (row["s"] or 0.0) / self.n_proteins
+        if self.remember_path:
+            self.tested[key] = score
+        return score
+
+    # ---- SA mechanics -------------------------------------------------
+    def acceptance_probability(self, diff: float) -> float:
+        if self.accepted is None or diff >= 0.0:
+            return 1.0
+        return math.exp(diff * self.sf / self.temperature)
+
+    def _gauss_step(self) -> float:
+        return abs(self.rng.gauss(0, 1) * self.mutator_dev + self.mutator_mean)
+
+    def _save_subtract(self, frm: float, sub: float) -> bool:
+        return self.rng.random() < 0.5 if frm - sub > 0 else False
+
+    def p_mutate_same(self, increase: float) -> float:
+        if increase is None or increase <= 0.0:
+            return 0.0
+        s = self.p_same_scale
+        return (math.exp(-(1.0 - increase)) + s) / (1.0 + s)
+
+    def neighbour(self, p: Params, diff: float) -> Params:
+        idx = p.last_mutated
+        if not (
+            diff is not None and diff > 0.0 and idx is not None
+            and self.rng.random() <= self.p_mutate_same(diff)
+        ):
+            idx = self.rng.randrange(3 + 2 * len(self.db_names))
+        b, d, o = p.token_bit, p.token_db, p.token_ovl
+        dbw = dict(p.db_weight)
+        ds = dict(p.dsbsw)
+        if idx < 3:
+            step = self._gauss_step()
+            vals = [b, d, o]
+            vals[idx] = (
+                vals[idx] - step
+                if self._save_subtract(vals[idx], step)
+                else vals[idx] + step
+            )
+            b, d, o = normalize_token_weights(*vals)
+        else:
+            dbi = (idx - 3) // 2
+            name = self.db_names[dbi]
+            if (idx - 3) % 2 == 0:
+                step = int(math.ceil(100.0 * self._gauss_step()))
+                w = dbw[name]
+                dbw[name] = w - step if self._save_subtract(float(w), float(step)) else w + step
+            else:
+                step = self._gauss_step()
+                w = ds[name]
+                ds[name] = w - step if self._save_subtract(w, step) else w + step
+        return Params(
+            token_bit=b, token_db=d, token_ovl=o,
+            db_weight=tuple(sorted(dbw.items())),
+            dsbsw=tuple(sorted(ds.items())),
+            last_mutated=idx,
+        )
+
+    def train(self, max_iterations: int | None = None) -> Params:
+        current = params_from_config(self.cfg)
+        it = 0
+        while self.temperature > 0:
+            if max_iterations is not None and it >= max_iterations:
+                break
+            score = self.avg_eval_score(current)
+            if self.best is None or score > self.best_score:
+                self.best, self.best_score = current, score
+                self.best_temperature = self.temperature
+            diff = (
+                score - self.accepted_score
+                if self.accepted_score is not None
+                else 0.0
+            )
+            p_accept = self.acceptance_probability(diff)
+            if p_accept == 1.0:
+                accepted_code = (
+                    3 if self.accepted_score is None
+                    or self.accepted_score < score else 2
+                )
+                self.accepted, self.accepted_score = current, score
+            elif self.rng.random() <= p_accept:
+                accepted_code = 1
+                self.accepted, self.accepted_score = current, score
+            else:
+                accepted_code = 0
+            self.path_log.append(
+                {
+                    "temperature": self.temperature,
+                    "avg_evaluation_score": score,
+                    "diff": diff,
+                    "accepted": accepted_code,
+                    "params": current.key(),
+                }
+            )
+            current = self.neighbour(self.accepted, diff)
+            self.temperature -= self.cool_down_by
+            it += 1
+        return self.best

@@ -1,0 +1,80 @@
+"""Trainer tests: acceptance-probability goldens (TrainerTest.java:106-128),
+token-weight renormalization, and a short real SA run on the evaluator
+fixture config."""
+
+import pytest
+
+from ahrd_spark.config import load_config
+from ahrd_spark.plans.trainer import (
+    Trainer,
+    normalize_token_weights,
+    params_from_config,
+)
+
+REF = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def trainer(spark):
+    cfg = load_config(f"{REF}/evaluator_example.yml", base_dir=REF)
+    return Trainer(
+        spark, cfg, seed=7, temperature=1000,
+        scaling_factor=200_000_000.0,
+    )
+
+
+def test_acceptance_probability_goldens(trainer):
+    # first iteration (nothing accepted yet) -> 1.0
+    trainer.accepted = None
+    assert trainer.acceptance_probability(0.0) == 1.0
+    # better than accepted -> 1.0
+    trainer.accepted = params_from_config(trainer.cfg)
+    trainer.accepted_score = 0.5
+    assert trainer.acceptance_probability(0.5) == 1.0
+    # worse: exp(diff * sf / T) — exact JUnit goldens
+    trainer.temperature = 1000
+    assert trainer.acceptance_probability(-0.0000259) == pytest.approx(
+        0.005628006, abs=1e-9
+    )
+    trainer.temperature = 10000
+    assert trainer.acceptance_probability(-0.0000259) == pytest.approx(
+        0.5957108, abs=1e-6
+    )
+
+
+def test_normalize_token_weights():
+    b, d, o = normalize_token_weights(0.6, 0.3, 0.3)
+    assert round(b + d + o, 3) == 1.0
+    assert b == pytest.approx(0.5, abs=1e-4)
+
+
+def test_neighbour_mutates_one_parameter(trainer):
+    p = params_from_config(trainer.cfg)
+    changed_kinds = set()
+    for _ in range(60):
+        n = trainer.neighbour(p, 0.0)
+        token_changed = (n.token_bit, n.token_db, n.token_ovl) != (
+            p.token_bit, p.token_db, p.token_ovl
+        )
+        dbw_changed = n.db_weight != p.db_weight
+        ds_changed = n.dsbsw != p.dsbsw
+        assert sum([token_changed, dbw_changed, ds_changed]) == 1
+        if token_changed:
+            assert round(n.token_bit + n.token_db + n.token_ovl, 3) == 1.0
+            changed_kinds.add("token")
+        changed_kinds.add("dbw" if dbw_changed else ("ds" if ds_changed else "token"))
+    assert {"token", "dbw", "ds"} <= changed_kinds
+
+
+def test_short_training_run(spark):
+    cfg = load_config(f"{REF}/evaluator_example.yml", base_dir=REF)
+    t = Trainer(spark, cfg, seed=42, temperature=8)
+    best = t.train()
+    assert best is not None
+    assert len(t.path_log) == 8
+    # the production-weight start point scores (1.0 + 0.4)/2 = 0.7 on the
+    # two-protein fixture (golden_evaluator.tsv eval scores)
+    assert t.path_log[0]["avg_evaluation_score"] == pytest.approx(0.7, abs=5e-4)
+    assert t.best_score >= 0.7
+    # memoization: revisited parameter sets don't recompute
+    assert len(t.tested) <= 8
