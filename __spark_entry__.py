@@ -372,9 +372,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_jaccard"] = dedup_jaccard
 
     def dedup_simhash(spark, sf):
-        return _docs(spark, sf).select(
-            "doc_id", simhash_expr(F.col("text"), bits=16).alias("simhash")
-        )
+        from ahrd_spark.operators.dedup import simhash_table
+
+        return simhash_table(_docs(spark, sf), bits=16)
 
     q["dedup_simhash"] = dedup_simhash
 

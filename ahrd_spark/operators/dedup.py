@@ -55,17 +55,38 @@ def minhash_signature(
 ) -> DataFrame:
     """-> (id, sig ARRAY<STRING>[num_hashes]): per seed h, min over shingles
     of md5(shingle + '#h').  String-min of hex digests is a valid uniform
-    min-hash and is engine-portable."""
-    sh = shingles_expr(F.col(text_col), shingle_k)
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(sh, lambda s: F.md5(F.concat(s, F.lit(f"#{h}"))))
-            )
-            for h in range(num_hashes)
-        ]
+    min-hash and is engine-portable.
+
+    Formulated as posexplode + lead() windows -> one hash-aggregation with
+    num_hashes min() columns: shingling runs entirely in whole-stage codegen
+    (the array-lambda formulation of shingles_expr falls back to interpreted
+    evaluation and costs ~1 ms/doc), the per-seed mins share one pass, and
+    min() over duplicate shingles equals min() over distinct ones so no
+    dedup step is needed."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n"),
+        F.posexplode(toks).alias("pos", "t"),
     )
-    return df.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("t")] + [
+        F.lead("t", i).over(wnd) for i in range(1, shingle_k)
+    ]
+    sh = exploded.withColumn("s", F.concat_ws(" ", *leads)).filter(
+        F.col("pos") <= F.greatest(F.col("n") - shingle_k, F.lit(0))
+    )
+    mins = [
+        F.min(F.md5(F.concat(F.col("s"), F.lit(f"#{h}")))).alias(f"h{h}")
+        for h in range(num_hashes)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id",
+        F.array(*[F.col(f"h{h}") for h in range(num_hashes)]).alias("sig"),
+    )
 
 
 def lsh_candidate_pairs(
@@ -95,18 +116,18 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "bucket"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # Aggregate bucket members first (ONE shuffle materializes the upstream
+    # signature computation), then expand member pairs in place — a
+    # self-join here would recompute the signatures for both sides.
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        buckets.select(F.explode("ids").alias("doc_a"), F.col("ids"))
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
 
@@ -114,22 +135,58 @@ def lsh_candidate_pairs(
 def simhash_expr(text: Column, bits: int = 16) -> Column:
     """Simhash signature as a LONG: bit i set iff the sum over tokens of
     (+1 / -1) votes from the token hash's i-th nibble parity is positive.
-    md5-nibble parity keeps it portable across engines."""
-    toks = tokenize_expr(text)
+    md5-nibble parity keeps it portable across engines.
+
+    The token digest is computed ONCE per token (inner transform), then all
+    bit votes read nibbles of that digest — naively folding per bit would
+    md5 every token `bits` times."""
+    digests = F.transform(tokenize_expr(text), lambda t: F.md5(t))
+
     def bit(i):
         votes = F.aggregate(
-            toks,
+            digests,
             F.lit(0),
-            lambda acc, t: acc
+            lambda acc, d: acc
             + F.when(
-                F.ascii(F.substring(F.md5(t), i + 1, 1)) % 2 == 1, F.lit(1)
+                F.ascii(F.substring(d, i + 1, 1)) % 2 == 1, F.lit(1)
             ).otherwise(F.lit(-1)),
         )
-        return F.when(votes > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+        return (
+            F.when(votes > 0, F.lit(2 ** i).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+
     out = F.lit(0).cast("long")
     for i in range(bits):
         out = out + bit(i)
     return out
+
+
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """Explode-based simhash: one md5 per (doc, token), one hash-agg with
+    ``bits`` vote sums — the scan-friendly formulation for full-corpus runs
+    (simhash_expr duplicates the digest array fold per bit)."""
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize_expr(F.col(text_col))).alias("t"),
+    ).select("doc_id", F.md5("t").alias("d"))
+    votes = [
+        F.sum(
+            F.when(F.ascii(F.substring("d", i + 1, 1)) % 2 == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = exploded.groupBy("doc_id").agg(*votes)
+    sim = None
+    for i in range(bits):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.alias("simhash"))
 
 
 def jaccard_pairs(

@@ -94,17 +94,21 @@ class CheckpointManager:
         key: str | list[str],
         inputs: list[str] = (),
         num_partitions: int | None = None,
+        sort_keys: list[str] | None = None,
     ) -> DataFrame:
         """Deterministically materialize a stage: hash-repartition by
-        ``key``, sort within partitions by all columns, write, record
-        per-partition rows+checksum lineage.  Returns the re-read DataFrame
-        (so downstream stages read the checkpoint, never the live plan)."""
+        ``key``, sort within partitions by ``sort_keys`` (a per-row-unique
+        key set — sorting/checksumming every column would double the stage
+        cost for no extra guarantee), write, record per-partition
+        rows+checksum lineage.  Returns the re-read DataFrame (so downstream
+        stages read the checkpoint, never the live plan)."""
         keys = [key] if isinstance(key, str) else list(key)
+        sort_keys = sort_keys or keys
         n = num_partitions or df.sparkSession.conf.get(
             "spark.sql.shuffle.partitions", "32"
         )
         out = df.repartition(int(n), *[F.col(k) for k in keys]).sortWithinPartitions(
-            *df.columns
+            *sort_keys
         )
         path = self._data_dir(stage)
         out.write.mode("overwrite").parquet(path)
@@ -116,7 +120,7 @@ class CheckpointManager:
             .agg(
                 F.count("*").alias("rows"),
                 # xor-fold: order-independent, overflow-free row checksum
-                F.bit_xor(F.xxhash64(*written.columns)).alias("checksum"),
+                F.bit_xor(F.xxhash64(*sort_keys)).alias("checksum"),
             )
             .orderBy("__pid")
             .collect()
@@ -150,9 +154,10 @@ class CheckpointManager:
         key: str | list[str],
         inputs: list[str] = (),
         num_partitions: int | None = None,
+        sort_keys: list[str] | None = None,
     ) -> DataFrame:
         """Resume-aware stage execution: reuse the checkpoint when complete
         and consistent with config + upstream lineage, else (re)compute."""
         if self.is_complete(stage, inputs):
             return self.read(stage)
-        return self.write(build(), stage, key, inputs, num_partitions)
+        return self.write(build(), stage, key, inputs, num_partitions, sort_keys)

@@ -120,6 +120,7 @@ def run_pipeline(
     mentions = ckpt.run_stage(
         "mention_detect", build_mentions, key="protein_acc",
         num_partitions=num_partitions,
+        sort_keys=["protein_acc", "db", "hit_acc", "line_no"],
     )
 
     # -- stage 2: link-score ------------------------------------------
@@ -144,6 +145,7 @@ def run_pipeline(
     winners = ckpt.run_stage(
         "link_score", build_winners, key="protein_acc",
         inputs=["mention_detect"], num_partitions=num_partitions,
+        sort_keys=["protein_acc"],
     )
 
     # -- stage 3: canonicalize ----------------------------------------
@@ -191,6 +193,7 @@ def run_pipeline(
     canonical = ckpt.run_stage(
         "canonicalize", build_canonical, key="protein_acc",
         inputs=["link_score"], num_partitions=num_partitions,
+        sort_keys=["protein_acc", "pred", "obj"],
     )
 
     # -- stage 4: materialize -----------------------------------------
@@ -223,4 +226,5 @@ def run_pipeline(
     return ckpt.run_stage(
         "materialize", build_triples, key="subj",
         inputs=["link_score", "canonicalize"], num_partitions=num_partitions,
+        sort_keys=["subj", "pred", "obj"],
     )

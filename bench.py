@@ -38,7 +38,7 @@ HEADLINE = [
     "cc_components",
 ]
 
-SYNTH_DOCS = int(os.environ.get("BENCH_SYNTH_DOCS", "20000"))
+SYNTH_DOCS = int(os.environ.get("BENCH_SYNTH_DOCS", "80000"))
 SYNTH_HITS = 24
 
 
