@@ -403,6 +403,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lang_id"] = lang_id
 
+    def token_doc_freq(spark, sf):
+        from ahrd_spark.operators.skew import token_document_frequency
+
+        return token_document_frequency(_docs(spark, sf), salt_buckets=16)
+
+    q["token_doc_freq"] = token_doc_freq
+
     # ---- similarity search -------------------------------------------
     def ann_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
@@ -776,6 +783,13 @@ SELECT doc_id,
     ELSE 'und'
   END AS lang_guess
 FROM s
+"""
+
+    o["token_doc_freq"] = f"""
+SELECT u.token, CAST(count(*) AS BIGINT) AS doc_freq
+FROM (SELECT doc_id, {tok} AS toks FROM documents) d,
+     unnest(d.toks) AS u(token)
+GROUP BY u.token
 """
 
     o["ann_cosine_topk"] = """

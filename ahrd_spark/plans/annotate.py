@@ -147,12 +147,20 @@ def load_candidate_hits(spark: SparkSession, cfg: AhrdConfig) -> DataFrame:
     return hits.join(F.broadcast(proteins), "protein_acc")
 
 
-def score_candidates(hits: DataFrame, cfg: AhrdConfig) -> DataFrame:
+def score_candidates(
+    hits: DataFrame, cfg: AhrdConfig, topk: DataFrame | None = None
+) -> DataFrame:
     """E2..E9 over a gated candidate-hit DataFrame -> per-hit scores for the
-    per-(protein,db) top-k."""
+    per-(protein,db) top-k.
+
+    ``topk`` may be passed pre-computed (and persisted) by the caller — it
+    is referenced by four downstream branches (token universe, per-hit
+    token lists, the final join, the windows), and recomputing the top-k
+    window per branch multiplies the stage cost."""
     totals = protein_totals(hits, cfg.db_weights)
     cumulative = token_cumulative(hits, cfg.db_weights)
-    topk = top_k_hits(hits, cfg.top_blast_results)
+    if topk is None:
+        topk = top_k_hits(hits, cfg.top_blast_results)
     tscores = token_scores(
         topk,
         cumulative,

@@ -43,45 +43,46 @@ from ahrd_spark.sources.goa import read_goa
 from ahrd_spark.sources.interpro import read_interpro_db, read_interpro_raw
 
 
+def _grouped_by_regexes(dbs, keyfn):
+    """Group db configs sharing identical regex settings so the when()
+    chain has one branch per DISTINCT setting, not per database — branch
+    trees multiply the codegen'd expression size and, worse, every copy
+    that predicate pushdown duplicates."""
+    groups: dict = {}
+    for d in dbs:
+        groups.setdefault(keyfn(d), []).append(d.name)
+    return groups
+
+
+def _branch_by_db(groups: dict, mkexpr, default):
+    out = default
+    for key, names in groups.items():
+        cond = F.col("db").isin(names)
+        out = F.when(cond, mkexpr(key)).otherwise(out)
+    return out
+
+
 def gate_candidates_multi(hits: DataFrame, cfg: AhrdConfig) -> DataFrame:
     """C6 gate across all databases in ONE pass: per-db regex lists are
-    folded into when() chains keyed on the db column (small constant number
-    of databases -> still one codegen'd projection, no union-of-scans)."""
+    folded into when() chains keyed on the db column.
+
+    Plan-shape notes (these made a 3-6x runtime difference, measured):
+    - databases with identical regex settings share one when() branch;
+    - cheap validity predicates are applied BEFORE the tokenize projection
+      (freely pushable toward the scan);
+    - the tokens-dependent predicate carries a nondeterministic no-op guard
+      (`or rand() > 2`, always false) so PushDownPredicates cannot sink it
+      below the projection — otherwise the whole tokenize chain is
+      evaluated once in the pushed Filter and AGAIN in the Project.
+    """
     db_col = F.col("db")
-
-    fail = F.lit(False)
-    for d in cfg.blast_dbs:
-        fail = F.when(
-            db_col == d.name, blacklist_fails_expr(F.col("description"), d.blacklist)
-        ).otherwise(fail)
-    df = hits.filter(~fail)
-
-    filtered = F.col("description")
-    tokens = None
-    for d in cfg.blast_dbs:
-        fexpr = apply_filter_regexes(F.col("description"), d.filter)
-        texpr = tokenize_expr(fexpr, d.token_blacklist)
-        filtered = F.when(db_col == d.name, fexpr).otherwise(filtered)
-        tokens = (
-            F.when(db_col == d.name, texpr).otherwise(tokens)
-            if tokens is not None
-            else F.when(db_col == d.name, texpr)
-        )
-    short = F.col("hit_acc")
-    for d in cfg.blast_dbs:
-        short = F.when(
-            db_col == d.name,
-            short_accession_expr(F.col("hit_acc"), d.short_accession_regex),
-        ).otherwise(short)
-    df = (
-        df.withColumn("description", filtered)
-        .withColumn("tokens", tokens)
-        .withColumn("short_acc", short)
-    )
     known_dbs = [d.name for d in cfg.blast_dbs]
-    return df.filter(
+
+    # cheap, pushable validity predicates first (C5 minus the token check)
+    df = hits.filter(
         (F.col("hit_acc") != "")
         & F.col("bit_score").isNotNull()
+        & F.col("description").isNotNull()
         & (F.col("description") != "")
         & F.col("q_start").isNotNull()
         & F.col("q_end").isNotNull()
@@ -91,8 +92,49 @@ def gate_candidates_multi(hits: DataFrame, cfg: AhrdConfig) -> DataFrame:
         & (F.col("s_end") > F.col("s_start"))
         & F.col("s_len").isNotNull()
         & F.col("e_value").isNotNull()
-        & (F.size("tokens") > 0)
-        & F.col("db").isin(known_dbs)
+        & db_col.isin(known_dbs)
+    )
+
+    # C2 description blacklist (regex test only — no tree duplication risk)
+    bl_groups = _grouped_by_regexes(cfg.blast_dbs, lambda d: d.blacklist)
+    fail = _branch_by_db(
+        bl_groups,
+        lambda bl: blacklist_fails_expr(F.col("description"), bl),
+        F.lit(False),
+    )
+    df = df.filter(~fail)
+
+    # C3 + T1: filtered description and tokens, one branch per distinct
+    # (filter, token_blacklist) setting
+    ft_groups = _grouped_by_regexes(
+        cfg.blast_dbs, lambda d: (d.filter, d.token_blacklist)
+    )
+    filtered = _branch_by_db(
+        ft_groups,
+        lambda key: apply_filter_regexes(F.col("description"), key[0]),
+        F.col("description"),
+    )
+    tokens = _branch_by_db(
+        ft_groups,
+        lambda key: tokenize_expr(
+            apply_filter_regexes(F.col("description"), key[0]), key[1]
+        ),
+        F.array().cast("array<string>"),
+    )
+    sa_groups = _grouped_by_regexes(cfg.blast_dbs, lambda d: d.short_accession_regex)
+    short = _branch_by_db(
+        sa_groups,
+        lambda regex: short_accession_expr(F.col("hit_acc"), regex),
+        F.col("hit_acc"),
+    )
+    df = (
+        df.withColumn("tokens", tokens)
+        .withColumn("description", filtered)
+        .withColumn("short_acc", short)
+    )
+    # token-count predicate with a pushdown barrier (see docstring)
+    return df.filter(
+        (F.size("tokens") > 0) | (F.rand(seed=0) > F.lit(2.0))
     )
 
 
@@ -103,8 +145,19 @@ def run_pipeline(
     workdir: str,
     synonym_edges: DataFrame | None = None,
     num_partitions: int | None = None,
+    stage_timings: dict | None = None,
 ) -> DataFrame:
-    """Execute (or resume) the 4-stage pipeline; returns the triples table."""
+    """Execute (or resume) the 4-stage pipeline; returns the triples table.
+    Pass ``stage_timings={}`` to collect per-stage wall seconds."""
+    import time as _time
+
+    def _timed(name, fn):
+        t0 = _time.time()
+        out = fn()
+        if stage_timings is not None:
+            stage_timings[name] = round(_time.time() - t0, 3)
+        return out
+
     ckpt = CheckpointManager(
         spark,
         workdir,
@@ -117,11 +170,11 @@ def run_pipeline(
     def build_mentions():
         return gate_candidates_multi(docs_to_hits(docs), cfg)
 
-    mentions = ckpt.run_stage(
+    mentions = _timed("mention_detect", lambda: ckpt.run_stage(
         "mention_detect", build_mentions, key="protein_acc",
         num_partitions=num_partitions,
         sort_keys=["protein_acc", "db", "hit_acc", "line_no"],
-    )
+    ))
 
     # -- stage 2: link-score ------------------------------------------
     goa = None
@@ -133,8 +186,14 @@ def run_pipeline(
             short_accessions=mentions.select("short_acc"),
         )
 
+    _to_unpersist = []
+
     def build_winners():
-        scored = score_candidates(mentions, cfg)
+        from ahrd_spark.operators.scoring import top_k_hits
+
+        topk = top_k_hits(mentions, cfg.top_blast_results).persist()
+        _to_unpersist.append(topk)
+        scored = score_candidates(mentions, cfg, topk=topk)
         return select_winners(
             with_overlap(scored), goa=goa, prefer_go=cfg.prefer_reference_with_go_annos
         ).select(
@@ -142,11 +201,13 @@ def run_pipeline(
             "e_value", "bit_score", "overlap", "desc_score", "desc_high_score",
         )
 
-    winners = ckpt.run_stage(
+    winners = _timed("link_score", lambda: ckpt.run_stage(
         "link_score", build_winners, key="protein_acc",
         inputs=["mention_detect"], num_partitions=num_partitions,
         sort_keys=["protein_acc"],
-    )
+    ))
+    for df_ in _to_unpersist:
+        df_.unpersist()
 
     # -- stage 3: canonicalize ----------------------------------------
     def build_canonical():
@@ -190,11 +251,11 @@ def run_pipeline(
             "obj_kind",
         )
 
-    canonical = ckpt.run_stage(
+    canonical = _timed("canonicalize", lambda: ckpt.run_stage(
         "canonicalize", build_canonical, key="protein_acc",
         inputs=["link_score"], num_partitions=num_partitions,
         sort_keys=["protein_acc", "pred", "obj"],
-    )
+    ))
 
     # -- stage 4: materialize -----------------------------------------
     def build_triples():
@@ -223,8 +284,8 @@ def run_pipeline(
         )
         return desc_triples.unionByName(ent_triples)
 
-    return ckpt.run_stage(
+    return _timed("materialize", lambda: ckpt.run_stage(
         "materialize", build_triples, key="subj",
         inputs=["link_score", "canonicalize"], num_partitions=num_partitions,
         sort_keys=["subj", "pred", "obj"],
-    )
+    ))
