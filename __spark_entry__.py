@@ -26,6 +26,7 @@ from ahrd_spark.config import TOKEN_SPLITTER_REGEX
 from ahrd_spark.functions.format import quality_code_expr
 from ahrd_spark.functions.text import tokenize_expr
 from ahrd_spark.operators.dedup import (
+    embedding_dup_pairs,
     exact_dedup,
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -44,7 +45,11 @@ from ahrd_spark.operators.scoring import (
     top_k_hits,
     with_overlap,
 )
-from ahrd_spark.operators.similarity import cosine_topk, lsh_bucketed_topk
+from ahrd_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    lsh_bucketed_topk,
+)
 from ahrd_spark.operators.textstats import (
     bpe_ish_token_count_expr,
     fingerprint_expr,
@@ -410,7 +415,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_doc_freq"] = token_doc_freq
 
+    def dedup_embedding(spark, sf):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        return embedding_dup_pairs(emb, threshold=0.25, dim=64, bits=4).select(
+            "vec_a", "vec_b", F.round("cosine", 6).alias("cosine_r")
+        )
+
+    q["dedup_embedding"] = dedup_embedding
+
     # ---- similarity search -------------------------------------------
+    def ann_ivf_topk(spark, sf):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        queries_df = emb.filter(F.col("vec_id") < 5)
+        corpus = emb.filter(F.col("vec_id") >= 5)
+        return ivf_topk(
+            queries_df, corpus, n_centroids=16, nprobe=4, k=3
+        ).select(
+            "query_id", "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.round("cosine", 6).alias("cosine_r"),
+        )
+
+    q["ann_ivf_topk"] = ann_ivf_topk
+
     def ann_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -790,6 +817,74 @@ SELECT u.token, CAST(count(*) AS BIGINT) AS doc_freq
 FROM (SELECT doc_id, {tok} AS toks FROM documents) d,
      unnest(d.toks) AS u(token)
 GROUP BY u.token
+"""
+
+    # embedding near-dup: the hyperplane sign matrix is deterministic
+    # (md5-parity, similarity._hyperplane) — inline it as SQL literals so
+    # DuckDB reproduces the exact same buckets.
+    from ahrd_spark.operators.similarity import _hyperplane
+
+    def _signs_sql(bit: int) -> str:
+        return (
+            "CAST(["
+            + ", ".join(str(s) for s in _hyperplane(64, bit))
+            + "] AS DOUBLE[])"
+        )
+
+    bucket_sql = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_signs_sql(b)}) > 0"
+        f" THEN {2 ** b} ELSE 0 END)"
+        for b in range(4)
+    )
+    o["dedup_embedding"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, ({bucket_sql}) AS bucket FROM e),
+p AS (
+  SELECT a.vec_id AS vec_a, bb.vec_id AS vec_b,
+         list_dot_product(a.v, bb.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v)))
+           AS cosine
+  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id)
+SELECT vec_a, vec_b, round(cosine, 6) AS cosine_r
+FROM p WHERE cosine >= 0.25
+"""
+
+    _cos = (
+        "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b})))"
+    )
+    o["ann_ivf_topk"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv
+      FROM embeddings WHERE vec_id >= 5),
+cents AS (SELECT neighbor_id AS centroid_id, nv AS cv
+          FROM c ORDER BY neighbor_id ASC LIMIT 16),
+c_cells AS (
+  SELECT neighbor_id, nv, centroid_id FROM (
+    SELECT c.neighbor_id, c.nv, ce.centroid_id,
+           row_number() OVER (PARTITION BY c.neighbor_id
+             ORDER BY {_cos.format(a='c.nv', b='ce.cv')} DESC,
+                      ce.centroid_id ASC) AS rk
+    FROM c, cents ce) WHERE rk = 1),
+q_cells AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.query_id, q.qv, ce.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_cos.format(a='q.qv', b='ce.cv')} DESC,
+                      ce.centroid_id ASC) AS rk
+    FROM q, cents ce) WHERE rk <= 4),
+scored AS (
+  SELECT qc.query_id, cc.neighbor_id,
+         {_cos.format(a='qc.qv', b='cc.nv')} AS cosine
+  FROM c_cells cc JOIN q_cells qc USING (centroid_id)
+  WHERE cc.neighbor_id <> qc.query_id)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       round(cosine, 6) AS cosine_r
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) rank
+      FROM scored)
+WHERE rank <= 3
 """
 
     o["ann_cosine_topk"] = """

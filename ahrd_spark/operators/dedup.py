@@ -213,3 +213,49 @@ def jaccard_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.25,
+    dim: int = 64,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: -> (vec_a, vec_b, cosine).
+
+    Scale path: deterministic random-hyperplane LSH buckets (see
+    ``similarity.lsh_bucket_expr``) shrink the candidate set from N^2/2 to
+    sum_b(|bucket_b|^2)/2 — at 2^bits uniform buckets that is a 2^bits-x
+    reduction — then exact cosine verification >= ``threshold`` within each
+    bucket.  The bucket id is the shuffle key (uniform for near-isotropic
+    embeddings); no Python anywhere in the plan.
+
+    Cosine-similar vectors agree on most hyperplane signs, so true near-dups
+    (the high-threshold regime this operator targets) land in the same
+    bucket with high probability; recall is tuned via ``bits``.
+    """
+    from ahrd_spark.operators.similarity import cosine_expr, lsh_bucket_expr
+
+    b = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket_expr(F.col(vec_col), dim, bits).alias("bucket"),
+    )
+    left = b.select(
+        F.col("bucket"), F.col("vid").alias("vec_a"), F.col("v").alias("va")
+    )
+    right = b.select(
+        F.col("bucket"), F.col("vid").alias("vec_b"), F.col("v").alias("vb")
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine_expr(F.col("va"), F.col("vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )

@@ -146,3 +146,99 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def ivf_assign(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    id_col: str = "vid",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids (by cosine,
+    ties -> lower centroid id).  Centroid table is broadcast — the assign
+    is a map-only stage, no shuffle."""
+    from pyspark.sql import Window
+
+    scored = vecs.crossJoin(F.broadcast(centroids)).select(
+        id_col,
+        vec_col,
+        "centroid_id",
+        cosine_expr(F.col(vec_col), F.col("cv")).alias("c_sim"),
+    )
+    wnd = Window.partitionBy(id_col).orderBy(
+        F.col("c_sim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("crank", F.row_number().over(wnd))
+        .filter(F.col("crank") <= nprobe)
+        .drop("c_sim", "crank")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: -> (query_id, neighbor_id,
+    rank, cosine).
+
+    Coarse quantizer: the ``n_centroids`` lowest-id corpus vectors act as
+    centroids (deterministic — no RNG/k-means in the sandbox; on a real
+    deployment swap in trained centroids, the plan shape is unchanged).
+    Corpus vectors are assigned to their single nearest cell; queries probe
+    their ``nprobe`` nearest cells; exact cosine only within probed cells.
+    Expected work per query: nprobe/n_centroids of the corpus vs the full
+    scan of ``cosine_topk`` — the cell equi-join is the only shuffle, keyed
+    by cell id.
+    """
+    from pyspark.sql import Window
+
+    cents = F.broadcast(
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
+        )
+    )
+    c_cells = ivf_assign(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+        ),
+        cents,
+        nprobe=1,
+        id_col="neighbor_id",
+        vec_col="nv",
+    )
+    q_cells = ivf_assign(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ),
+        cents,
+        nprobe=nprobe,
+        id_col="query_id",
+        vec_col="qv",
+    )
+    scored = (
+        c_cells.join(q_cells, "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("qv"), F.col("nv")).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    wnd = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wnd))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -107,6 +107,41 @@ def test_cosine_topk_and_lsh(spark):
         (r["neighbor_id"], -r["cosine"]) for r in lsh)[n])
 
 
+def test_embedding_dup_pairs(spark):
+    import math
+
+    from ahrd_spark.operators.dedup import embedding_dup_pairs
+
+    def vec(angle):
+        return [math.cos(angle), math.sin(angle), 0.0, 0.0]
+
+    # 0/1 nearly identical; 2 orthogonal to both
+    rows = [(0, vec(0.0)), (1, vec(0.01)), (2, vec(math.pi / 2))]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = embedding_dup_pairs(emb, threshold=0.9, dim=4, bits=2).collect()
+    pairs = {(r["vec_a"], r["vec_b"]) for r in out}
+    assert (0, 1) in pairs
+    assert all(r["cosine"] >= 0.9 for r in out)
+
+
+def test_ivf_topk_matches_exact_on_probed_recall(spark):
+    import math
+
+    from ahrd_spark.operators.similarity import ivf_topk
+
+    def vec(angle):
+        return [math.cos(angle), math.sin(angle), 0.0, 0.0]
+
+    rows = [(i, vec(i * 0.1)) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = emb.filter(F.col("vec_id") == 0)
+    c = emb.filter(F.col("vec_id") > 0)
+    # probing every cell makes IVF exact -> must equal brute force
+    exact = cosine_topk(q, c, k=3).collect()
+    ivf = ivf_topk(q, c, n_centroids=4, nprobe=4, k=3).collect()
+    assert [r["neighbor_id"] for r in ivf] == [r["neighbor_id"] for r in exact]
+
+
 def test_multimodal_decode(spark, docs):
     media = docs.select(
         F.md5("text").alias("media_id"),
