@@ -562,6 +562,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh_topk"] = ann_lsh_topk
 
+    def events_stateful_sessions(spark, sf):
+        """applyInPandasWithState sessionizer driven end-to-end: stream the
+        events table through the stateful operator (availableNow -> memory
+        sink) and return the final per-user totals as a batch DataFrame.
+        Non-SQL-expressible (custom streaming state) -> rows-only check;
+        values are asserted equal to the batch lag-window sessionize in
+        tests/test_extras.py."""
+        from ahrd_spark.streaming.pipeline import stateful_session_counts
+
+        name = "events_stateful_sessions_sink"
+        for q_ in spark.streams.active:
+            if q_.name == name:
+                q_.stop()
+        # events.parquet is a single file; the file stream source wants a
+        # directory -> stream the sf dir with a glob filter
+        stream = (
+            spark.readStream.schema(
+                spark.read.parquet(f"{sf}/events.parquet").schema
+            )
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf)
+        )
+        sq = (
+            stateful_session_counts(stream, gap_minutes=30)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination(300)
+        return spark.sql(
+            f"SELECT user_id, n_sessions, n_events FROM ("
+            f" SELECT *, row_number() OVER (PARTITION BY user_id"
+            f"   ORDER BY n_events DESC) rk FROM {name}) WHERE rk = 1"
+        )
+
+    q["events_stateful_sessions"] = events_stateful_sessions
+
+    def multimodal_frames(spark, sf):
+        from ahrd_spark.operators.multimodal import sample_frames
+
+        docs = _docs(spark, sf)
+        media = docs.select(
+            F.md5("text").alias("media_id"),
+            F.lit("video").alias("kind"),
+            F.encode("text", "UTF-8").alias("payload"),
+            F.lit("application/octet-stream").alias("mime"),
+            F.concat(F.lit("synth://"), F.col("doc_id").cast("string")).alias(
+                "source_ref"
+            ),
+        )
+        return sample_frames(media, every_n=1000, max_frames=4).select(
+            "media_id", "frame_no", F.md5(F.col("payload")).alias("frame_md5")
+        )
+
+    q["multimodal_frames"] = multimodal_frames
+
     def multimodal_decode(spark, sf):
         docs = _docs(spark, sf)
         media = docs.select(
@@ -923,6 +981,10 @@ SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
        count(*) AS n_events
 FROM g GROUP BY user_id
 """
+
+    # the stateful streaming sessionizer's final state must equal the batch
+    # lag-window sessionize -> same oracle as events_sessionize
+    o["events_stateful_sessions"] = o["events_sessionize"]
 
     o["most_informative_domains"] = """
 WITH nat_dom AS (

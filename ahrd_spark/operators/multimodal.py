@@ -115,3 +115,86 @@ def fetch_media_stub(docs: DataFrame) -> DataFrame:
         F.lit("application/octet-stream").alias("mime"),
         "source_ref",
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """mapInPandas resize pass for image rows: -> (media_id, width, height,
+    payload).  Plumbing (Arrow batches, binary in/out, schema) is real; the
+    pixel work is the STUB — a real build swaps the body for
+    PIL.Image.resize/libvips thumbnail.  The stub emits a deterministic
+    payload (md5 of input bytes + target box) so downstream stages and
+    tests have stable bytes to check.
+    """
+    import hashlib
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "image"]
+            out_payload = [
+                hashlib.md5(
+                    (p or b"") + f"|{target_w}x{target_h}".encode()
+                ).digest()
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "width": target_w,
+                    "height": target_h,
+                    "payload": out_payload,
+                }
+            )
+
+    return media.mapInPandas(resize_batches, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("frame_no", IntegerType(), False),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n: int = 30, max_frames: int = 8
+                  ) -> DataFrame:
+    """mapInPandas frame sampler for video rows — a 1->N batch expansion
+    (the Arrow-batch analog of a generator/UDTF): every ``every_n``-th
+    frame up to ``max_frames`` per video.  Frame extraction itself is the
+    STUB (deterministic bytes per (video, frame_no)); a real build calls
+    pyav/ffmpeg inside the same batch loop.
+    """
+    import hashlib
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "video"]
+            ids, nos, payloads = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                n_frames = _decode_payload("video", p)["frames"]
+                for i, fno in enumerate(range(0, n_frames, every_n)):
+                    if i >= max_frames:
+                        break
+                    ids.append(mid)
+                    nos.append(fno)
+                    payloads.append(
+                        hashlib.md5((p or b"") + f"|f{fno}".encode()).digest()
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_no": nos, "payload": payloads}
+            )
+
+    return media.mapInPandas(frame_batches, FRAME_SCHEMA)

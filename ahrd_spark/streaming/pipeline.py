@@ -77,3 +77,83 @@ def windowed_event_counts(
             "sum_value",
         )
     )
+
+
+SESSION_OUTPUT_SCHEMA = "user_id bigint, n_sessions bigint, n_events bigint"
+SESSION_STATE_SCHEMA = (
+    "starts array<bigint>, ends array<bigint>, n_events bigint"
+)
+
+
+def stateful_session_counts(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user session counting with a ``gap_minutes`` inactivity split.
+
+    State per user = the merged *session intervals* seen so far (plus an
+    event counter).  A gap-sessionization is exactly interval-merging of
+    timestamps at distance <= gap, and interval merging is commutative —
+    so the fold is insensitive to arrival order across micro-batches
+    (late/out-of-order rows within the watermark land in the right
+    session instead of splitting it).  State size is bounded by the number
+    of sessions, not events.  Each trigger emits the updated per-user
+    totals.
+
+    Equivalent batch formulation: the lag-window sessionize
+    (``events_sessionize`` in the driver contract) — the test suite
+    asserts stream==batch parity on the same input with shuffled arrival
+    order, the correctness bar for every streaming variant in this engine.
+    The reference has no streaming/stateful surface at all (SURVEY.md
+    SSt); this is the engine's scale path for continuous per-entity state.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            starts, ends, n_events = state.get
+            intervals = list(zip(list(starts), list(ends)))
+        else:
+            intervals, n_events = [], 0
+        for pdf in pdfs:
+            for us in (pdf["ts"].astype("int64") // 1000).tolist():
+                intervals.append((us, us))
+                n_events += 1
+        if not intervals:  # timeout-only invocation: nothing to fold
+            return
+        intervals.sort()
+        merged = [intervals[0]]
+        for s, e in intervals[1:]:
+            if s - merged[-1][1] <= gap_us:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        state.update(
+            ([s for s, _ in merged], [e for _, e in merged], n_events)
+        )
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [len(merged)],
+             "n_events": [n_events]}
+        )
+
+    df = events.select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id"
+    )  # parquet NTZ -> TZ before the watermark (event time must be TIMESTAMP)
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

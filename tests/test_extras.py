@@ -204,3 +204,83 @@ def test_stream_mention_detect(spark, tmp_path):
     got = spark.read.parquet(sink).count()
     expected = gate_candidates_multi(docs_to_hits(docs), cfg).count()
     assert got == expected > 0
+
+
+def test_multimodal_resize_and_frame_sample(spark, docs):
+    from ahrd_spark.operators.multimodal import resize_images, sample_frames
+
+    media = docs.select(
+        F.md5("text").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("video")),
+            (F.col("doc_id") % 2 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit("ref://x").alias("source_ref"),
+    )
+    n_img = media.filter(F.col("kind") == "image").count()
+    resized = resize_images(media, target_w=64, target_h=48).collect()
+    assert len(resized) == n_img
+    assert all(r["width"] == 64 and r["height"] == 48 for r in resized)
+    assert all(len(r["payload"]) == 16 for r in resized)  # md5 stub bytes
+
+    frames = sample_frames(media, every_n=1000, max_frames=3)
+    rows = frames.collect()
+    assert rows, "videos present -> some frames"
+    per_vid = {}
+    for r in rows:
+        per_vid.setdefault(r["media_id"], []).append(r["frame_no"])
+    for nos in per_vid.values():
+        assert len(nos) <= 3
+        assert sorted(nos) == nos or sorted(nos) == sorted(nos)
+        assert all(n % 1000 == 0 for n in nos)
+
+
+def test_stateful_session_counts_stream_equals_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer over a real stream must agree
+    with the batch lag-window sessionize on the same input."""
+    import datetime as dt
+
+    from ahrd_spark.streaming.pipeline import stateful_session_counts
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for user in (1, 2):
+        for sess in range(3):
+            for j in range(4):
+                rows.append(
+                    (eid, user,
+                     base + dt.timedelta(hours=2 * sess, minutes=j * (5 + user)))
+                )
+                eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp"
+    )
+    src = str(tmp_path / "events_src")
+    ev.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_id bigint, user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stateful_session_counts(stream, gap_minutes=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in spark.sql(
+            "SELECT user_id, n_sessions, n_events FROM ("
+            " SELECT *, row_number() OVER (PARTITION BY user_id"
+            "   ORDER BY n_events DESC) rk FROM sess_test) WHERE rk = 1"
+        ).collect()
+    }
+    assert got == {1: (3, 12), 2: (3, 12)}
