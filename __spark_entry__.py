@@ -536,6 +536,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fbeta_eval"] = fbeta_eval
 
+    def _refs(spark, sf):
+        """Deterministic gold references: per protein the tokens of its
+        first-parsed hit (min line_no)."""
+        hits = derived_hits(spark, sf)
+        w = Window.partitionBy("protein_acc").orderBy(F.col("line_no").asc())
+        return (
+            hits.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select("protein_acc", F.col("tokens").alias("ref_tokens"))
+        )
+
+    def eval_competitors(spark, sf):
+        """S5: AHRD eval score minus the best unchanged-hit competitor
+        (EvaluationScoreCalculator.java:175-229) over the derived-hit set."""
+        from ahrd_spark.operators.evaluation import fbeta_expr
+
+        scored, _ = _scored(spark, sf)
+        winners = select_winners(scored)
+        refs = _refs(spark, sf)
+        fb = fbeta_expr(F.col("tokens"), F.col("ref_tokens"))
+        ahrd = winners.join(refs, "protein_acc").select(
+            "protein_acc",
+            F.when(~F.isnan(fb), fb).alias("eval_score"),  # NaN (empty ref) -> null
+        )
+        # H6: best unchanged hit per (protein, db) by bit score, first parsed
+        # wins ties; competitor = its (untouched) token set scored vs refs
+        hits = derived_hits(spark, sf)
+        unch = hits.groupBy("protein_acc", "db").agg(
+            F.max_by(
+                F.col("tokens"), F.struct(F.col("bit_score"), -F.col("line_no"))
+            ).alias("u_tokens")
+        )
+        unch_best = (
+            unch.join(refs, "protein_acc")
+            .select(
+                "protein_acc",
+                fbeta_expr(F.col("u_tokens"), F.col("ref_tokens")).alias("f"),
+            )
+            .groupBy("protein_acc")
+            .agg(F.max(F.when(~F.isnan("f"), F.col("f"))).alias("best_comp"))
+        )
+        out = ahrd.join(unch_best, "protein_acc", "left")
+        best = F.greatest(F.coalesce("best_comp", F.lit(0.0)), F.lit(0.0))
+        return out.select(
+            "protein_acc",
+            F.round("eval_score", 6).alias("eval_r"),
+            F.round(best, 6).alias("best_comp_r"),
+            F.round(F.col("eval_score") - best, 6).alias("delta_r"),
+        )
+
+    q["eval_competitors"] = eval_competitors
+
+    def eval_highest_possible(spark, sf):
+        """S6: per protein the max F-beta over ALL top-k candidate
+        descriptions (EvaluationScoreCalculator.java:237-251)."""
+        from ahrd_spark.operators.evaluation import highest_possible_scores
+
+        hits = derived_hits(spark, sf)
+        topk = top_k_hits(hits, TOPK)
+        refs = _refs(spark, sf).select(
+            F.col("protein_acc").alias("accession"),
+            F.col("ref_tokens").alias("tokens"),
+        )
+        return highest_possible_scores(topk, refs, beta=1.0).select(
+            "protein_acc",
+            F.round("highest_possible_score", 6).alias("highest_r"),
+        )
+
+    q["eval_highest_possible"] = eval_highest_possible
+
     # ---- connected components ----------------------------------------
     def cc_components(spark, sf):
         ev = spark.read.parquet(f"{sf}/events.parquet")
@@ -1026,6 +1096,73 @@ SELECT doc_id, CAST(tp AS BIGINT) AS tp,
              THEN (2 * (tp/n_asg) * (tp/n_ref)) / ((tp/n_asg) + (tp/n_ref))
              ELSE CAST(0.0 AS DOUBLE) END, 6) AS f1_r
 FROM m
+"""
+
+    def _f1(a: str, r: str) -> str:
+        tp = f"CAST(len(list_intersect({a}, {r})) AS DOUBLE)"
+        pr = f"({tp} / len({a}))"
+        rc = f"({tp} / len({r}))"
+        return (
+            f"CASE WHEN len({r}) = 0 THEN NULL "
+            f"WHEN len({a}) = 0 THEN CAST(0.0 AS DOUBLE) "
+            f"WHEN {tp} = 0 THEN CAST(0.0 AS DOUBLE) "
+            f"ELSE 2 * {pr} * {rc} / ({pr} + {rc}) END"
+        )
+
+    o["eval_competitors"] = f"""
+{SQL_SCORED},
+winners AS (
+  SELECT protein_acc, tokens FROM (
+    SELECT *, row_number() OVER (PARTITION BY protein_acc
+                                 ORDER BY desc_score DESC, line_no DESC,
+                                          db DESC, hit_acc DESC) AS wrk
+    FROM scored) WHERE wrk = 1),
+refs AS (
+  SELECT protein_acc, tokens AS ref_tokens FROM (
+    SELECT protein_acc, tokens,
+           row_number() OVER (PARTITION BY protein_acc ORDER BY line_no ASC) rk
+    FROM hits) WHERE rk = 1),
+ahrd AS (
+  SELECT w.protein_acc, {_f1('w.tokens', 'r.ref_tokens')} AS eval_score
+  FROM winners w JOIN refs r USING (protein_acc)),
+unch AS (
+  SELECT protein_acc, db, tokens AS u_tokens FROM (
+    SELECT protein_acc, db, tokens,
+           row_number() OVER (PARTITION BY protein_acc, db
+                              ORDER BY bit_score DESC, line_no ASC) rk
+    FROM hits) WHERE rk = 1),
+ub AS (
+  SELECT u.protein_acc, max({_f1('u.u_tokens', 'r.ref_tokens')}) AS best_comp
+  FROM unch u JOIN refs r USING (protein_acc)
+  GROUP BY u.protein_acc)
+SELECT a.protein_acc,
+       round(eval_score, 6) AS eval_r,
+       round(greatest(coalesce(best_comp, CAST(0.0 AS DOUBLE)),
+                      CAST(0.0 AS DOUBLE)), 6) AS best_comp_r,
+       round(eval_score - greatest(coalesce(best_comp, CAST(0.0 AS DOUBLE)),
+                                   CAST(0.0 AS DOUBLE)), 6) AS delta_r
+FROM ahrd a LEFT JOIN ub USING (protein_acc)
+"""
+
+    o["eval_highest_possible"] = f"""
+WITH {SQL_HITS},
+refs AS (
+  SELECT protein_acc, tokens AS ref_tokens FROM (
+    SELECT protein_acc, tokens,
+           row_number() OVER (PARTITION BY protein_acc ORDER BY line_no ASC) rk
+    FROM hits) WHERE rk = 1),
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY protein_acc, db
+                                 ORDER BY e_value ASC, line_no ASC) rk
+    FROM hits) WHERE rk <= {TOPK}),
+s AS (
+  SELECT t.protein_acc, {_f1('t.tokens', 'r.ref_tokens')} AS f
+  FROM topk t JOIN refs r USING (protein_acc))
+SELECT protein_acc,
+       round(greatest(coalesce(max(f), CAST(0.0 AS DOUBLE)),
+                      CAST(0.0 AS DOUBLE)), 6) AS highest_r
+FROM s GROUP BY protein_acc
 """
 
     o["cc_components"] = """

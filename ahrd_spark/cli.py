@@ -1,0 +1,111 @@
+"""spark-submit entrypoint for the docs->triples pipeline.
+
+North-rule deployment story: the engine ships as a plain Python package zip
+and runs on any cluster via
+
+    python tools/make_pyfiles.py                       # -> dist/ahrd_spark.zip
+    spark-submit --master <cluster> \\
+        --py-files dist/ahrd_spark.zip \\
+        tools/submit_pipeline.py \\
+        --docs s3://bucket/docs --out s3://bucket/triples \\
+        --workdir s3://bucket/ckpt --partitions 4096
+
+Unlike ``ahrd_spark.session.get_spark`` (which pins a local master for
+tests/bench), this entrypoint NEVER sets a master: ``spark-submit --master``
+owns cluster placement, and only runtime-settable SQL confs are applied, so
+the same script runs unchanged on local[N], YARN, or K8s at N or 4N
+executors.  The reference's analog is the Batcher's generated LSF shell
+scripts (src/ahrd/controller/Batcher.java:301-351); here cluster fan-out is
+ordinary Spark partitioning.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+
+def _runtime_session(app_name: str, shuffle_partitions: int | None) -> SparkSession:
+    spark = SparkSession.builder.appName(app_name).getOrCreate()
+    # runtime-settable confs only (static ones belong to spark-submit --conf)
+    if shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
+def default_config():
+    """Three-database config used when no --config YAML is given (same shape
+    as the bench pipeline; weights mirror the reference example YAML)."""
+    from ahrd_spark.config import AhrdConfig, BlastDbConfig
+
+    dbs = tuple(
+        BlastDbConfig(
+            name=f"db{i}",
+            weight=[100, 50, 10][i],
+            description_score_bit_score_weight=[0.2, 0.4, 0.4][i],
+        )
+        for i in range(3)
+    )
+    return AhrdConfig(blast_dbs=dbs)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="ahrd_spark", description="docs -> triples KG-construction pipeline"
+    )
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--docs", help="input docs table (parquet path)")
+    src.add_argument(
+        "--synth", type=int, metavar="N",
+        help="synthesize N deterministic docs instead of reading --docs",
+    )
+    ap.add_argument("--out", required=True, help="output triples table path")
+    ap.add_argument("--workdir", required=True, help="checkpoint/lineage dir")
+    ap.add_argument("--config", help="AHRD-style input.yml (optional)")
+    ap.add_argument(
+        "--partitions", type=int, default=None,
+        help="stage repartition width (default: spark.sql.shuffle.partitions)",
+    )
+    args = ap.parse_args(argv)
+
+    from ahrd_spark.config import load_config
+    from ahrd_spark.plans.docs import synthesize_docs
+    from ahrd_spark.plans.pipeline import run_pipeline
+
+    spark = _runtime_session("ahrd_spark_pipeline", args.partitions)
+    cfg = load_config(args.config) if args.config else default_config()
+
+    if args.synth:
+        docs = synthesize_docs(spark, args.synth, partitions=args.partitions)
+    else:
+        docs = spark.read.parquet(args.docs)
+
+    stage_timings: dict = {}
+    t0 = time.time()
+    triples = run_pipeline(
+        spark, docs, cfg, args.workdir,
+        num_partitions=args.partitions, stage_timings=stage_timings,
+    )
+    triples.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({
+        "triples": n,
+        "out": args.out,
+        "sec": round(time.time() - t0, 3),
+        "stages": stage_timings,
+        "parallelism": spark.sparkContext.defaultParallelism,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
