@@ -27,6 +27,13 @@ DEFAULT_REFERENCE_GO_REGEX = (
 )
 # BlastResult.java:29
 TOKEN_SPLITTER_REGEX = "-|/|;|\\\\|,|:|\"|'|\\.|\\s+|\\||\\(|\\)"
+# Hot-path equivalent of the reference's 12-branch alternation: one
+# character class, runs collapsed.  Because the tokenizer drops empty
+# strings afterwards, splitting on runs yields the identical token set
+# while the regex engine does a single class test per char instead of
+# twelve alternation attempts (tokenize is the widest scan expression in
+# mention-detect).  Equivalence is asserted in tests/test_text_functions.py.
+TOKEN_SPLITTER_FAST = "[-/;\\\\,:\"'.|()\\s]+"
 
 # AHRD.java:160 — hardcoded top-k cap per (protein, blast database)
 TOP_BLAST_RESULTS = 200

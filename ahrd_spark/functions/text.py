@@ -20,7 +20,7 @@ import re
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from ahrd_spark.config import TOKEN_SPLITTER_REGEX
+from ahrd_spark.config import TOKEN_SPLITTER_FAST
 
 
 def combine_find_regexes(regexes) -> str | None:
@@ -73,7 +73,7 @@ def tokenize_expr(desc: Column, token_blacklist=()) -> Column:
     Golden: "Flavohemoprotein-1" -> [1, flavohemoprotein]
     (test/ahrd/test/BlastResultTest.java:54-59).
     """
-    toks = F.array_distinct(F.split(F.lower(desc), TOKEN_SPLITTER_REGEX))
+    toks = F.array_distinct(F.split(F.lower(desc), TOKEN_SPLITTER_FAST))
     combined = combine_find_regexes(token_blacklist)
     if combined is not None:
         keep = lambda t: (t != F.lit("")) & ~t.rlike(combined)  # noqa: E731

@@ -117,17 +117,48 @@ def token_cumulative(hits: DataFrame, db_weights: dict) -> DataFrame:
     )
 
 
-def top_k_hits(hits: DataFrame, k: int = 200) -> DataFrame:
-    """K1: keep the k best hits per (protein, db) by ascending e-value.
-    Java's Collections.sort is stable -> ties keep parse order, mirrored by
-    the line_no tie-break."""
+def ranked_hits(hits: DataFrame) -> DataFrame:
+    """K1 rank: per-(protein, db) row number by ascending e-value.  Java's
+    Collections.sort is stable -> ties keep parse order, mirrored by the
+    line_no tie-break.  Keeping the rank as a column (rather than filtering
+    immediately) lets one pass feed BOTH the top-k candidate set and the
+    all-hits cumulative sums (E2/E3 accumulate pre-top-k)."""
     wnd = Window.partitionBy("protein_acc", "db").orderBy(
         F.col("e_value").asc(), F.col("line_no").asc()
     )
-    return (
-        hits.withColumn("__rk", F.row_number().over(wnd))
-        .filter(F.col("__rk") <= k)
-        .drop("__rk")
+    return hits.withColumn("__rk", F.row_number().over(wnd))
+
+
+def top_k_hits(hits: DataFrame, k: int = 200) -> DataFrame:
+    """K1: keep the k best hits per (protein, db) by ascending e-value."""
+    return ranked_hits(hits).filter(F.col("__rk") <= k).drop("__rk")
+
+
+def token_cumulative_ranked(
+    ranked: DataFrame, db_weights: dict, k: int
+) -> DataFrame:
+    """E2 fused with top-k token membership: ONE explode + ONE
+    (protein, token) aggregation produces both the cumulative sums over ALL
+    hits and an `in_topk` flag (token appears in some top-k hit).
+
+    Replaces the two-pass formulation (token_cumulative + a separate
+    explode/distinct of top-k tokens + re-join) — saves two full shuffles of
+    the exploded (protein, token) stream, the widest data in the job.
+    """
+    w = weight_map_expr(db_weights)
+    exploded = with_overlap(ranked).select(
+        "protein_acc",
+        F.explode("tokens").alias("token"),
+        "bit_score",
+        w[F.col("db")].alias("db_weight"),
+        "overlap",
+        (F.col("__rk") <= k).alias("in_topk"),
+    )
+    return exploded.groupBy("protein_acc", "token").agg(
+        F.sum("bit_score").alias("cum_bit"),
+        F.sum("db_weight").alias("cum_db"),
+        F.sum("overlap").alias("cum_ovl"),
+        F.max("in_topk").alias("in_topk"),
     )
 
 
@@ -151,6 +182,44 @@ def token_scores(
     ).distinct()
     raw = (
         tk_tokens.join(cumulative, ["protein_acc", "token"])
+        .join(totals, "protein_acc")
+        .select(
+            "protein_acc",
+            "token",
+            (
+                F.lit(bit_w) * jdiv(F.col("cum_bit"), F.col("tot_bit"))
+                + F.lit(db_w) * jdiv(F.col("cum_db"), F.col("tot_db"))
+                + F.lit(ovl_w) * jdiv(F.col("cum_ovl"), F.col("tot_ovl"))
+            ).alias("raw_score"),
+        )
+    )
+    wnd = Window.partitionBy("protein_acc")
+    raw = raw.withColumn("token_high_score", F.max("raw_score").over(wnd))
+    half = F.col("token_high_score") / 2
+    informative = F.col("raw_score") > half
+    return raw.select(
+        "protein_acc",
+        "token",
+        F.when(informative, F.col("raw_score"))
+        .otherwise(F.col("raw_score") - half)
+        .alias("token_score"),
+        "token_high_score",
+        informative.alias("informative"),
+    )
+
+
+def token_scores_from_cum(
+    cum_flagged: DataFrame,
+    totals: DataFrame,
+    bit_w: float,
+    db_w: float,
+    ovl_w: float,
+) -> DataFrame:
+    """E4/E5/E6 from the fused `token_cumulative_ranked` output: same result
+    as ``token_scores`` (asserted in tests) with no extra token shuffle —
+    the top-k token set is just ``in_topk`` rows of the cumulative agg."""
+    raw = (
+        cum_flagged.filter(F.col("in_topk"))
         .join(totals, "protein_acc")
         .select(
             "protein_acc",
@@ -261,16 +330,17 @@ def select_winners(
         df = df.filter(~F.col("__any_go") | F.col("__has_go")).drop(
             "__has_go", "__any_go"
         )
-    wnd = Window.partitionBy("protein_acc")
     order = Window.partitionBy("protein_acc").orderBy(
         F.col("desc_score").desc(),
         F.col("line_no").desc(),
         F.col("db").desc(),
         F.col("hit_acc").desc(),
     )
+    # the ordering is desc_score-first, so the rank-1 row's own score IS the
+    # partition max — desc_high_score needs no second window pass
     return (
-        df.withColumn("desc_high_score", F.max("desc_score").over(wnd))
-        .withColumn("__rn", F.row_number().over(order))
+        df.withColumn("__rn", F.row_number().over(order))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+        .withColumn("desc_high_score", F.col("desc_score"))
     )

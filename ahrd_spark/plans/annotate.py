@@ -47,11 +47,7 @@ from ahrd_spark.operators.interpro_filter import (
 )
 from ahrd_spark.operators.scoring import (
     protein_totals,
-    score_hits,
     select_winners,
-    token_cumulative,
-    token_scores,
-    top_k_hits,
     with_overlap,
 )
 from ahrd_spark.sources.blast_tabular import read_seq_sim_table
@@ -148,22 +144,38 @@ def load_candidate_hits(spark: SparkSession, cfg: AhrdConfig) -> DataFrame:
 
 
 def score_candidates(
-    hits: DataFrame, cfg: AhrdConfig, topk: DataFrame | None = None
+    hits: DataFrame, cfg: AhrdConfig, topk: DataFrame | None = None,
+    ranked: DataFrame | None = None,
 ) -> DataFrame:
     """E2..E9 over a gated candidate-hit DataFrame -> per-hit scores for the
     per-(protein,db) top-k.
 
-    ``topk`` may be passed pre-computed (and persisted) by the caller — it
-    is referenced by four downstream branches (token universe, per-hit
-    token lists, the final join, the windows), and recomputing the top-k
-    window per branch multiplies the stage cost."""
-    totals = protein_totals(hits, cfg.db_weights)
-    cumulative = token_cumulative(hits, cfg.db_weights)
+    Physical strategy: rank once (``ranked_hits``), then ONE explode + ONE
+    (protein, token) aggregation yields both the all-hits cumulative sums and
+    top-k token membership (``token_cumulative_ranked``) — the widest
+    shuffle in the job happens exactly once.
+
+    ``ranked`` may be passed pre-computed (and persisted) by the caller — it
+    is referenced by three downstream branches (cumulative sums, per-hit
+    token lists, the final join), and recomputing the rank window per branch
+    multiplies the stage cost.  ``topk`` (legacy param) is accepted as the
+    pre-filtered equivalent."""
+    from ahrd_spark.operators.scoring import (
+        ranked_hits,
+        score_hits,
+        token_cumulative_ranked,
+        token_scores_from_cum,
+    )
+
+    k = cfg.top_blast_results
+    if ranked is None:
+        ranked = ranked_hits(hits)
     if topk is None:
-        topk = top_k_hits(hits, cfg.top_blast_results)
-    tscores = token_scores(
-        topk,
-        cumulative,
+        topk = ranked.filter(F.col("__rk") <= k).drop("__rk")
+    totals = protein_totals(hits, cfg.db_weights)
+    cum_flagged = token_cumulative_ranked(ranked, cfg.db_weights, k)
+    tscores = token_scores_from_cum(
+        cum_flagged,
         totals,
         cfg.token_score_bit_score_weight,
         cfg.token_score_database_score_weight,

@@ -14,8 +14,13 @@ run through ``DataFrameWriterV2``):
 - stage output dir:   <workdir>/<stage>/data   (parquet, partitioned writes)
 - lineage sidecar:    <workdir>/<stage>/_lineage.json
     {stage, config_hash, inputs: [upstream stage fingerprints],
-     partitions: [{partition_id, rows, checksum}], total_rows, written_at_ms}
+     partitions: [{partition_id, file, rows}], total_rows, checksum,
+     written_at_ms}
 - completion marker:  parquet _SUCCESS + the sidecar itself
+
+Metrics cost nothing extra: the global xor-fold checksum rides on the write
+job via ``Observation`` (no second data pass) and per-partition row counts
+come from the parquet file footers (one file per hash partition).
 
 Exact resume: a stage is skipped iff its sidecar exists AND its config_hash
 matches AND every upstream fingerprint matches.  Determinism: outputs are
@@ -102,6 +107,8 @@ class CheckpointManager:
         cost for no extra guarantee), write, record per-partition
         rows+checksum lineage.  Returns the re-read DataFrame (so downstream
         stages read the checkpoint, never the live plan)."""
+        from pyspark.sql import Observation
+
         keys = [key] if isinstance(key, str) else list(key)
         sort_keys = sort_keys or keys
         n = num_partitions or df.sparkSession.conf.get(
@@ -111,38 +118,53 @@ class CheckpointManager:
             *sort_keys
         )
         path = self._data_dir(stage)
-        out.write.mode("overwrite").parquet(path)
-
-        written = self.spark.read.parquet(path)
-        per_part = (
-            written.withColumn("__pid", F.spark_partition_id())
-            .groupBy("__pid")
-            .agg(
-                F.count("*").alias("rows"),
-                # xor-fold: order-independent, overflow-free row checksum
-                F.bit_xor(F.xxhash64(*sort_keys)).alias("checksum"),
-            )
-            .orderBy("__pid")
-            .collect()
+        # checksum piggybacks on the write job itself (Observation) — no
+        # second full-data pass; xor-fold of xxhash64 over the sort keys is
+        # order-independent and overflow-free
+        obs = Observation(f"ckpt_{stage}")
+        out = out.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.bit_xor(F.xxhash64(*sort_keys)).alias("checksum"),
         )
-        parts = [
-            {"partition_id": int(r["__pid"]), "rows": int(r["rows"]),
-             "checksum": int(r["checksum"]) if r["checksum"] is not None else 0}
-            for r in per_part
-        ]
-        fingerprint = _config_hash(parts)
+        out.write.mode("overwrite").parquet(path)
+        metrics = obs.get
+
+        # per-partition row counts come free from the parquet footers (one
+        # output file per hash partition; works on any Arrow filesystem)
+        parts = self._partition_metrics(path)
+        checksum = int(metrics.get("checksum") or 0)
+        fingerprint = _config_hash([parts, checksum])
         lineage = {
             "stage": stage,
             "config_hash": self.config_hash,
             "inputs": {s: self.fingerprint(s) for s in inputs},
             "partitions": parts,
-            "total_rows": sum(p["rows"] for p in parts),
+            "total_rows": int(metrics.get("rows") or 0),
+            "checksum": checksum,
             "fingerprint": fingerprint,
             "written_at_ms": int(time.time() * 1000),
         }
         with open(self._sidecar(stage), "w") as fh:
             json.dump(lineage, fh, indent=1)
-        return written
+        return self.spark.read.parquet(path)
+
+    @staticmethod
+    def _partition_metrics(path: str) -> list[dict]:
+        import glob
+
+        import pyarrow.parquet as pq
+
+        parts = []
+        for f in sorted(glob.glob(os.path.join(path, "part-*"))):
+            parts.append(
+                {
+                    "partition_id": len(parts),
+                    "file": os.path.basename(f),
+                    "rows": pq.ParquetFile(f).metadata.num_rows,
+                }
+            )
+        return parts
 
     def read(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(self._data_dir(stage))

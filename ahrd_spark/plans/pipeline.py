@@ -35,8 +35,7 @@ from ahrd_spark.operators.interpro_filter import (
     filter_most_informative,
     interpro_closure,
 )
-from ahrd_spark.operators.scoring import select_winners, with_overlap
-from ahrd_spark.plans.annotate import score_candidates, short_accession_expr
+from ahrd_spark.plans.annotate import short_accession_expr
 from ahrd_spark.plans.checkpoint import CheckpointManager
 from ahrd_spark.plans.docs import docs_to_hits
 from ahrd_spark.sources.goa import read_goa
@@ -186,16 +185,28 @@ def run_pipeline(
             short_accessions=mentions.select("short_acc"),
         )
 
-    _to_unpersist = []
-
     def build_winners():
-        from ahrd_spark.operators.scoring import top_k_hits
+        from ahrd_spark.operators.scoring_batch import select_winners_batch
 
-        topk = top_k_hits(mentions, cfg.top_blast_results).persist()
-        _to_unpersist.append(topk)
-        scored = score_candidates(mentions, cfg, topk=topk)
-        return select_winners(
-            with_overlap(scored), goa=goa, prefer_go=cfg.prefer_reference_with_go_annos
+        go_accs = None
+        if cfg.prefer_reference_with_go_annos and goa is not None:
+            go_accs = [
+                r["short_acc"]
+                for r in goa.select("short_acc").distinct().collect()
+            ]
+        return select_winners_batch(
+            mentions,
+            cfg.db_weights,
+            cfg.dsbs_weights,
+            (
+                cfg.token_score_bit_score_weight,
+                cfg.token_score_database_score_weight,
+                cfg.token_score_overlap_score_weight,
+            ),
+            top_k=cfg.top_blast_results,
+            go_short_accs=go_accs,
+            prefer_go=cfg.prefer_reference_with_go_annos,
+            num_partitions=num_partitions,
         ).select(
             "protein_acc", "db", "hit_acc", "short_acc", "description",
             "e_value", "bit_score", "overlap", "desc_score", "desc_high_score",
@@ -206,8 +217,6 @@ def run_pipeline(
         inputs=["mention_detect"], num_partitions=num_partitions,
         sort_keys=["protein_acc"],
     ))
-    for df_ in _to_unpersist:
-        df_.unpersist()
 
     # -- stage 3: canonicalize ----------------------------------------
     def build_canonical():

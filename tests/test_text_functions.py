@@ -100,3 +100,55 @@ def test_named_group_index():
     # GOA regex has a lookahead — translation must not break it
     assert named_group_index(DEFAULT_REFERENCE_GO_REGEX, "shortAccession") == 1
     assert named_group_index(DEFAULT_REFERENCE_GO_REGEX, "goTerm") == 2
+
+
+def test_fast_splitter_equivalent_to_reference_alternation(spark):
+    """TOKEN_SPLITTER_FAST (character class, runs collapsed) must produce
+    the identical final token set as the reference's 12-branch alternation
+    (BlastResult.java:29) after the empty-drop + distinct + sort steps, on
+    adversarial strings and on every description in the fixture BLAST table."""
+    from ahrd_spark.config import TOKEN_SPLITTER_FAST, TOKEN_SPLITTER_REGEX
+
+    adversarial = [
+        "a--b", "x  y", "-lead", "trail-", "a-/;,:'\".|()b", "", "   ",
+        "Flavohemoprotein-1", "OS=Arabidopsis (thaliana) | AT1G01040.1",
+        'quo"ted\'mix', "dots...dots", "tab\tand\nnewline mix",
+        "under_score.kept-split", "\\backslash\\path",
+    ]
+    rows = [(s,) for s in adversarial]
+    df = spark.createDataFrame(rows, "s string")
+    both = df.select(
+        F.array_sort(
+            F.filter(
+                F.array_distinct(F.split(F.lower("s"), TOKEN_SPLITTER_REGEX)),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("ref"),
+        F.array_sort(
+            F.filter(
+                F.array_distinct(F.split(F.lower("s"), TOKEN_SPLITTER_FAST)),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("fast"),
+    )
+    for r in both.collect():
+        assert r["ref"] == r["fast"]
+
+    blast = spark.read.text(
+        f"{REF}/test/resources/swissprot_blast_db.fasta"
+    )
+    fx = blast.select(F.col("value").alias("s")).select(
+        F.array_sort(
+            F.filter(
+                F.array_distinct(F.split(F.lower("s"), TOKEN_SPLITTER_REGEX)),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("ref"),
+        F.array_sort(
+            F.filter(
+                F.array_distinct(F.split(F.lower("s"), TOKEN_SPLITTER_FAST)),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("fast"),
+    )
+    assert fx.filter(F.col("ref") != F.col("fast")).count() == 0
