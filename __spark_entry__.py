@@ -825,10 +825,20 @@ SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
 FROM documents GROUP BY md5(text)
 """
 
-    # minhash: shingles of 3 whitespace tokens, md5-seeded min per hash
+    # minhash: shingles of 3 whitespace tokens; universal-hash family
+    # (a_h*v + b_h) mod P over v = first 60 bits of md5(shingle) — the SAME
+    # construction as operators/dedup.py (minhash_coeffs)
+    from ahrd_spark.operators.dedup import MINHASH_P, minhash_coeffs
+
     sql_shingles = (
         "list_distinct([array_to_string(toks[i:i+2], ' ') "
         "for i in generate_series(1, greatest(len(toks) - 2, 1))])"
+    )
+    _P = MINHASH_P
+    _hmins = ",\n         ".join(
+        "list_aggregate([({a} * x + {b}) % {p} for x in vs], 'min')"
+        "::BIGINT AS h{h}".format(a=a, b=b, p=_P, h=h)
+        for h, (a, b) in ((h, minhash_coeffs(h)) for h in range(4))
     )
     minhash_cte = f"""
 WITH t AS (
@@ -836,21 +846,25 @@ WITH t AS (
          regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
   FROM documents),
 sh AS (SELECT doc_id, {sql_shingles} AS shingles FROM t),
+vv AS (
+  SELECT doc_id,
+         [('0x' || substr(md5(s), 1, 15))::BIGINT % {_P} for s in shingles]
+           AS vs
+  FROM sh),
 sig AS (
   SELECT doc_id,
-         list_aggregate([md5(s || '#0') for s in shingles], 'min') AS h0,
-         list_aggregate([md5(s || '#1') for s in shingles], 'min') AS h1,
-         list_aggregate([md5(s || '#2') for s in shingles], 'min') AS h2,
-         list_aggregate([md5(s || '#3') for s in shingles], 'min') AS h3
-  FROM sh)
+         {_hmins}
+  FROM vv)
 """
     o["dedup_minhash"] = minhash_cte + "SELECT doc_id, h0, h1, h2, h3 FROM sig"
 
     o["dedup_lsh_pairs"] = minhash_cte + """
 , banded AS (
-  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS bucket FROM sig
+  SELECT doc_id, 0 AS band,
+         md5(h0::VARCHAR || '|' || h1::VARCHAR) AS bucket FROM sig
   UNION ALL
-  SELECT doc_id, 1 AS band, md5(h2 || '|' || h3) AS bucket FROM sig)
+  SELECT doc_id, 1 AS band,
+         md5(h2::VARCHAR || '|' || h3::VARCHAR) AS bucket FROM sig)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id

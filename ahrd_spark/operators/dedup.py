@@ -49,20 +49,35 @@ def shingles_expr(text: Column, k: int = 3) -> Column:
     )
 
 
+# minhash universal-hash family over GF(2^31-1): h_j(v) = (a_j*v + b_j) mod P
+# with v = first 60 bits of md5(shingle).  ONE digest per shingle, then
+# cheap codegen'd modular arithmetic per seed — ~4-16x less hashing than the
+# md5-per-seed construction, still a valid minwise family, and expressible
+# identically in DuckDB ('0x'||hex)::BIGINT for the oracle.
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+
+
+def minhash_coeffs(h: int) -> tuple[int, int]:
+    """Deterministic per-seed (a, b), a != 0; shared with the SQL oracle."""
+    a = (2654435761 * (h + 1)) % MINHASH_P or 1
+    b = (40503 * (h + 7)) % MINHASH_P
+    return a, b
+
+
 def minhash_signature(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 16, shingle_k: int = 3,
 ) -> DataFrame:
-    """-> (id, sig ARRAY<STRING>[num_hashes]): per seed h, min over shingles
-    of md5(shingle + '#h').  String-min of hex digests is a valid uniform
-    min-hash and is engine-portable.
+    """-> (id, sig ARRAY<BIGINT>[num_hashes]): per seed h, min over shingles
+    of (a_h * v + b_h) mod P, v = md5-derived 60-bit shingle value.
 
     Formulated as posexplode + lead() windows -> one hash-aggregation with
     num_hashes min() columns: shingling runs entirely in whole-stage codegen
     (the array-lambda formulation of shingles_expr falls back to interpreted
-    evaluation and costs ~1 ms/doc), the per-seed mins share one pass, and
-    min() over duplicate shingles equals min() over distinct ones so no
-    dedup step is needed."""
+    evaluation and costs ~1 ms/doc), the digest is computed ONCE per shingle
+    (the per-seed mins share it via subexpression elimination), and min()
+    over duplicate shingles equals min() over distinct ones so no dedup step
+    is needed."""
     from pyspark.sql import Window
 
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
@@ -78,10 +93,17 @@ def minhash_signature(
     sh = exploded.withColumn("s", F.concat_ws(" ", *leads)).filter(
         F.col("pos") <= F.greatest(F.col("n") - shingle_k, F.lit(0))
     )
-    mins = [
-        F.min(F.md5(F.concat(F.col("s"), F.lit(f"#{h}")))).alias(f"h{h}")
-        for h in range(num_hashes)
-    ]
+    v = (
+        F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("bigint")
+        % MINHASH_P
+    )
+    sh = sh.withColumn("v", v)
+    mins = []
+    for h in range(num_hashes):
+        a, b = minhash_coeffs(h)
+        mins.append(
+            F.min((F.lit(a) * F.col("v") + F.lit(b)) % MINHASH_P).alias(f"h{h}")
+        )
     agg = sh.groupBy("doc_id").agg(*mins)
     return agg.select(
         "doc_id",
@@ -106,7 +128,9 @@ def lsh_candidate_pairs(
                         F.concat_ws(
                             "|",
                             *[
-                                F.col("sig")[b * rows_per_band + r]
+                                F.col("sig")[b * rows_per_band + r].cast(
+                                    "string"
+                                )
                                 for r in range(rows_per_band)
                             ],
                         )

@@ -265,22 +265,33 @@ def docs_to_hits(docs: DataFrame) -> DataFrame:
     """Mention-detect input shredding: explode blast_hit spans back into the
     normalized candidate-hit table (pre-gate).  Intra-row transform — no
     shuffle; the spans array itself is never modified."""
-    proteins = docs.select(
-        F.col("doc_id").alias("protein_acc"),
-        F.length(
-            F.regexp_replace(
-                F.get(
-                    F.filter("spans", lambda s: s["kind"] == "query"), 0
-                )["text"],
-                r"^[^\n]*\n|\s",
-                "",
-            )
-        ).cast("int").alias("qlen"),
+    # qlen is a per-doc scalar: compute it BEFORE the explode and let the
+    # Generate carry it — zero joins/shuffles in this stage (the naive
+    # formulation re-joined an 80k-doc dimension onto millions of exploded
+    # hits by protein_acc)
+    qlen = F.length(
+        F.regexp_replace(
+            F.get(F.filter("spans", lambda s: s["kind"] == "query"), 0)[
+                "text"
+            ],
+            r"^[^\n]*\n|\s",
+            "",
+        )
+    ).cast("int")
+    # withColumn BEFORE the select places the qlen Project beneath the
+    # Generate, so it runs once per doc; putting the expression in the same
+    # select as posexplode would place it in the post-Generate projection
+    # and recompute the regex once per exploded span (measured 1.5-2x on
+    # the whole gate)
+    hit_spans = (
+        docs.withColumn("qlen", qlen)
+        .select(
+            F.col("doc_id").alias("protein_acc"),
+            "qlen",
+            F.posexplode("spans").alias("pos", "span"),
+        )
+        .filter(F.col("span.kind").startswith("blast_hit:"))
     )
-    hit_spans = docs.select(
-        F.col("doc_id").alias("protein_acc"),
-        F.posexplode("spans").alias("pos", "span"),
-    ).filter(F.col("span.kind").startswith("blast_hit:"))
     # F.get (null on out-of-bounds) rather than [] — Catalyst may fuse these
     # extractions into the Generate ahead of the kind-filter, where non-blast
     # spans would make indexed access throw under ANSI mode.
@@ -288,6 +299,7 @@ def docs_to_hits(docs: DataFrame) -> DataFrame:
     g = lambda i: F.get(p, i)  # noqa: E731
     hits = hit_spans.select(
         "protein_acc",
+        "qlen",
         F.substring_index(F.col("span.kind"), ":", -1).alias("db"),
         g(0).alias("hit_acc"),
         g(1).try_cast("int").alias("q_start"),
@@ -301,4 +313,4 @@ def docs_to_hits(docs: DataFrame) -> DataFrame:
         F.col("pos").cast("long").alias("line_no"),
         F.col("span.media_ref").alias("media_ref"),
     )
-    return hits.join(proteins, "protein_acc")
+    return hits

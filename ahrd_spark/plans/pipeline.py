@@ -169,10 +169,13 @@ def run_pipeline(
     def build_mentions():
         return gate_candidates_multi(docs_to_hits(docs), cfg)
 
+    # (protein_acc, line_no) is already a unique total order for mention
+    # rows (line_no = span position within the doc) — fewer sort/checksum
+    # keys, same determinism
     mentions = _timed("mention_detect", lambda: ckpt.run_stage(
         "mention_detect", build_mentions, key="protein_acc",
         num_partitions=num_partitions,
-        sort_keys=["protein_acc", "db", "hit_acc", "line_no"],
+        sort_keys=["protein_acc", "line_no"],
     ))
 
     # -- stage 2: link-score ------------------------------------------

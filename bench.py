@@ -86,6 +86,30 @@ def child_synth(docs_path: str):
     spark.stop()
 
 
+def child_rawcpu(par: int):
+    """Hardware calibration: a pure-JVM codegen'd ALU loop (zero shuffle,
+    zero strings).  Its scaling between the two levels is the ceiling ANY
+    job can reach on this host — reported alongside the pipeline's so the
+    engine's scaling can be judged relative to what the machine delivers."""
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{par}]").appName(f"raw{par}")
+        .config("spark.ui.enabled", "false").getOrCreate()
+    )
+    spark.range(1).count()  # warm
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, 2_000_000_000, 1, par).selectExpr(
+            "sum(id * 2 + 1)"
+        ).collect()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    print(json.dumps({"parallelism": par, "sec": round(best, 3)}))
+    spark.stop()
+
+
 def child_pipeline(par: int, docs_path: str):
     from ahrd_spark.plans.pipeline import run_pipeline
     from ahrd_spark.session import get_spark
@@ -178,10 +202,19 @@ def main():
         big_par = SCALE_N * 4
         small = time_pipeline(small_par, docs_path)
         big = time_pipeline(big_par, docs_path)
+        raw_small = _run_child(["--rawcpu", str(small_par)])
+        raw_big = _run_child(["--rawcpu", str(big_par)])
     finally:
         shutil.rmtree(docs_dir, ignore_errors=True)
     ratio = big["docs_per_sec"] / max(small["docs_per_sec"], 1e-9)
-    efficiency = ratio / (big_par / small_par)
+    factor = big_par / small_par
+    efficiency = ratio / factor
+    ceiling = None
+    relative = None
+    if raw_small and raw_big and raw_big.get("sec"):
+        ceiling = round((raw_small["sec"] / raw_big["sec"]) / factor, 3)
+        if ceiling:
+            relative = round(min(efficiency / ceiling, 1.0), 3)
 
     out = {
         "metric": "ahrd_spark headline queries + docs->triples pipeline",
@@ -197,6 +230,11 @@ def main():
             and bool(shutil.which("taskset")),
             "throughput_ratio": round(ratio, 3),
             "efficiency": round(efficiency, 3),
+            # what a zero-shuffle pure-ALU job scales at on this host
+            # between the same two levels (1.0 = perfect hardware)
+            "alu_ceiling_efficiency": ceiling,
+            # pipeline efficiency relative to that hardware ceiling
+            "efficiency_vs_ceiling": relative,
         },
     }
     print(json.dumps(out))
@@ -205,6 +243,8 @@ def main():
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--pipeline":
         child_pipeline(int(sys.argv[2]), sys.argv[3])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--rawcpu":
+        child_rawcpu(int(sys.argv[2]))
     elif len(sys.argv) > 1 and sys.argv[1] == "--synth":
         child_synth(sys.argv[2])
         print("{}")
