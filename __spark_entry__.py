@@ -619,6 +619,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cc_components"] = cc_components
 
+    # ---- the full 4-stage checkpointed pipeline, oracle-gated ---------
+    def pipeline_triples(spark, sf):
+        """docs -> mention-detect -> link-score -> canonicalize ->
+        materialize, end-to-end through the checkpoint manager, on a docs
+        table built from `documents` with the same derived-hit mapping the
+        scoring queries use.  The oracle replays the whole chain in SQL
+        (gate -> E2..E9 -> E10 winner -> hasDescription triples)."""
+        import tempfile
+
+        from ahrd_spark.cli import default_config
+        from ahrd_spark.plans.pipeline import run_pipeline
+
+        hits = derived_hits(spark, sf)
+        hit_span = F.struct(
+            F.concat(F.lit("blast_hit:"), F.col("db")).alias("kind"),
+            F.concat_ws(
+                "\t",
+                F.col("hit_acc"),
+                F.col("q_start").cast("string"),
+                F.col("q_end").cast("string"),
+                F.col("s_start").cast("string"),
+                F.col("s_end").cast("string"),
+                F.col("e_value").cast("string"),
+                F.col("bit_score").cast("string"),
+                F.col("s_len").cast("string"),
+                F.col("description"),
+            ).alias("text"),
+            F.concat(F.lit("aln://"), F.col("hit_acc")).alias("media_ref"),
+            F.col("line_no").cast("int").alias("offset"),
+        )
+        query_span = F.struct(
+            F.lit("query").alias("kind"),
+            F.concat(F.lit(">q\n"), F.repeat(F.lit("A"), 250)).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).cast("int").alias("offset"),
+        )
+        docs = (
+            hits.groupBy("protein_acc")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("line_no"), hit_span.alias("s")))
+                ).alias("ordered")
+            )
+            .select(
+                F.col("protein_acc").alias("doc_id"),
+                F.concat(
+                    F.array(query_span),
+                    F.transform(F.col("ordered"), lambda x: x["s"]),
+                ).alias("spans"),
+            )
+        )
+        workdir = tempfile.mkdtemp(prefix="ahrd_q_pipeline_")
+        triples = run_pipeline(spark, docs, default_config(), workdir)
+        return triples.select(
+            "subj", "pred", "obj", "obj_kind",
+            F.round("score", 6).alias("score_r"),
+            "src_db", "src_hit",
+        )
+
+    q["pipeline_triples"] = pipeline_triples
+
     # ---- oracle-less (rows-only checks) -------------------------------
     def ann_lsh_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
@@ -1177,6 +1238,72 @@ SELECT protein_acc,
        round(greatest(coalesce(max(f), CAST(0.0 AS DOUBLE)),
                       CAST(0.0 AS DOUBLE)), 6) AS highest_r
 FROM s GROUP BY protein_acc
+"""
+
+    # full pipeline: gate (tokens non-empty) -> E2..E9 over ALL hits (the
+    # default config's top-k of 200 exceeds every group) -> E10 winner with
+    # line_no = span position (query span at 0, hits 1..n in line_no order)
+    # -> hasDescription triples.  Weights = cli.default_config = the same
+    # DB_WEIGHTS/DSBSW/TOKEN_W constants used throughout this module.
+    o["pipeline_triples"] = f"""
+WITH {SQL_HITS},
+hf AS (
+  SELECT *, row_number() OVER (PARTITION BY protein_acc
+                               ORDER BY line_no ASC) AS pos
+  FROM hits WHERE len(tokens) > 0),
+ovl AS (SELECT *, {SQL_OVL} AS overlap, {SQL_DBW} AS dbw FROM hf),
+totals AS (
+  SELECT protein_acc, sum(bit_score) tot_bit, sum(CAST(dbw AS DOUBLE)) tot_db,
+         sum(overlap) tot_ovl, max(bit_score) max_bit
+  FROM ovl GROUP BY protein_acc),
+exploded AS (
+  SELECT o.protein_acc, u.token, o.bit_score, CAST(o.dbw AS DOUBLE) dbw,
+         o.overlap
+  FROM ovl o, unnest(o.tokens) AS u(token)),
+cum AS (
+  SELECT protein_acc, token, sum(bit_score) cum_bit, sum(dbw) cum_db,
+         sum(overlap) cum_ovl
+  FROM exploded GROUP BY protein_acc, token),
+raw AS (
+  SELECT c.protein_acc, c.token,
+         {TOKEN_W[0]} * c.cum_bit / t.tot_bit
+       + {TOKEN_W[1]} * c.cum_db  / t.tot_db
+       + {TOKEN_W[2]} * c.cum_ovl / t.tot_ovl AS raw_score
+  FROM cum c JOIN totals t USING (protein_acc)),
+tok AS (
+  SELECT protein_acc, token,
+         CASE WHEN raw_score > high/2 THEN raw_score
+              ELSE raw_score - high/2 END AS token_score,
+         high, raw_score > high/2 AS informative
+  FROM (SELECT *, max(raw_score) OVER (PARTITION BY protein_acc) high
+        FROM raw)),
+hit_tokens AS (
+  SELECT o.protein_acc, o.db, o.hit_acc, u.token
+  FROM ovl o, unnest(o.tokens) AS u(token)),
+hit_agg AS (
+  SELECT protein_acc, db, hit_acc, sum(token_score) sum_ts,
+         count(*) n_tokens, sum(CASE WHEN informative THEN 1 ELSE 0 END) n_inf,
+         any_value(high) high
+  FROM hit_tokens JOIN tok USING (protein_acc, token)
+  GROUP BY protein_acc, db, hit_acc),
+scored AS (
+  SELECT o.*, a.sum_ts, a.n_tokens, a.n_inf, a.high, t.max_bit,
+         CASE WHEN a.n_inf = 0 THEN CAST(0.0 AS DOUBLE)
+              ELSE (a.sum_ts / a.high) * a.n_inf / a.n_tokens END
+         + {SQL_DSBSW} * o.bit_score / t.max_bit AS desc_score
+  FROM ovl o
+  JOIN hit_agg a USING (protein_acc, db, hit_acc)
+  JOIN totals t USING (protein_acc)),
+winner AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY protein_acc
+                                 ORDER BY desc_score DESC, pos DESC,
+                                          db DESC, hit_acc DESC) rk
+    FROM scored) WHERE rk = 1)
+SELECT protein_acc AS subj, 'hasDescription' AS pred, description AS obj,
+       'description' AS obj_kind, round(desc_score, 6) AS score_r,
+       db AS src_db, hit_acc AS src_hit
+FROM winner
 """
 
     o["cc_components"] = """
