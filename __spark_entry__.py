@@ -624,12 +624,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """docs -> mention-detect -> link-score -> canonicalize ->
         materialize, end-to-end through the checkpoint manager, on a docs
         table built from `documents` with the same derived-hit mapping the
-        scoring queries use.  The oracle replays the whole chain in SQL
-        (gate -> E2..E9 -> E10 winner -> hasDescription triples)."""
+        scoring queries use, plus a deterministic GAF-format GOA file so
+        the canonicalize stage carries real hasGOTerm entities.  The
+        oracle replays the whole chain in SQL (gate -> E2..E9 -> E10
+        winner -> hasDescription + hasGOTerm triples)."""
+        import hashlib
+        import os
         import tempfile
+
+        import duckdb
 
         from ahrd_spark.cli import default_config
         from ahrd_spark.plans.pipeline import run_pipeline
+
+        # deterministic GOA file (GAF 2.0 lines matching the reference's
+        # default regex): every 7th document's hit accession gets GO:(id%13)
+        goa_path = "/tmp/ahrd_goa_%s.txt" % hashlib.md5(
+            sf.encode()
+        ).hexdigest()[:10]
+        if not os.path.exists(goa_path):
+            rows = duckdb.sql(
+                f"SELECT doc_id, doc_id % 13 FROM "
+                f"read_parquet('{sf}/documents.parquet') "
+                f"WHERE doc_id % 7 = 0 ORDER BY doc_id"
+            ).fetchall()
+            tmp = goa_path + ".tmp"
+            with open(tmp, "w") as fh:
+                for doc_id, go_n in rows:
+                    fh.write(
+                        "UniProtKB\td%d\tSYM\t\tGO:%07d\tref\tIEA\n"
+                        % (doc_id, go_n)
+                    )
+            os.replace(tmp, goa_path)
 
         hits = derived_hits(spark, sf)
         hit_span = F.struct(
@@ -671,7 +697,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
         workdir = tempfile.mkdtemp(prefix="ahrd_q_pipeline_")
-        triples = run_pipeline(spark, docs, default_config(), workdir)
+        cfg = default_config().with_(gene_ontology_result=goa_path)
+        triples = run_pipeline(spark, docs, cfg, workdir)
         return triples.select(
             "subj", "pred", "obj", "obj_kind",
             F.round("score", 6).alias("score_r"),
@@ -1299,11 +1326,19 @@ winner AS (
     SELECT *, row_number() OVER (PARTITION BY protein_acc
                                  ORDER BY desc_score DESC, pos DESC,
                                           db DESC, hit_acc DESC) rk
-    FROM scored) WHERE rk = 1)
+    FROM scored) WHERE rk = 1),
+goa AS (
+  SELECT 'd' || doc_id AS short_acc,
+         'GO:' || lpad((doc_id % 13)::VARCHAR, 7, '0') AS go_term
+  FROM documents WHERE doc_id % 7 = 0)
 SELECT protein_acc AS subj, 'hasDescription' AS pred, description AS obj,
        'description' AS obj_kind, round(desc_score, 6) AS score_r,
        db AS src_db, hit_acc AS src_hit
 FROM winner
+UNION ALL
+SELECT w.protein_acc, 'hasGOTerm', g.go_term, 'go_term',
+       CAST(NULL AS DOUBLE), w.db, w.hit_acc
+FROM winner w JOIN goa g ON g.short_acc = w.short_acc
 """
 
     o["cc_components"] = """
