@@ -77,9 +77,11 @@ def tokenize_expr(desc: Column, token_blacklist=()) -> Column:
     combined = combine_find_regexes(token_blacklist)
     if combined is not None:
         keep = lambda t: (t != F.lit("")) & ~t.rlike(combined)  # noqa: E731
-    else:
-        keep = lambda t: t != F.lit("")  # noqa: E731
-    return F.array_sort(F.filter(toks, keep))
+        return F.array_sort(F.filter(toks, keep))
+    # no blacklist: array_remove is a codegen'd builtin, while F.filter is a
+    # higher-order function evaluated interpreted — measurably faster on the
+    # widest scan expression in mention-detect
+    return F.array_sort(F.array_remove(toks, ""))
 
 
 def patternize_expr(tokens: Column) -> Column:
