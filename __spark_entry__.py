@@ -620,28 +620,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cc_components"] = cc_components
 
     # ---- the full 4-stage checkpointed pipeline, oracle-gated ---------
-    def pipeline_triples(spark, sf):
+    def _dataset_key(sf):
+        """Content-sensitive cache key for a testdata dir: path + size+mtime
+        of documents.parquet (file or directory of part files), so a
+        regenerated-in-place fixture invalidates cached GOA files and
+        checkpoint workdirs instead of silently reusing stale ones."""
+        import hashlib
+        import os
+
+        p = os.path.join(sf, "documents.parquet")
+        stats = []
+        if os.path.isdir(p):
+            for f in sorted(os.listdir(p)):
+                st = os.stat(os.path.join(p, f))
+                stats.append((f, st.st_size, int(st.st_mtime)))
+        elif os.path.exists(p):
+            st = os.stat(p)
+            stats.append(("f", st.st_size, int(st.st_mtime)))
+        return hashlib.md5(repr((sf, stats)).encode()).hexdigest()[:12]
+
+    def _pipeline_triples_impl(spark, sf, prefer_go):
         """docs -> mention-detect -> link-score -> canonicalize ->
         materialize, end-to-end through the checkpoint manager, on a docs
         table built from `documents` with the same derived-hit mapping the
         scoring queries use, plus a deterministic GAF-format GOA file so
         the canonicalize stage carries real hasGOTerm entities.  The
         oracle replays the whole chain in SQL (gate -> E2..E9 -> E10
-        winner -> hasDescription + hasGOTerm triples)."""
-        import hashlib
+        winner -> hasDescription + hasGOTerm triples).
+
+        The checkpoint workdir is keyed on dataset content + config, so
+        repeated verify runs RESUME from the prior checkpoints (exercising
+        the lineage gate) instead of leaking a fresh tempdir per call."""
         import os
-        import tempfile
 
         import duckdb
 
         from ahrd_spark.cli import default_config
         from ahrd_spark.plans.pipeline import run_pipeline
 
+        dkey = _dataset_key(sf)
         # deterministic GOA file (GAF 2.0 lines matching the reference's
         # default regex): every 7th document's hit accession gets GO:(id%13)
-        goa_path = "/tmp/ahrd_goa_%s.txt" % hashlib.md5(
-            sf.encode()
-        ).hexdigest()[:10]
+        goa_path = "/tmp/ahrd_goa_%s.txt" % dkey
         if not os.path.exists(goa_path):
             rows = duckdb.sql(
                 f"SELECT doc_id, doc_id % 13 FROM "
@@ -696,8 +716,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ).alias("spans"),
             )
         )
-        workdir = tempfile.mkdtemp(prefix="ahrd_q_pipeline_")
-        cfg = default_config().with_(gene_ontology_result=goa_path)
+        variant = "goprefer" if prefer_go else "plain"
+        workdir = f"/tmp/ahrd_q_pipeline_{dkey}_{variant}"
+        cfg = default_config().with_(
+            gene_ontology_result=goa_path,
+            prefer_reference_with_go_annos=prefer_go,
+        )
         triples = run_pipeline(spark, docs, cfg, workdir)
         return triples.select(
             "subj", "pred", "obj", "obj_kind",
@@ -705,7 +729,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "src_db", "src_hit",
         )
 
+    def pipeline_triples(spark, sf):
+        return _pipeline_triples_impl(spark, sf, prefer_go=False)
+
+    def pipeline_triples_goprefer(spark, sf):
+        """prefer_reference_with_go_annos=True end-to-end: the E10 argmax
+        restricts to GO-annotated candidates whenever a protein has any
+        (DescriptionScoreCalculator.java:89-99), with the has_go flag
+        joined relationally in the batch scorer (no driver collect)."""
+        return _pipeline_triples_impl(spark, sf, prefer_go=True)
+
     q["pipeline_triples"] = pipeline_triples
+    q["pipeline_triples_goprefer"] = pipeline_triples_goprefer
 
     # ---- oracle-less (rows-only checks) -------------------------------
     def ann_lsh_topk(spark, sf):
@@ -1340,6 +1375,33 @@ SELECT w.protein_acc, 'hasGOTerm', g.go_term, 'go_term',
        CAST(NULL AS DOUBLE), w.db, w.hit_acc
 FROM winner w JOIN goa g ON g.short_acc = w.short_acc
 """
+
+    # GO-preference variant: identical chain, but the E10 argmax restricts
+    # to GO-annotated candidates whenever the protein has at least one
+    # (DescriptionScoreCalculator.java:89-99).  Reuses pipeline_triples'
+    # SQL up to the `winner` CTE, swapping in the restricted ranking.
+    _plain = o["pipeline_triples"]
+    _winner_cte = """winner AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY protein_acc
+                                 ORDER BY desc_score DESC, pos DESC,
+                                          db DESC, hit_acc DESC) rk
+    FROM scored) WHERE rk = 1),"""
+    assert _winner_cte in _plain, "pipeline_triples oracle drifted"
+    o["pipeline_triples_goprefer"] = _plain.replace(_winner_cte, """winner AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY protein_acc
+                                 ORDER BY desc_score DESC, pos DESC,
+                                          db DESC, hit_acc DESC) rk
+    FROM (
+      SELECT s.*, g.short_acc IS NOT NULL AS has_go,
+             max(CASE WHEN g.short_acc IS NOT NULL THEN 1 ELSE 0 END)
+               OVER (PARTITION BY s.protein_acc) AS any_go
+      FROM scored s
+      LEFT JOIN (SELECT DISTINCT 'd' || doc_id AS short_acc
+                 FROM documents WHERE doc_id % 7 = 0) g
+        ON g.short_acc = s.short_acc)
+    WHERE any_go = 0 OR has_go) WHERE rk = 1),""")
 
     o["cc_components"] = """
 WITH edges AS (

@@ -75,7 +75,6 @@ def _score_chunk(
     db_w: float,
     ovl_w: float,
     top_k: int,
-    go_accs,
     prefer_go: bool,
 ) -> pd.DataFrame:
     """Score a chunk holding only COMPLETE protein groups, rows grouped by
@@ -168,8 +167,11 @@ def _score_chunk(
 
     # E10 candidates: top-k hits with >=1 token
     cand = in_topk & (counts > 0)
-    if prefer_go and go_accs:
-        has_go = pdf["short_acc"].isin(go_accs).to_numpy()
+    if prefer_go:
+        # GO preference reads the pre-joined boolean column — the annotated
+        # accession set never rides the driver or the task closure
+        # (DescriptionScoreCalculator.java:89-99 restriction semantics)
+        has_go = pdf["__has_go"].to_numpy(dtype=bool)
         grp_any_go = np.zeros(n_grp, dtype=bool)
         np.logical_or.at(grp_any_go, gid, cand & has_go)
         cand = cand & (~grp_any_go[gid] | has_go)
@@ -216,7 +218,7 @@ def select_winners_batch(
     dsbs_weights: dict,
     token_w: tuple[float, float, float],
     top_k: int = 200,
-    go_short_accs=None,
+    goa: DataFrame | None = None,
     prefer_go: bool = False,
     num_partitions: int | None = None,
 ) -> DataFrame:
@@ -228,9 +230,15 @@ def select_winners_batch(
     sort, then the vectorized chunk scorer over Arrow batches.  The chunker
     carries the possibly-incomplete trailing protein group of each batch
     into the next batch, so Arrow batch boundaries never split a group.
+
+    ``goa``: when ``prefer_go`` is set, a 1-column DataFrame (``short_acc``)
+    of GO-annotated short accessions.  It enters as a relational join that
+    flags each hit with ``__has_go`` BEFORE the scoring shuffle — never a
+    driver-side collect or a closure-captured set, so a billion-accession
+    GOA table costs one (AQE-planned, broadcast-when-small) join, not
+    driver memory.
     """
     bit_w, db_w, ovl_w = token_w
-    go_accs = frozenset(go_short_accs or ())
 
     def process(batches):
         leftover = None
@@ -250,15 +258,25 @@ def select_winners_batch(
             if len(work):
                 yield _score_chunk(
                     work, db_weights, dsbs_weights, bit_w, db_w, ovl_w,
-                    top_k, go_accs, prefer_go,
+                    top_k, prefer_go,
                 )
         if leftover is not None and len(leftover):
             yield _score_chunk(
                 leftover, db_weights, dsbs_weights, bit_w, db_w, ovl_w,
-                top_k, go_accs, prefer_go,
+                top_k, prefer_go,
             )
 
     slim = hits.select(*_IN_COLS)
+    if prefer_go:
+        flag = (
+            (goa if goa is not None else hits.sparkSession.createDataFrame(
+                [], "short_acc string"))
+            .select("short_acc").distinct()
+            .withColumn("__has_go", F.lit(True))
+        )
+        slim = slim.join(flag, "short_acc", "left").withColumn(
+            "__has_go", F.coalesce(F.col("__has_go"), F.lit(False))
+        )
     n = num_partitions or int(
         hits.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )

@@ -191,12 +191,10 @@ def run_pipeline(
     def build_winners():
         from ahrd_spark.operators.scoring_batch import select_winners_batch
 
-        go_accs = None
-        if cfg.prefer_reference_with_go_annos and goa is not None:
-            go_accs = [
-                r["short_acc"]
-                for r in goa.select("short_acc").distinct().collect()
-            ]
+        # GO preference stays relational: the GOA accession set joins onto
+        # the mention rows as a boolean column inside select_winners_batch
+        # (never a driver-side collect — at reference-GOA scale that set is
+        # 10^7..10^9 accessions)
         return select_winners_batch(
             mentions,
             cfg.db_weights,
@@ -207,8 +205,8 @@ def run_pipeline(
                 cfg.token_score_overlap_score_weight,
             ),
             top_k=cfg.top_blast_results,
-            go_short_accs=go_accs,
-            prefer_go=cfg.prefer_reference_with_go_annos,
+            goa=goa,
+            prefer_go=cfg.prefer_reference_with_go_annos and goa is not None,
             num_partitions=num_partitions,
         ).select(
             "protein_acc", "db", "hit_acc", "short_acc", "description",

@@ -43,8 +43,12 @@ def read_goa(
         .distinct()
     )
     if short_accessions is not None:
+        # No explicit broadcast hint: the accession set derives from the HIT
+        # table (not a fixed dictionary), so at scale it can exceed broadcast
+        # limits — let AQE pick broadcast vs shuffle semi-join from the
+        # measured size at runtime.
         out = out.join(
-            F.broadcast(short_accessions.select("short_acc").distinct()),
+            short_accessions.select("short_acc").distinct(),
             "short_acc",
             "left_semi",
         )

@@ -93,7 +93,5 @@ def test_batch_path_go_preference(spark):
     relational = select_winners(
         with_overlap(score_candidates(hits, cfg)), goa=goa, prefer_go=True
     )
-    batch = _batch_winners(
-        hits, cfg, go_short_accs=go_accs, prefer_go=True
-    )
+    batch = _batch_winners(hits, cfg, goa=goa, prefer_go=True)
     assert _as_dict(relational) == _as_dict(batch)
