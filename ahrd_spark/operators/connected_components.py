@@ -17,6 +17,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _unpersist_ckpt(df: DataFrame) -> None:
+    """Free a dead localCheckpoint's blocks NOW instead of waiting for the
+    GC-driven ContextCleaner: DataFrame.unpersist() only consults the SQL
+    cache manager, so a checkpointed round must be released through the
+    LogicalRDD's underlying RDD."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # plan shape changed or non-checkpoint df: cleaner will get it
+
+
 def _canon_edges(edges: DataFrame) -> DataFrame:
     """Normalize to (u, v) with u < v, dropping self-loops/dups."""
     e = edges.toDF("a", "b").filter(F.col("a") != F.col("b"))
@@ -26,23 +37,55 @@ def _canon_edges(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 20, checkpoint_every: int = 1
+    edges: DataFrame,
+    max_iter: int = 20,
+    checkpoint_every: int = 1,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """-> (node, component): component = MIN node id (ordering of the node
     type) of the node's connected component.  Nodes appearing only as
     isolated vertices are callers' responsibility (map them to themselves).
+
+    One job per round: the pre-round component rides along as a ``prev``
+    column, so the convergence test is a filter over the just-materialized
+    checkpoint — no extra join, no second shuffle, and no re-evaluation of
+    the iteration plan (components only decrease, so ``comp != prev``
+    captures every change including pure pointer-jumping rounds).
+
+    Fault tolerance: with ``checkpoint_dir`` set (HDFS/S3/any Hadoop FS),
+    rounds checkpoint to reliable storage via ``DataFrame.checkpoint`` — a
+    lost executor recovers by re-reading checkpoint files, which is the
+    100x-scale-safe mode.  Default (None) uses ``localCheckpoint``:
+    fastest, but executor loss kills the truncated lineage — acceptable
+    only for single-process/local runs like this sandbox.
     """
-    # parent pointers: start with each node's smallest neighbor (or itself)
     e = _canon_edges(edges)
-    both = e.unionByName(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
+    sess = edges.sparkSession
+    if checkpoint_dir:
+        sess.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return (
+            df.checkpoint(eager=True)
+            if checkpoint_dir
+            else df.localCheckpoint(eager=True)
+        )
+
+    # parent pointers: start with each node's smallest neighbor (or itself)
+    both = _ckpt(
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
     parent = both.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("p"))
     parent = parent.select(F.col("u").alias("node"), F.least("p", "node").alias("comp"))
-    parent = parent.localCheckpoint(eager=True)
+    parent = _ckpt(parent)
 
+    comp_type = parent.schema["comp"].dataType
+    prev_ckpt = parent
     for i in range(max_iter):
-        # pointer jumping: comp <- comp's comp  (path halving)
+        # pointer jumping: comp <- comp's comp (path halving; a second jump
+        # per round was measured SLOWER — the un-materialized first jump gets
+        # re-evaluated on both sides of the second self-join).  `prev`
+        # carries the pre-round component for the convergence test.
         jumped = (
             parent.alias("x")
             .join(
@@ -55,37 +98,43 @@ def connected_components(
             .select(
                 F.col("node"),
                 F.least(F.coalesce("comp2", "comp"), F.col("comp")).alias("comp"),
+                F.col("x.comp").alias("prev"),
             )
         )
-        # propagate through edges: node takes min(comp) over neighbors+self
-        prop = (
-            both.join(jumped.withColumnRenamed("node", "v"), "v")
-            .groupBy("u")
-            .agg(F.min("comp").alias("ncomp"))
-            .withColumnRenamed("u", "node")
+        # neighbor messages + own row folded into ONE min-aggregation
+        # (union replaces the join-then-merge-join shape: one fewer shuffle
+        # per round; min/max ignore the messages' null prev)
+        msgs = both.join(
+            jumped.select(F.col("node").alias("v"), "comp"), "v"
+        ).select(
+            F.col("u").alias("node"), "comp", F.lit(None).cast(comp_type).alias("prev")
         )
         new_parent = (
-            jumped.join(prop, "node", "left")
-            .select(
-                "node",
-                F.least(F.coalesce("ncomp", "comp"), F.col("comp")).alias("comp"),
-            )
+            jumped.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"), F.max("prev").alias("prev"))
         )
         # truncate lineage every round — the plan otherwise grows
-        # exponentially (parent feeds itself twice per iteration) and the
-        # convergence check would re-evaluate the whole history
+        # exponentially (parent feeds itself twice per iteration)
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            new_parent = new_parent.localCheckpoint(eager=True)
-        # convergence: no node changed its component
-        changed = (
-            new_parent.alias("n")
-            .join(parent.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .isEmpty()
-        )
-        parent = new_parent
-        if changed:
+            new_parent = _ckpt(new_parent)
+            if prev_ckpt is not None:
+                # round i is materialized; round i-1's blocks are dead —
+                # without this every round leaks a persisted RDD
+                _unpersist_ckpt(prev_ckpt)
+            prev_ckpt = new_parent
+        # convergence scan over the materialized partitions (no join/shuffle)
+        changed = not new_parent.filter(F.col("comp") != F.col("prev")).isEmpty()
+        parent = new_parent.drop("prev")
+        if not changed:
             break
+    # With per-round checkpointing the final labels are materialized and the
+    # symmetric edge table is dead — free it now.  (With checkpoint_every>1
+    # the last round may still carry live lineage through `both`, so leave
+    # it to the ContextCleaner.)  The result's own blocks are released when
+    # the caller drops the DataFrame.
+    if checkpoint_every == 1:
+        _unpersist_ckpt(both)
     return parent.select("node", F.col("comp").alias("component"))
 
 

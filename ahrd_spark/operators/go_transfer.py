@@ -36,9 +36,10 @@ def go_dag_closure(edges: DataFrame, max_iter: int = 32) -> DataFrame:
     Spark session, broadcast downstream."""
     e = edges.toDF("go_term", "ancestor").filter(
         F.col("go_term") != F.col("ancestor")
-    ).distinct()
+    ).distinct().cache()
     closure = e
     frontier = e
+    cached = [e]
     for _ in range(max_iter):
         nxt = (
             frontier.alias("f")
@@ -51,11 +52,16 @@ def go_dag_closure(edges: DataFrame, max_iter: int = 32) -> DataFrame:
             .join(closure, ["go_term", "ancestor"], "left_anti")
         )
         nxt = nxt.persist()
-        if nxt.count() == 0:
+        cached.append(nxt)
+        if nxt.isEmpty():
             break
         closure = closure.unionByName(nxt)
         frontier = nxt
-    return closure
+    # materialize once, release the loop caches (see interpro_closure)
+    out = closure.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist(blocking=False)
+    return out
 
 
 def propagate_go_ancestors(

@@ -39,6 +39,7 @@ def interpro_closure(interpro_db: DataFrame, max_iter: int = 32) -> DataFrame:
 
     closure = edges
     frontier = edges
+    cached = [edges]
     for _ in range(max_iter):
         # next hop: frontier (a -> b) joined with edges (b -> c) gives a -> c
         nxt = (
@@ -55,11 +56,19 @@ def interpro_closure(interpro_db: DataFrame, max_iter: int = 32) -> DataFrame:
             .join(closure, ["ipr_id", "superior_id"], "left_anti")
         )
         nxt = nxt.cache()
+        cached.append(nxt)
         if nxt.isEmpty():
             break
         closure = closure.unionByName(nxt)
         frontier = nxt
-    return closure
+    # materialize the (dictionary-sized) closure once, then release every
+    # loop cache — a long-lived session must not leak executor memory per
+    # call.  The result's own blocks are freed by the ContextCleaner when
+    # the caller drops the DataFrame.
+    out = closure.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist(blocking=False)
+    return out
 
 
 def filter_most_informative(
