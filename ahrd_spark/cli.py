@@ -64,8 +64,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--docs", help="input docs table (parquet path)")
+    def _positive_int(v: str) -> int:
+        n = int(v)
+        if n <= 0:
+            raise argparse.ArgumentTypeError("must be a positive integer")
+        return n
+
     src.add_argument(
-        "--synth", type=int, metavar="N",
+        "--synth", type=_positive_int, metavar="N",
         help="synthesize N deterministic docs instead of reading --docs",
     )
     ap.add_argument("--out", required=True, help="output triples table path")
@@ -84,7 +90,7 @@ def main(argv: list[str] | None = None) -> int:
     spark = _runtime_session("ahrd_spark_pipeline", args.partitions)
     cfg = load_config(args.config) if args.config else default_config()
 
-    if args.synth:
+    if args.synth is not None:
         docs = synthesize_docs(spark, args.synth, partitions=args.partitions)
     else:
         docs = spark.read.parquet(args.docs)

@@ -31,7 +31,7 @@ write, so a resumed run re-reads exactly what a cold run would produce.
 from __future__ import annotations
 
 import json
-import os
+import posixpath
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,6 +47,13 @@ def _config_hash(obj) -> str:
 
 
 class CheckpointManager:
+    """All sidecar/lineage I/O goes through a ``pyarrow.fs`` filesystem
+    resolved from the workdir URI, so ``--workdir s3://bucket/ckpt`` (or
+    hdfs://, gcs://) behaves the same as a local path: the partition
+    listing, the lineage sidecar, and resume all work on object stores.
+    Spark itself reads/writes the stage parquet through its own Hadoop FS
+    layer using the original URI string."""
+
     def __init__(
         self,
         spark: SparkSession,
@@ -54,29 +61,40 @@ class CheckpointManager:
         config_obj=None,
         table_format: str = "parquet",
     ):
+        from pyarrow import fs as pafs
+
         self.spark = spark
-        self.workdir = workdir
+        self.workdir = workdir  # original URI — handed to Spark read/write
+        self.fs, self._root = pafs.FileSystem.from_uri(workdir)
         self.config_hash = _config_hash(config_obj) if config_obj is not None else ""
         self.table_format = table_format
-        os.makedirs(workdir, exist_ok=True)
+        self.fs.create_dir(self._root, recursive=True)
 
     # -- paths ---------------------------------------------------------
+    # Spark-facing paths keep the URI scheme; pyarrow-facing paths are the
+    # scheme-less form from_uri returned.  Object-store paths are always
+    # '/'-joined.
     def _stage_dir(self, stage: str) -> str:
-        return os.path.join(self.workdir, stage)
+        return posixpath.join(self.workdir, stage)
 
     def _data_dir(self, stage: str) -> str:
-        return os.path.join(self._stage_dir(stage), "data")
+        return posixpath.join(self._stage_dir(stage), "data")
 
-    def _sidecar(self, stage: str) -> str:
-        return os.path.join(self._stage_dir(stage), "_lineage.json")
+    def _fs_data_dir(self, stage: str) -> str:
+        return posixpath.join(self._root, stage, "data")
+
+    def _fs_sidecar(self, stage: str) -> str:
+        return posixpath.join(self._root, stage, "_lineage.json")
 
     # -- lineage -------------------------------------------------------
     def lineage(self, stage: str) -> dict | None:
-        p = self._sidecar(stage)
-        if not os.path.exists(p):
+        from pyarrow import fs as pafs
+
+        p = self._fs_sidecar(stage)
+        if self.fs.get_file_info(p).type == pafs.FileType.NotFound:
             return None
-        with open(p) as fh:
-            return json.load(fh)
+        with self.fs.open_input_stream(p) as fh:
+            return json.loads(fh.read().decode())
 
     def fingerprint(self, stage: str) -> str | None:
         lin = self.lineage(stage)
@@ -131,10 +149,16 @@ class CheckpointManager:
         metrics = obs.get
 
         # per-partition row counts come free from the parquet footers (one
-        # output file per hash partition; works on any Arrow filesystem)
-        parts = self._partition_metrics(path)
+        # output file per hash partition; listed through pyarrow.fs so
+        # object-store workdirs behave like local ones)
+        parts = self._partition_metrics(self._fs_data_dir(stage))
         checksum = int(metrics.get("checksum") or 0)
-        fingerprint = _config_hash([parts, checksum])
+        # fingerprint = CONTENT only (per-partition row counts + the global
+        # checksum).  Part-file names embed the write job's UUID, so hashing
+        # them would make byte-identical re-runs invalidate every downstream
+        # checkpoint; names stay in the sidecar for reference but out of the
+        # hash (content-addressed resume).
+        fingerprint = _config_hash([[p["rows"] for p in parts], checksum])
         lineage = {
             "stage": stage,
             "config_hash": self.config_hash,
@@ -145,23 +169,31 @@ class CheckpointManager:
             "fingerprint": fingerprint,
             "written_at_ms": int(time.time() * 1000),
         }
-        with open(self._sidecar(stage), "w") as fh:
-            json.dump(lineage, fh, indent=1)
+        payload = json.dumps(lineage, indent=1).encode()
+        with self.fs.open_output_stream(self._fs_sidecar(stage)) as fh:
+            fh.write(payload)
         return self.spark.read.parquet(path)
 
-    @staticmethod
-    def _partition_metrics(path: str) -> list[dict]:
-        import glob
+    def _partition_metrics(self, fs_path: str) -> list[dict]:
+        import posixpath as pp
 
         import pyarrow.parquet as pq
+        from pyarrow import fs as pafs
 
+        sel = pafs.FileSelector(fs_path, allow_not_found=True)
+        infos = [
+            i for i in self.fs.get_file_info(sel)
+            if i.is_file and pp.basename(i.path).startswith("part-")
+        ]
         parts = []
-        for f in sorted(glob.glob(os.path.join(path, "part-*"))):
+        for info in sorted(infos, key=lambda i: i.path):
+            with self.fs.open_input_file(info.path) as fh:
+                rows = pq.ParquetFile(fh).metadata.num_rows
             parts.append(
                 {
                     "partition_id": len(parts),
-                    "file": os.path.basename(f),
-                    "rows": pq.ParquetFile(f).metadata.num_rows,
+                    "file": pp.basename(info.path),
+                    "rows": rows,
                 }
             )
         return parts

@@ -126,3 +126,25 @@ def test_canonical_map_collapses_synonyms(spark):
     edges = spark.createDataFrame([("GO:2", "GO:1")], "u string, v string")
     m = {r["node"]: r["canonical"] for r in canonical_map(edges, nodes).collect()}
     assert m == {"GO:2": "GO:1", "GO:9": "GO:9"}
+
+
+def test_fingerprint_is_content_addressed(spark, tmp_path):
+    """Byte-identical re-writes must yield the SAME stage fingerprint —
+    part-file names embed the write job's UUID and must stay out of the
+    hash, or every upstream re-run (even unchanged) would invalidate all
+    downstream checkpoints."""
+    from ahrd_spark.plans.checkpoint import CheckpointManager
+
+    df = spark.range(100).select(
+        F.col("id").cast("string").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    m1 = CheckpointManager(spark, str(tmp_path / "a"), config_obj={"c": 1})
+    m2 = CheckpointManager(spark, str(tmp_path / "b"), config_obj={"c": 1})
+    m1.write(df, "s", key="k", sort_keys=["k"])
+    m2.write(df, "s", key="k", sort_keys=["k"])
+    fp1, fp2 = m1.fingerprint("s"), m2.fingerprint("s")
+    assert fp1 and fp1 == fp2
+    # different content -> different fingerprint
+    m3 = CheckpointManager(spark, str(tmp_path / "c"), config_obj={"c": 1})
+    m3.write(df.filter(F.col("v") != 3), "s", key="k", sort_keys=["k"])
+    assert m3.fingerprint("s") != fp1
