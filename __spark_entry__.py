@@ -742,7 +742,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pipeline_triples"] = pipeline_triples
     q["pipeline_triples_goprefer"] = pipeline_triples_goprefer
 
-    # ---- oracle-less (rows-only checks) -------------------------------
     def ann_lsh_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -755,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh_topk"] = ann_lsh_topk
 
+    # ---- oracle-less (rows-only check) --------------------------------
     def events_stateful_sessions(spark, sf):
         """applyInPandasWithState sessionizer driven end-to-end: stream the
         events table through the stateful operator (availableNow -> memory
@@ -807,8 +807,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "source_ref"
             ),
         )
+        # payload IS the md5 digest of (text|f<no>) in the stub codec, so
+        # hex(payload) == md5 hexdigest — directly reproducible in the SQL
+        # oracle (DuckDB's md5() is VARCHAR-only, it can't hash the blob)
         return sample_frames(media, every_n=1000, max_frames=4).select(
-            "media_id", "frame_no", F.md5(F.col("payload")).alias("frame_md5")
+            "media_id", "frame_no",
+            F.lower(F.hex("payload")).alias("frame_md5"),
         )
 
     q["multimodal_frames"] = multimodal_frames
@@ -1118,6 +1122,69 @@ FROM p WHERE cosine >= 0.25
         "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
         " * sqrt(list_dot_product({b}, {b})))"
     )
+
+    # hyperplane-LSH top-k: same inlined md5-parity sign matrix as
+    # dedup_embedding (bits=4, dim=64), bucket equi-join, rank within query
+    o["ann_lsh_topk"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, ({bucket_sql}) AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM b WHERE vec_id >= 5),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         {_cos.format(a='q.qv', b='c.cv')} AS cosine
+  FROM c JOIN q USING (bucket)
+  WHERE c.neighbor_id <> q.query_id)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       round(cosine, 6) AS cosine_r
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) rank
+      FROM scored)
+WHERE rank <= 3
+"""
+
+    # multimodal stub codec: features are deterministic md5 arithmetic
+    # (multimodal._decode_payload) — reproducible in SQL via hex-parsing the
+    # digest prefix.  kind cycles image/audio/video by doc_id % 3; payload is
+    # the UTF-8 text bytes, so DuckDB's md5(text) is the same digest and
+    # strlen(text) the same byte count.
+    _seed = "('0x' || substr(md5(text), 1, 8))::BIGINT"
+    o["multimodal_decode"] = f"""
+WITH s AS (
+  SELECT md5(text) AS media_id,
+         ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+         strlen(text) AS n_bytes,
+         md5(text) AS fingerprint,
+         {_seed} AS seed
+  FROM documents)
+SELECT media_id, kind,
+       CAST(n_bytes AS INTEGER) AS n_bytes,
+       fingerprint,
+       CAST(CASE kind WHEN 'image' THEN 16 + seed % 2048
+                      WHEN 'video' THEN 16 + seed % 1920 END AS INTEGER) AS width,
+       CAST(CASE kind WHEN 'image' THEN 16 + (seed // 2048) % 2048
+                      WHEN 'video' THEN 16 + (seed // 1920) % 1080
+            END AS INTEGER) AS height,
+       CAST(CASE kind WHEN 'video' THEN 1 + seed % 7200
+                      WHEN 'audio' THEN 1 + seed % 480000 END AS INTEGER) AS frames
+FROM s
+"""
+
+    # frame sampler: fno in range(0, n_frames, 1000) capped at 4 frames ->
+    # candidates {0,1000,2000,3000} with fno < n_frames (n_frames <= 7200);
+    # frame payload is md5(text|f<no>) whose hex IS the Spark-side
+    # lower(hex(payload))
+    o["multimodal_frames"] = f"""
+WITH s AS (
+  SELECT md5(text) AS media_id, text,
+         1 + ({_seed} % 7200) AS n_frames
+  FROM documents),
+f AS (SELECT media_id, text, n_frames, unnest([0, 1000, 2000, 3000]) AS fno
+      FROM s)
+SELECT media_id, CAST(fno AS INTEGER) AS frame_no,
+       md5(text || '|f' || fno) AS frame_md5
+FROM f WHERE fno < n_frames
+"""
     o["ann_ivf_topk"] = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
            FROM embeddings WHERE vec_id < 5),
