@@ -89,6 +89,26 @@ class AhrdConfig:
     seq_sim_search_table_e_value_col: int = 10
     seq_sim_search_table_bit_score_col: int = 11
     top_blast_results: int = TOP_BLAST_RESULTS
+    # trainer / simulated annealing (Settings.java:71-78, defaults
+    # Settings.java:150-199)
+    temperature: int = 75000
+    cool_down_by: int = 1
+    optimization_acceptance_probability_scaling_factor: float = 2_500_000_000.0
+    mutator_mean: float = 0.25
+    mutator_deviation: float = 0.15
+    p_mutate_same_parameter_scale: float = 0.7
+    remember_simulated_annealing_path: bool = False
+    path_log: str | None = None  # simulated-annealing path-log CSV (B5)
+    # HRD-scores side-channel (Settings.java:60, OutputWriter.java:109-132):
+    # non-empty path enables the per-(protein, hit, score) dump (B4)
+    hrd_scores_output: str | None = None
+    write_scores_to_output: bool = False
+    write_token_set_to_output: bool = False
+
+    @property
+    def do_write_hrd_scores(self) -> bool:
+        # Settings.java:767-768 — trigger is a non-empty path
+        return bool(self.hrd_scores_output)
 
     def __post_init__(self):
         s = (
@@ -188,12 +208,18 @@ def load_config(yml_path: str, base_dir: str | None = None) -> AhrdConfig:
         references_fasta=_path(raw.get("references_fasta")),
         blast2go=_path(raw.get("blast2go")),
         output=_path(raw.get("output")),
+        path_log=_path(raw.get("path_log")),
+        hrd_scores_output=_path(raw.get("hrd_scores_output")),
     )
     for k in (
         "token_score_bit_score_weight",
         "token_score_database_score_weight",
         "token_score_overlap_score_weight",
         "f_measure_beta_parameter",
+        "optimization_acceptance_probability_scaling_factor",
+        "mutator_mean",
+        "mutator_deviation",
+        "p_mutate_same_parameter_scale",
     ):
         if k in raw:
             kw[k] = float(raw[k])
@@ -203,10 +229,15 @@ def load_config(yml_path: str, base_dir: str | None = None) -> AhrdConfig:
         "output_fasta",
         "write_best_blast_hits_to_output",
         "find_highest_possible_evaluation_score",
+        "remember_simulated_annealing_path",
+        "write_scores_to_output",
+        "write_token_set_to_output",
     ):
         if k in raw:
             kw[k] = str(raw[k]).lower() in ("true", "1", "yes")
     for k in (
+        "temperature",
+        "cool_down_by",
         "seq_sim_search_table_query_col",
         "seq_sim_search_table_subject_col",
         "seq_sim_search_table_query_start_col",

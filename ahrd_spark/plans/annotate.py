@@ -197,6 +197,14 @@ def run_annotate(spark: SparkSession, cfg: AhrdConfig) -> DataFrame:
     hits = load_candidate_hits(spark, cfg)
     scored = score_candidates(hits, cfg)
 
+    # B4 side-channel (OutputWriter.java:109-132): a non-empty
+    # hrd_scores_output path dumps every candidate's description score
+    # (GEV-fitting input) alongside the main output
+    if cfg.do_write_hrd_scores:
+        from ahrd_spark.plans.output import write_hrd_scores
+
+        write_hrd_scores(scored, cfg.hrd_scores_output)
+
     goa = None
     if cfg.has_go:
         goa = read_goa(

@@ -114,16 +114,21 @@ def fasta_lines(result: DataFrame, sequences: DataFrame) -> DataFrame:
 
 
 def write_hrd_scores(scored: DataFrame, path: str, single_file: bool = True):
-    """B4: every candidate hit's description score (GEV-fitting input)."""
+    """B4: every candidate hit's description score (GEV-fitting input;
+    OutputWriter.java:109-132 — header misspells 'Accesion' like the
+    reference).  A global sort key pins the header row first; relying on
+    union partition order is not stable under AQE."""
     lines = scored.select(
+        F.lit(1).alias("__k"),
         F.concat_ws(
             "\t", F.col("protein_acc"), F.col("hit_acc"),
             F.col("desc_score").cast("string"),
-        ).alias("line")
-    ).orderBy("line")
-    header = scored.sparkSession.createDataFrame(
-        [("Protein-Accesion\tBlast-Hit-Accession\tAHRD-Score",)], "line string"
+        ).alias("line"),
     )
-    out = header.unionByName(lines)
+    header = scored.sparkSession.createDataFrame(
+        [(0, "Protein-Accesion\tBlast-Hit-Accession\tAHRD-Score")],
+        "__k int, line string",
+    )
+    out = header.unionByName(lines).orderBy("__k", "line").select("line")
     writer = out.coalesce(1) if single_file else out
     writer.write.mode("overwrite").text(path)

@@ -100,23 +100,38 @@ class Trainer:
         cfg: AhrdConfig,
         seed: int = 42,
         temperature: int | None = None,
-        cool_down_by: int = 1,
-        scaling_factor: float = 2_500_000_000.0,
-        mutator_mean: float = 0.25,
-        mutator_deviation: float = 0.15,
-        p_mutate_same_scale: float = 0.7,
-        remember_path: bool = True,
+        cool_down_by: int | None = None,
+        scaling_factor: float | None = None,
+        mutator_mean: float | None = None,
+        mutator_deviation: float | None = None,
+        p_mutate_same_scale: float | None = None,
+        remember_path: bool | None = None,
     ):
+        """SA knobs default to the config's YAML-parsed values (the
+        reference's temperature / cool_down_by /
+        optimization_acceptance_probability_scaling_factor / mutator_* /
+        p_mutate_same_parameter_scale / remember_simulated_annealing_path
+        keys, Settings.java:292-309); constructor args override."""
+
+        def _or(v, cfg_v):
+            return v if v is not None else cfg_v
+
         self.spark = spark
         self.cfg = cfg
         self.rng = random.Random(seed)
-        self.temperature = temperature if temperature is not None else 75000
-        self.cool_down_by = cool_down_by
-        self.sf = scaling_factor
-        self.mutator_mean = mutator_mean
-        self.mutator_dev = mutator_deviation
-        self.p_same_scale = p_mutate_same_scale
-        self.remember_path = remember_path
+        self.temperature = _or(temperature, cfg.temperature)
+        self.cool_down_by = _or(cool_down_by, cfg.cool_down_by)
+        self.sf = _or(
+            scaling_factor, cfg.optimization_acceptance_probability_scaling_factor
+        )
+        self.mutator_mean = _or(mutator_mean, cfg.mutator_mean)
+        self.mutator_dev = _or(mutator_deviation, cfg.mutator_deviation)
+        self.p_same_scale = _or(
+            p_mutate_same_scale, cfg.p_mutate_same_parameter_scale
+        )
+        self.remember_path = _or(
+            remember_path, cfg.remember_simulated_annealing_path
+        )
         self.db_names = sorted(cfg.db_names)
 
         # ---- parameter-independent cached frames ----------------------
@@ -360,4 +375,46 @@ class Trainer:
             current = self.neighbour(self.accepted, diff)
             self.temperature -= self.cool_down_by
             it += 1
+        if self.cfg.path_log:
+            self.write_path_log(self.cfg.path_log)
         return self.best
+
+    # ---- B5: simulated-annealing path log -----------------------------
+    @staticmethod
+    def _fmt(x) -> str:
+        """#,###0.### formatting with NaN/None -> 'NA'
+        (AbstractOutputWriter.java:22-33 / TrainerOutputWriter FRMT)."""
+        if x is None or (isinstance(x, float) and math.isnan(x)):
+            return "NA"
+        r = _round_n(float(x), 3)
+        return f"{r:,.3f}".rstrip("0").rstrip(".") if r % 1 else f"{int(r):,}"
+
+    def write_path_log(self, path: str) -> None:
+        """Write the per-iteration SA path as the reference's path-log CSV
+        (TrainerOutputWriter.java:39-66 header/row shape).  The Spark
+        trainer's objective is the average F-score; the TPR/FPR columns
+        print NA.  Driver-side write — the log is one row per iteration."""
+        hdr = (
+            "Temperature\tAverage Evaluation-Score(F-Score)"
+            "\tDiff-to-curr-Accepted\tAccepted"
+            "\tAverage True-Positive-Rate\tAverage False-Positive-Rate"
+            "\tToken-Score-Bit-Score-Weight\tToken-Score-Database-Score-Weight"
+            "\tToken-Score-Overlap-Score-Weight"
+        )
+        for db in self.db_names:
+            hdr += f"\t{db}-Weight\t{db}-Description-Score-Bit-Score-Weight"
+        lines = [hdr]
+        for e in self.path_log:
+            bit, dbw, ovl, db_weight, dsbsw = e["params"]
+            row = (
+                f"{e['temperature']}\t{e['avg_evaluation_score']!r}"
+                f"\t{e['diff']!r}\t{e['accepted']}"
+                f"\tNA\tNA"
+                f"\t{self._fmt(bit)}\t{self._fmt(dbw)}\t{self._fmt(ovl)}"
+            )
+            dbm, dsm = dict(db_weight), dict(dsbsw)
+            for db in self.db_names:
+                row += f"\t{self._fmt(dbm[db])}\t{self._fmt(dsm[db])}"
+            lines.append(row)
+        with open(path, "w") as fh:
+            fh.write("\n".join(lines) + "\n")

@@ -34,3 +34,36 @@ def test_tsv_lines_match_reference_bytes(spark, tmp_path, yml, golden_file):
     assert got[0] == exp[0] and got[1] == exp[1] and got[2] == exp[2]
     # data rows: identical as a SET (reference row order is HashMap-driven)
     assert sorted(got[3:]) == sorted(exp[3:])
+
+
+def test_hrd_scores_side_channel_config_wired(spark, tmp_path):
+    """B4 (OutputWriter.java:109-132): a non-empty hrd_scores_output path in
+    the config makes run_annotate dump every candidate hit's description
+    score; content matches the scoring DataFrame exactly."""
+    from pyspark.sql import functions as F
+
+    from ahrd_spark.plans.annotate import load_candidate_hits, score_candidates
+
+    scores_dir = str(tmp_path / "hrd_scores")
+    cfg = load_config(
+        f"{REF}/test/resources/ahrd_input_test_run.yml", base_dir=REF
+    ).with_(hrd_scores_output=scores_dir)
+    run_annotate(spark, cfg)
+
+    part = glob.glob(f"{scores_dir}/part-*")[0]
+    with open(part) as fh:
+        lines = fh.read().rstrip("\n").split("\n")
+    assert lines[0] == "Protein-Accesion\tBlast-Hit-Accession\tAHRD-Score"
+    # (protein, hit) -> score, rounded: aggregation order may wobble the
+    # last float bits between independent runs of the scoring plan
+    got = {}
+    for ln in lines[1:]:
+        p, h, s = ln.split("\t")
+        got[(p, h)] = round(float(s), 9)
+
+    scored = score_candidates(load_candidate_hits(spark, cfg), cfg)
+    want = {
+        (r["protein_acc"], r["hit_acc"]): round(r["desc_score"], 9)
+        for r in scored.select("protein_acc", "hit_acc", "desc_score").collect()
+    }
+    assert got == want and len(got) > 100

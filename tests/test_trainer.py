@@ -78,3 +78,76 @@ def test_short_training_run(spark):
     assert t.best_score >= 0.7
     # memoization: revisited parameter sets don't recompute
     assert len(t.tested) <= 8
+
+
+def test_trainer_yaml_keys_parse_and_flow_into_trainer(spark):
+    """Settings.java:292-309 key set: a user pointing the engine at the
+    reference's trainer_example_input.yml gets the YAML's SA knobs, not
+    silent defaults."""
+    import os
+    import tempfile
+
+    import yaml
+
+    with open(f"{REF}/trainer_example_input.yml") as fh:
+        raw = yaml.safe_load(fh)
+    raw.update(
+        {
+            "temperature": 500,
+            "cool_down_by": 5,
+            "optimization_acceptance_probability_scaling_factor": "1.5e8",
+            "mutator_mean": 0.3,
+            "mutator_deviation": 0.1,
+            "p_mutate_same_parameter_scale": 0.6,
+        }
+    )
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".yml", delete=False, dir="/tmp"
+    ) as fh:
+        yaml.safe_dump(raw, fh)
+        yml = fh.name
+    try:
+        cfg = load_config(yml, base_dir=REF)
+    finally:
+        os.unlink(yml)
+    assert cfg.temperature == 500
+    assert cfg.cool_down_by == 5
+    assert cfg.optimization_acceptance_probability_scaling_factor == 1.5e8
+    assert cfg.mutator_mean == 0.3
+    assert cfg.mutator_deviation == 0.1
+    assert cfg.p_mutate_same_parameter_scale == 0.6
+    assert cfg.remember_simulated_annealing_path is True  # from the YAML
+    assert cfg.path_log.endswith("sim_anneal_path_log.csv")
+    # knobs flow into the Trainer (no Spark job yet at construction of the
+    # evaluator fixture? Trainer caches frames eagerly -> use real cfg)
+    t = Trainer(spark, load_config(f"{REF}/evaluator_example.yml", base_dir=REF).with_(
+        temperature=500, cool_down_by=5, mutator_mean=0.3,
+        remember_simulated_annealing_path=True,
+    ))
+    assert (t.temperature, t.cool_down_by, t.mutator_mean, t.remember_path) == (
+        500, 5, 0.3, True
+    )
+
+
+def test_path_log_file_written(spark, tmp_path):
+    """B5: train() writes the reference-shaped SA path log CSV when
+    cfg.path_log is set (TrainerOutputWriter.java:39-66)."""
+    log = str(tmp_path / "sa_path.csv")
+    cfg = load_config(f"{REF}/evaluator_example.yml", base_dir=REF).with_(
+        path_log=log
+    )
+    t = Trainer(spark, cfg, seed=7, temperature=3, scaling_factor=2e8)
+    t.train(max_iterations=3)
+    with open(log) as fh:
+        lines = fh.read().rstrip("\n").split("\n")
+    hdr = lines[0].split("\t")
+    assert hdr[:4] == [
+        "Temperature", "Average Evaluation-Score(F-Score)",
+        "Diff-to-curr-Accepted", "Accepted",
+    ]
+    assert "swissprot-Weight" in lines[0]
+    assert len(lines) == 1 + 3
+    first = lines[1].split("\t")
+    assert first[0] == "3"              # starting temperature
+    assert float(first[1]) > 0          # avg score
+    assert first[4] == first[5] == "NA"  # TPR/FPR not tracked
