@@ -112,6 +112,10 @@ def build_docs(
 
     spans = [q_span]
     for i, db_cfg in enumerate(cfg.blast_dbs):
+        # a batch may lack results for some database (Batcher pairing finds
+        # no file) — that database simply contributes no spans
+        if not db_cfg.seq_sim_table or not db_cfg.fasta_db:
+            continue
         raw = read_seq_sim_table(spark, cfg, db_cfg.name)
         subj = read_subject_fasta_db(
             spark, db_cfg.fasta_db, db_cfg.name, db_cfg.fasta_header_regex

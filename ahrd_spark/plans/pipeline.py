@@ -157,17 +157,26 @@ def run_pipeline(
             stage_timings[name] = round(_time.time() - t0, 3)
         return out
 
+    from ahrd_spark import __version__ as _engine_version
+
+    # the engine version is part of the config hash: a checkpoint written by
+    # different pipeline CODE must not be resumed silently (config + data
+    # fingerprints alone can't see code drift)
     ckpt = CheckpointManager(
         spark,
         workdir,
         config_obj={
+            "engine": _engine_version,
             "cfg": cfg.__dict__ | {"blast_dbs": [d.__dict__ for d in cfg.blast_dbs]},
         },
     )
 
     # -- stage 1: mention-detect --------------------------------------
     def build_mentions():
-        return gate_candidates_multi(docs_to_hits(docs), cfg)
+        # media_ref stays in the docs table (span invariant) but is consumed
+        # by no downstream stage — dropping it from the checkpoint saves
+        # ~40 bytes/row of shuffle + parquet encode on the widest stage
+        return gate_candidates_multi(docs_to_hits(docs), cfg).drop("media_ref")
 
     # (protein_acc, line_no) is already a unique total order for mention
     # rows (line_no = span position within the doc) — fewer sort/checksum
