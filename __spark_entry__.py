@@ -835,6 +835,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_decode"] = multimodal_decode
 
+    def multimodal_resize(spark, sf):
+        """Arrow-batched image resize pass (stub codec): image-kind rows in,
+        fixed-box rows out; resized payload is the stub's md5 digest, so
+        hex(payload) is SQL-reproducible like the frame sampler."""
+        from ahrd_spark.operators.multimodal import resize_images
+
+        docs = _docs(spark, sf)
+        media = docs.select(
+            F.md5("text").alias("media_id"),
+            F.element_at(
+                F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).alias("kind"),
+            F.encode("text", "UTF-8").alias("payload"),
+            F.lit("application/octet-stream").alias("mime"),
+            F.concat(F.lit("synth://"), F.col("doc_id").cast("string")).alias(
+                "source_ref"
+            ),
+        )
+        return resize_images(media, target_w=224, target_h=224).select(
+            "media_id", "width", "height",
+            F.lower(F.hex("payload")).alias("resized_md5"),
+        )
+
+    q["multimodal_resize"] = multimodal_resize
+
     return q
 
 
@@ -1184,6 +1210,15 @@ f AS (SELECT media_id, text, n_frames, unnest([0, 1000, 2000, 3000]) AS fno
 SELECT media_id, CAST(fno AS INTEGER) AS frame_no,
        md5(text || '|f' || fno) AS frame_md5
 FROM f WHERE fno < n_frames
+"""
+
+    # resize stub: only image-kind rows survive; payload = md5(text|WxH)
+    o["multimodal_resize"] = """
+SELECT md5(text) AS media_id,
+       CAST(224 AS INTEGER) AS width,
+       CAST(224 AS INTEGER) AS height,
+       md5(text || '|224x224') AS resized_md5
+FROM documents WHERE doc_id % 3 = 0
 """
     o["ann_ivf_topk"] = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -229,6 +229,16 @@ def run_pipeline(
     ))
 
     # -- stage 3: canonicalize ----------------------------------------
+    # statically-empty fast path: with no GOA, no InterPro, and no synonym
+    # edges the stage is provably empty — running a checkpoint job (write +
+    # sidecar + re-read) for zero rows is pure fixed cost that also drags
+    # measured scaling (it does not shrink with parallelism)
+    has_canonical = (
+        goa is not None
+        or bool(cfg.interpro_database and cfg.interpro_result)
+        or synonym_edges is not None
+    )
+
     def build_canonical():
         pieces = []
         if goa is not None:
@@ -270,11 +280,16 @@ def run_pipeline(
             "obj_kind",
         )
 
-    canonical = _timed("canonicalize", lambda: ckpt.run_stage(
-        "canonicalize", build_canonical, key="protein_acc",
-        inputs=["link_score"], num_partitions=num_partitions,
-        sort_keys=["protein_acc", "pred", "obj"],
-    ))
+    if has_canonical:
+        canonical = _timed("canonicalize", lambda: ckpt.run_stage(
+            "canonicalize", build_canonical, key="protein_acc",
+            inputs=["link_score"], num_partitions=num_partitions,
+            sort_keys=["protein_acc", "pred", "obj"],
+        ))
+    else:
+        canonical = None
+        if stage_timings is not None:
+            stage_timings["canonicalize"] = 0.0
 
     # -- stage 4: materialize -----------------------------------------
     def build_triples():
@@ -287,6 +302,8 @@ def run_pipeline(
             F.col("db").alias("src_db"),
             F.col("hit_acc").alias("src_hit"),
         )
+        if canonical is None:
+            return desc_triples
         ent_triples = (
             canonical.join(
                 winners.select("protein_acc", "db", "hit_acc"), "protein_acc", "left"
@@ -303,8 +320,9 @@ def run_pipeline(
         )
         return desc_triples.unionByName(ent_triples)
 
+    mat_inputs = ["link_score", "canonicalize"] if has_canonical else ["link_score"]
     return _timed("materialize", lambda: ckpt.run_stage(
         "materialize", build_triples, key="subj",
-        inputs=["link_score", "canonicalize"], num_partitions=num_partitions,
+        inputs=mat_inputs, num_partitions=num_partitions,
         sort_keys=["subj", "pred", "obj"],
     ))
