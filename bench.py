@@ -163,13 +163,25 @@ def _run_child(args: list[str], pin_cpus: int | None = None) -> dict | None:
     return None
 
 
-def time_pipeline(par: int, docs_path: str) -> dict:
-    best = None
+def time_pipeline_pair(
+    small_par: int, big_par: int, docs_path: str
+) -> tuple[dict, dict]:
+    """Interleave the two levels (small, big, small, big, ...) instead of
+    running them in sequential blocks: host contention drifts by tens of
+    percent between windows, and a blocked schedule hands one level a
+    systematically different window than the other.  Best-of-N per level
+    over interleaved samples decorrelates the ratio from the drift."""
+    best = {small_par: None, big_par: None}
     for _ in range(PIPELINE_RUNS):
-        r = _run_child(["--pipeline", str(par), docs_path], pin_cpus=par)
-        if r and (best is None or r["docs_per_sec"] > best["docs_per_sec"]):
-            best = r
-    return best or {"parallelism": par, "docs_per_sec": 0.0, "sec": -1.0}
+        for par in (small_par, big_par):
+            r = _run_child(["--pipeline", str(par), docs_path], pin_cpus=par)
+            if r and (
+                best[par] is None
+                or r["docs_per_sec"] > best[par]["docs_per_sec"]
+            ):
+                best[par] = r
+    fallback = lambda p: {"parallelism": p, "docs_per_sec": 0.0, "sec": -1.0}  # noqa: E731
+    return best[small_par] or fallback(small_par), best[big_par] or fallback(big_par)
 
 
 # ---------------------------------------------------------------------------
@@ -200,19 +212,29 @@ def main():
         _run_child(["--synth", docs_path])
         small_par = SCALE_N
         big_par = SCALE_N * 4
-        small = time_pipeline(small_par, docs_path)
-        big = time_pipeline(big_par, docs_path)
-        raw_small = _run_child(["--rawcpu", str(small_par)])
-        raw_big = _run_child(["--rawcpu", str(big_par)])
+        # ALU calibration BRACKETS the pipeline block (before and after);
+        # per-level best-of decorrelates the ceiling from window drift the
+        # same way the interleaved pipeline pair does
+        raw_small_a = _run_child(["--rawcpu", str(small_par)])
+        raw_big_a = _run_child(["--rawcpu", str(big_par)])
+        small, big = time_pipeline_pair(small_par, big_par, docs_path)
+        raw_small_b = _run_child(["--rawcpu", str(small_par)])
+        raw_big_b = _run_child(["--rawcpu", str(big_par)])
     finally:
         shutil.rmtree(docs_dir, ignore_errors=True)
     ratio = big["docs_per_sec"] / max(small["docs_per_sec"], 1e-9)
     factor = big_par / small_par
     efficiency = ratio / factor
+
+    def _best_sec(*rs):
+        secs = [r["sec"] for r in rs if r and r.get("sec")]
+        return min(secs) if secs else None
+
     ceiling = None
     relative = None
-    if raw_small and raw_big and raw_big.get("sec"):
-        ceiling = round((raw_small["sec"] / raw_big["sec"]) / factor, 3)
+    rs, rb = _best_sec(raw_small_a, raw_small_b), _best_sec(raw_big_a, raw_big_b)
+    if rs and rb:
+        ceiling = round((rs / rb) / factor, 3)
         if ceiling:
             relative = round(min(efficiency / ceiling, 1.0), 3)
 
