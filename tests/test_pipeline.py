@@ -148,3 +148,31 @@ def test_fingerprint_is_content_addressed(spark, tmp_path):
     m3 = CheckpointManager(spark, str(tmp_path / "c"), config_obj={"c": 1})
     m3.write(df.filter(F.col("v") != 3), "s", key="k", sort_keys=["k"])
     assert m3.fingerprint("s") != fp1
+
+
+def test_connected_components_reliable_checkpoint_mode(spark, tmp_path):
+    """checkpoint_dir switches lineage truncation to reliable storage
+    (DataFrame.checkpoint): same components as the localCheckpoint mode,
+    and the checkpoint files actually land in the directory — the mode a
+    real cluster needs to survive executor loss."""
+    import os
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "p")], "u string, v string"
+    )
+    base = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    ckdir = str(tmp_path / "cc_ckpt")
+    reliable = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, checkpoint_dir=ckdir).collect()
+    }
+    assert reliable == base == {
+        ("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")
+    }
+    found = []
+    for root, _dirs, files in os.walk(ckdir):
+        found += files
+    assert found, "no reliable checkpoint files written"
