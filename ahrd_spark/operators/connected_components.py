@@ -103,17 +103,26 @@ def connected_components(
         )
         # neighbor messages + own row folded into ONE min-aggregation
         # (union replaces the join-then-merge-join shape: one fewer shuffle
-        # per round; min/max ignore the messages' null prev)
-        msgs = both.join(
-            jumped.select(F.col("node").alias("v"), "comp"), "v"
-        ).select(
-            F.col("u").alias("node"), "comp", F.lit(None).cast(comp_type).alias("prev")
-        )
-        new_parent = (
-            jumped.unionByName(msgs)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"), F.max("prev").alias("prev"))
-        )
+        # per round; min/max ignore the messages' null prev).  Applied TWICE
+        # per round: labels are monotone (min), each application moves the
+        # minimum one hop, and the doubled-up frame reads its shuffle output
+        # through ReusedExchange — so two hops per checkpoint halves the
+        # round count for chain-shaped components at ~one extra join's cost.
+        def _propagate(frame: DataFrame) -> DataFrame:
+            msgs = both.join(
+                frame.select(F.col("node").alias("v"), "comp"), "v"
+            ).select(
+                F.col("u").alias("node"),
+                "comp",
+                F.lit(None).cast(comp_type).alias("prev"),
+            )
+            return (
+                frame.unionByName(msgs)
+                .groupBy("node")
+                .agg(F.min("comp").alias("comp"), F.max("prev").alias("prev"))
+            )
+
+        new_parent = _propagate(_propagate(jumped))
         # truncate lineage every round — the plan otherwise grows
         # exponentially (parent feeds itself twice per iteration)
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
