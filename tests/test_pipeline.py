@@ -176,3 +176,33 @@ def test_connected_components_reliable_checkpoint_mode(spark, tmp_path):
     for root, _dirs, files in os.walk(ckdir):
         found += files
     assert found, "no reliable checkpoint files written"
+
+
+def test_connected_components_local_contraction_parity(spark):
+    """The two-level (partition-local NumPy contraction + replica-graph
+    iteration) path must produce exactly the pure iterative path's
+    components on a graph whose nodes replicate across many partitions."""
+    e = (
+        spark.range(20000)
+        .select(
+            F.concat(F.lit("n"), (F.col("id") % 5000).cast("string")).alias("u"),
+            F.concat(
+                F.lit("n"), (F.abs(F.xxhash64("id")) % 5000).cast("string")
+            ).alias("v"),
+        )
+        .distinct()
+    )
+    pure = {
+        (r["node"], r["component"])
+        for r in connected_components(e, local_contraction=False).collect()
+    }
+    contracted = {
+        (r["node"], r["component"])
+        for r in connected_components(e, local_contraction=True).collect()
+    }
+    auto = {
+        (r["node"], r["component"])
+        for r in connected_components(e).collect()  # size-based choice
+    }
+    assert contracted == pure == auto
+    assert len(pure) == 5000
