@@ -648,9 +648,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         oracle replays the whole chain in SQL (gate -> E2..E9 -> E10
         winner -> hasDescription + hasGOTerm triples).
 
-        The checkpoint workdir is keyed on dataset content + config, so
-        repeated verify runs RESUME from the prior checkpoints (exercising
-        the lineage gate) instead of leaking a fresh tempdir per call."""
+        The checkpoint workdir is deterministic (keyed on dataset content +
+        variant, so repeated runs don't leak tempdirs) but is WIPED at call
+        start: this query is the correctness gate, and a resumed checkpoint
+        written by older code would return cached triples without executing
+        the code under test.  Resume semantics have their own dedicated
+        kill-and-resume coverage in tests/test_pipeline.py."""
         import os
 
         import duckdb
@@ -718,6 +721,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         variant = "goprefer" if prefer_go else "plain"
         workdir = f"/tmp/ahrd_q_pipeline_{dkey}_{variant}"
+        import shutil
+
+        shutil.rmtree(workdir, ignore_errors=True)  # cold gate, no stale reuse
         cfg = default_config().with_(
             gene_ontology_result=goa_path,
             prefer_reference_with_go_annos=prefer_go,

@@ -20,12 +20,17 @@ from pyspark.sql import functions as F
 def _unpersist_ckpt(df: DataFrame) -> None:
     """Free a dead localCheckpoint's blocks NOW instead of waiting for the
     GC-driven ContextCleaner: DataFrame.unpersist() only consults the SQL
-    cache manager, so a checkpointed round must be released through the
-    LogicalRDD's underlying RDD."""
+    cache manager, so a checkpointed frame must be released through the
+    LogicalRDD leaves of its plan (walking leaves also covers projections
+    layered over the checkpoint, e.g. a select/drop on a checkpointed df)."""
     try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getName().endswith("LogicalRDD"):
+                leaf.rdd().unpersist(False)
     except Exception:
-        pass  # plan shape changed or non-checkpoint df: cleaner will get it
+        pass  # non-checkpoint df / shape surprise: cleaner will get it
 
 
 def _canon_edges(edges: DataFrame) -> DataFrame:
@@ -128,7 +133,11 @@ def connected_components(
     lost executor recovers by re-reading checkpoint files, which is the
     100x-scale-safe mode.  Default (None) uses ``localCheckpoint``:
     fastest, but executor loss kills the truncated lineage — acceptable
-    only for single-process/local runs like this sandbox.
+    only for single-process/local runs like this sandbox.  NOTE:
+    ``setCheckpointDir`` is session-global — concurrent calls with
+    DIFFERENT checkpoint dirs in one SparkSession would race on it; give
+    concurrent jobs the same dir (files are per-RDD-uuid, so sharing a dir
+    is safe).
     """
     e = _canon_edges(edges)
     sess = edges.sparkSession
@@ -142,11 +151,21 @@ def connected_components(
             else df.localCheckpoint(eager=True)
         )
 
+    e_ckpted = False
     if local_contraction is None:
         # cost-based: materialize the canonical edges once (every path needs
         # them) and read the count off the materialized blocks
         e = _ckpt(e)
-        local_contraction = e.count() >= LOCAL_CONTRACTION_MIN_EDGES
+        e_ckpted = True
+        n_edges = e.count()
+        if n_edges == 0:
+            # result built without lineage on e so its blocks free NOW
+            out = sess.createDataFrame([], schema=e.select(
+                F.col("u").alias("node"), F.col("v").alias("component")
+            ).schema)
+            _unpersist_ckpt(e)
+            return out
+        local_contraction = n_edges >= LOCAL_CONTRACTION_MIN_EDGES
 
     if local_contraction:
         n_parts = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -154,7 +173,10 @@ def connected_components(
         # surviving connectivity is nodes replicated across partitions:
         # star-connect each node's local roots (min root <- other roots)
         replicas = _ckpt(_local_components(e, n_parts))
-        _unpersist_ckpt(e)  # no-op unless auto mode checkpointed it
+        if e_ckpted:
+            # only frames WE checkpointed: leaf-walking a caller-supplied
+            # plan could free the caller's own checkpointed edges
+            _unpersist_ckpt(e)
         roots = _ckpt(
             replicas.groupBy("node").agg(
                 F.min("root").alias("rmin"),
@@ -176,7 +198,12 @@ def connected_components(
         _unpersist_ckpt(roots)
         _unpersist_ckpt(core)
         return out
-    return _cc_iterate(e, _ckpt, max_iter, checkpoint_every)
+    out = _cc_iterate(e, _ckpt, max_iter, checkpoint_every)
+    if e_ckpted and checkpoint_every == 1:
+        # the iterate path's result is checkpoint-backed (every round
+        # materializes), so the auto-mode edge checkpoint is dead
+        _unpersist_ckpt(e)
+    return out
 
 
 def _cc_iterate(

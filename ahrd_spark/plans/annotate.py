@@ -145,7 +145,7 @@ def load_candidate_hits(spark: SparkSession, cfg: AhrdConfig) -> DataFrame:
 
 def score_candidates(
     hits: DataFrame, cfg: AhrdConfig, topk: DataFrame | None = None,
-    ranked: DataFrame | None = None,
+    ranked: DataFrame | None = None, extras: dict | None = None,
 ) -> DataFrame:
     """E2..E9 over a gated candidate-hit DataFrame -> per-hit scores for the
     per-(protein,db) top-k.
@@ -181,6 +181,10 @@ def score_candidates(
         cfg.token_score_database_score_weight,
         cfg.token_score_overlap_score_weight,
     )
+    if extras is not None:
+        # expose intermediate frames callers may need (the token-set output
+        # column) without recomputing the scoring chain
+        extras["token_scores"] = tscores
     return score_hits(topk, tscores, totals, cfg.dsbs_weights)
 
 
@@ -195,14 +199,20 @@ def run_annotate(spark: SparkSession, cfg: AhrdConfig) -> DataFrame:
         F.col("accession").alias("protein_acc")
     )
     hits = load_candidate_hits(spark, cfg)
-    scored = score_candidates(hits, cfg)
+    extras: dict = {}
+    scored = score_candidates(hits, cfg, extras=extras)
 
     # B4 side-channel (OutputWriter.java:109-132): a non-empty
     # hrd_scores_output path dumps every candidate's description score
-    # (GEV-fitting input) alongside the main output
+    # (GEV-fitting input) alongside the main output.  The dump is its own
+    # action, so cache the scoring plan first — otherwise the whole
+    # load+gate+score DAG executes twice (once here, once for the caller's
+    # main-output action); the cache drains via the ContextCleaner when the
+    # result DataFrame is dropped.
     if cfg.do_write_hrd_scores:
         from ahrd_spark.plans.output import write_hrd_scores
 
+        scored = scored.cache()
         write_hrd_scores(scored, cfg.hrd_scores_output)
 
     goa = None
@@ -216,27 +226,64 @@ def run_annotate(spark: SparkSession, cfg: AhrdConfig) -> DataFrame:
     winners = select_winners(
         with_overlap(scored), goa=goa, prefer_go=cfg.prefer_reference_with_go_annos
     )
+    win_cols = [
+        "protein_acc",
+        "hit_acc",
+        "description",
+        "desc_score",
+        "desc_high_score",
+        "short_acc",
+        quality_code_expr(
+            F.col("bit_score"),
+            F.col("e_value"),
+            F.col("overlap"),
+            F.col("desc_high_score"),
+        ).alias("quality_code"),
+    ]
+    if cfg.write_scores_to_output:
+        # OutputWriter.java:194-208 winner sub-score columns; correction
+        # factor = |tokens| / |informative| (Infinity -> printed "NA")
+        from ahrd_spark.operators.scoring import jdiv
+
+        win_cols += [
+            F.col("sum_token_scores"),
+            F.col("token_high_score"),
+            jdiv(
+                F.col("n_tokens").cast("double"),
+                F.col("n_informative").cast("double"),
+            ).alias("correction_factor"),
+            F.col("lexical_score"),
+            F.col("rel_bit_score"),
+        ]
     out = proteins.join(
-        winners.select(
-            "protein_acc",
-            "hit_acc",
-            "description",
-            "desc_score",
-            "desc_high_score",
-            "short_acc",
-            quality_code_expr(
-                F.col("bit_score"),
-                F.col("e_value"),
-                F.col("overlap"),
-                F.col("desc_high_score"),
-            ).alias("quality_code"),
-        ),
+        winners.select(*win_cols),
         "protein_acc",
         "left",
     ).withColumn(
         "description",
         F.coalesce(F.col("description"), F.lit("Unknown protein")),
     )
+    if cfg.write_token_set_to_output:
+        # OutputWriter.java:210-218 — '[tkn->score]' concat of the protein's
+        # (filtered) token scores; reference order is HashMap-nondeterministic,
+        # we sort by token for stable output
+        from ahrd_spark.functions.format import format_number_expr
+
+        token_set = extras["token_scores"].groupBy("protein_acc").agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("token", "token_score"))
+                    ),
+                    lambda x: F.concat(
+                        F.lit("["), x["token"], F.lit("->"),
+                        format_number_expr(x["token_score"]), F.lit("]"),
+                    ),
+                ),
+            ).alias("token_set")
+        )
+        out = out.join(token_set, "protein_acc", "left")
 
     if goa is not None:
         go = transfer_go(winners, goa)
@@ -276,7 +323,7 @@ def run_annotate(spark: SparkSession, cfg: AhrdConfig) -> DataFrame:
             F.array().cast("array<struct<ipr_id:string,name:string>>"),
         ),
     )
-    return out.select(
+    final_cols = [
         "protein_acc",
         "hit_acc",
         "quality_code",
@@ -285,4 +332,12 @@ def run_annotate(spark: SparkSession, cfg: AhrdConfig) -> DataFrame:
         "go_terms",
         "desc_score",
         "desc_high_score",
-    )
+    ]
+    if cfg.write_token_set_to_output:
+        final_cols.append("token_set")
+    if cfg.write_scores_to_output:
+        final_cols += [
+            "sum_token_scores", "token_high_score", "correction_factor",
+            "lexical_score", "rel_bit_score",
+        ]
+    return out.select(*final_cols)

@@ -61,14 +61,32 @@ class CheckpointManager:
         config_obj=None,
         table_format: str = "parquet",
     ):
-        from pyarrow import fs as pafs
-
         self.spark = spark
         self.workdir = workdir  # original URI — handed to Spark read/write
-        self.fs, self._root = pafs.FileSystem.from_uri(workdir)
+        self.fs, self._root = self._resolve_fs(workdir)
         self.config_hash = _config_hash(config_obj) if config_obj is not None else ""
         self.table_format = table_format
         self.fs.create_dir(self._root, recursive=True)
+
+    @staticmethod
+    def _resolve_fs(workdir: str):
+        """pyarrow filesystem for the workdir URI, tolerating the paths a
+        Spark user actually passes: relative local paths (pyarrow rejects
+        scheme-less relative URIs) and ``s3a://`` (the hadoop-aws scheme
+        Spark needs, which pyarrow doesn't recognize — same store, so map
+        it to pyarrow's ``s3://`` for sidecar I/O while Spark keeps the
+        original URI for the parquet data)."""
+        import os
+        import re
+
+        from pyarrow import fs as pafs
+
+        uri = workdir
+        if not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", uri):
+            uri = os.path.abspath(uri)
+        elif uri.startswith("s3a://") or uri.startswith("s3n://"):
+            uri = "s3://" + uri.split("://", 1)[1]
+        return pafs.FileSystem.from_uri(uri)
 
     # -- paths ---------------------------------------------------------
     # Spark-facing paths keep the URI scheme; pyarrow-facing paths are the
@@ -137,13 +155,15 @@ class CheckpointManager:
         )
         path = self._data_dir(stage)
         # checksum piggybacks on the write job itself (Observation) — no
-        # second full-data pass; xor-fold of xxhash64 over the sort keys is
-        # order-independent and overflow-free
+        # second full-data pass; xor-fold of xxhash64 over EVERY column is
+        # order-independent, overflow-free, and covers non-key values (a
+        # sort-key-only checksum would let a re-run that changed payload
+        # columns slip past downstream resume checks)
         obs = Observation(f"ckpt_{stage}")
         out = out.observe(
             obs,
             F.count(F.lit(1)).alias("rows"),
-            F.bit_xor(F.xxhash64(*sort_keys)).alias("checksum"),
+            F.bit_xor(F.xxhash64(*out.columns)).alias("checksum"),
         )
         out.write.mode("overwrite").parquet(path)
         metrics = obs.get

@@ -28,10 +28,26 @@ HEADER = (
 )
 
 
+SCORE_COLS = (
+    "sum_token_scores", "token_high_score", "correction_factor",
+    "lexical_score", "rel_bit_score",
+)
+# OutputWriter.java:42-47 optional column headers
+TOKEN_SET_HEADER = '\t"Tokens (tkn->score)"'
+SCORES_HEADER = (
+    "\tSum(Token-Scores)\tTokenHighScore\tCorrection-Factor"
+    "\tLexical-Score\tRelativeBitScore"
+)
+
+
 def annotation_lines(result: DataFrame) -> DataFrame:
     """run_annotate output -> one formatted TSV line per protein (column
     ``line``), ordered like the reference (insertion order is HashMap-
-    dependent there; we sort by accession for determinism)."""
+    dependent there; we sort by accession for determinism).  The optional
+    token-set and winner sub-score cells (write_token_set_to_output /
+    write_scores_to_output) render whenever run_annotate attached their
+    columns; proteins without a winner get empty score cells
+    (OutputWriter.java:197-201)."""
     ipr_cell = F.concat_ws(
         ", ",
         F.transform(
@@ -53,11 +69,22 @@ def annotation_lines(result: DataFrame) -> DataFrame:
         F.col("protein_acc"), F.lit("\t\t\tUnknown protein\t"),
         ipr_cell, F.lit("\t"), go_cell,
     )
+    line = F.when(F.col("hit_acc").isNotNull(), known).otherwise(unknown)
+    cols = set(result.columns)
+    if "token_set" in cols:
+        line = F.concat(
+            line, F.lit("\t"), F.coalesce(F.col("token_set"), F.lit(""))
+        )
+    if "sum_token_scores" in cols:
+        from ahrd_spark.functions.format import format_number_expr
+
+        for c in SCORE_COLS:
+            cell = F.when(
+                F.col("hit_acc").isNotNull(), format_number_expr(F.col(c))
+            ).otherwise(F.lit(""))
+            line = F.concat(line, F.lit("\t"), F.coalesce(cell, F.lit("")))
     return result.select(
-        F.col("protein_acc"),
-        F.when(F.col("hit_acc").isNotNull(), known).otherwise(unknown).alias(
-            "line"
-        ),
+        F.col("protein_acc"), line.alias("line")
     ).orderBy("protein_acc")
 
 
@@ -66,11 +93,16 @@ def write_annotation_tsv(result: DataFrame, path: str, single_file: bool = True)
     lines = annotation_lines(result).select(
         F.lit(1).alias("ord"), F.col("protein_acc").alias("key"), "line"
     )
+    hdr = HEADER
+    if "token_set" in result.columns:
+        hdr += TOKEN_SET_HEADER
+    if "sum_token_scores" in result.columns:
+        hdr += SCORES_HEADER
     header = lines.sparkSession.createDataFrame(
         [
             (0, "0", f"# AHRD-Version {AHRD_VERSION}"),
             (0, "1", ""),
-            (0, "2", HEADER),
+            (0, "2", hdr),
         ],
         "ord int, key string, line string",
     )

@@ -67,3 +67,44 @@ def test_hrd_scores_side_channel_config_wired(spark, tmp_path):
         for r in scored.select("protein_acc", "hit_acc", "desc_score").collect()
     }
     assert got == want and len(got) > 100
+
+
+def test_write_scores_and_token_set_columns(spark, tmp_path):
+    """write_scores_to_output / write_token_set_to_output (Settings.java:57-59,
+    OutputWriter.java:42-47,71-75,194-218): optional winner sub-score and
+    token-set columns appear in the TSV, with values consistent with the
+    scoring DataFrame."""
+    from pyspark.sql import functions as F
+
+    cfg = load_config(
+        f"{REF}/test/resources/ahrd_input_test_run.yml", base_dir=REF
+    ).with_(write_scores_to_output=True, write_token_set_to_output=True)
+    result = run_annotate(spark, cfg)
+    assert {"token_set", "sum_token_scores", "correction_factor"} <= set(
+        result.columns
+    )
+    out_dir = str(tmp_path / "out")
+    write_annotation_tsv(result, out_dir)
+    part = glob.glob(f"{out_dir}/part-*")[0]
+    with open(part) as fh:
+        lines = fh.read().rstrip("\n").split("\n")
+    assert lines[2].endswith(
+        '"Tokens (tkn->score)"\tSum(Token-Scores)\tTokenHighScore'
+        "\tCorrection-Factor\tLexical-Score\tRelativeBitScore"
+    )
+    rows = {ln.split("\t")[0]: ln.split("\t") for ln in lines[3:]}
+    # winner row: 6 base + token_set + 5 score cells
+    winner = rows["gene:chr01.502:mRNA:chr01.502"]
+    assert len(winner) == 12
+    assert winner[6].startswith("[") and "->" in winner[6]
+    # score cells parse as numbers (or NA) and lexical+relBit ~ desc_score
+    vals = {
+        r["protein_acc"]: r
+        for r in result.filter(F.col("hit_acc").isNotNull()).collect()
+    }
+    v = vals["gene:chr01.502:mRNA:chr01.502"]
+    assert float(winner[10].replace(",", "")) == round(v["lexical_score"], 3)
+    assert float(winner[11].replace(",", "")) == round(v["rel_bit_score"], 3)
+    # the no-hit protein keeps EMPTY score cells
+    unknown = rows["NoBlastResults"]
+    assert len(unknown) == 12 and unknown[7:] == [""] * 5

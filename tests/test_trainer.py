@@ -68,7 +68,9 @@ def test_neighbour_mutates_one_parameter(trainer):
 
 def test_short_training_run(spark):
     cfg = load_config(f"{REF}/evaluator_example.yml", base_dir=REF)
-    t = Trainer(spark, cfg, seed=42, temperature=8)
+    # remember_path explicit: the config default mirrors the reference's
+    # remember_simulated_annealing_path=false, which disables memoization
+    t = Trainer(spark, cfg, seed=42, temperature=8, remember_path=True)
     best = t.train()
     assert best is not None
     assert len(t.path_log) == 8
@@ -76,8 +78,12 @@ def test_short_training_run(spark):
     # two-protein fixture (golden_evaluator.tsv eval scores)
     assert t.path_log[0]["avg_evaluation_score"] == pytest.approx(0.7, abs=5e-4)
     assert t.best_score >= 0.7
-    # memoization: revisited parameter sets don't recompute
-    assert len(t.tested) <= 8
+    # memoization actually engaged: every evaluated set is remembered
+    assert 0 < len(t.tested) <= 8
+    # and the reference-default mode keeps it off (Trainer.java:100-106)
+    t2 = Trainer(spark, cfg, seed=42, temperature=1)
+    t2.train()
+    assert t2.tested == {}
 
 
 def test_trainer_yaml_keys_parse_and_flow_into_trainer(spark):
