@@ -77,11 +77,14 @@ def tokenize_expr(desc: Column, token_blacklist=()) -> Column:
     combined = combine_find_regexes(token_blacklist)
     if combined is not None:
         keep = lambda t: (t != F.lit("")) & ~t.rlike(combined)  # noqa: E731
-        return F.array_sort(F.filter(toks, keep))
-    # no blacklist: array_remove is a codegen'd builtin, while F.filter is a
-    # higher-order function evaluated interpreted — measurably faster on the
-    # widest scan expression in mention-detect
-    return F.array_sort(F.array_remove(toks, ""))
+        return F.sort_array(F.filter(toks, keep))
+    # sort_array (not array_sort) and array_remove (not F.filter): both are
+    # ordinary codegen'd expressions, while the higher-order variants carry a
+    # lambdafunction that knocks EVERY enclosing operator out of whole-stage
+    # codegen — with tokenize in the mention gate that de-codegens the widest
+    # Filter+Project of the pipeline.  Token arrays contain no nulls, so
+    # sort_array(asc, nulls-first) == array_sort(nulls-last) here.
+    return F.sort_array(F.array_remove(toks, ""))
 
 
 def patternize_expr(tokens: Column) -> Column:

@@ -265,15 +265,10 @@ def synthesize_docs(
     return df.select(doc_id.alias("doc_id"), spans.alias("spans"))
 
 
-def docs_to_hits(docs: DataFrame) -> DataFrame:
-    """Mention-detect input shredding: explode blast_hit spans back into the
-    normalized candidate-hit table (pre-gate).  Intra-row transform — no
-    shuffle; the spans array itself is never modified."""
-    # qlen is a per-doc scalar: compute it BEFORE the explode and let the
-    # Generate carry it — zero joins/shuffles in this stage (the naive
-    # formulation re-joined an 80k-doc dimension onto millions of exploded
-    # hits by protein_acc)
-    qlen = F.length(
+def query_length_expr() -> F.Column:
+    """Per-doc query-sequence length from the ``query`` span: strip the
+    header line and all whitespace, count AA characters."""
+    return F.length(
         F.regexp_replace(
             F.get(F.filter("spans", lambda s: s["kind"] == "query"), 0)[
                 "text"
@@ -282,6 +277,17 @@ def docs_to_hits(docs: DataFrame) -> DataFrame:
             "",
         )
     ).cast("int")
+
+
+def docs_to_hits(docs: DataFrame) -> DataFrame:
+    """Mention-detect input shredding: explode blast_hit spans back into the
+    normalized candidate-hit table (pre-gate).  Intra-row transform — no
+    shuffle; the spans array itself is never modified."""
+    # qlen is a per-doc scalar: compute it BEFORE the explode and let the
+    # Generate carry it — zero joins/shuffles in this stage (the naive
+    # formulation re-joined an 80k-doc dimension onto millions of exploded
+    # hits by protein_acc)
+    qlen = query_length_expr()
     # withColumn BEFORE the select places the qlen Project beneath the
     # Generate, so it runs once per doc; putting the expression in the same
     # select as posexplode would place it in the post-Generate projection

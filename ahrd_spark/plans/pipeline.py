@@ -65,14 +65,15 @@ def gate_candidates_multi(hits: DataFrame, cfg: AhrdConfig) -> DataFrame:
     """C6 gate across all databases in ONE pass: per-db regex lists are
     folded into when() chains keyed on the db column.
 
-    Plan-shape notes (these made a 3-6x runtime difference, measured):
-    - databases with identical regex settings share one when() branch;
-    - cheap validity predicates are applied BEFORE the tokenize projection
-      (freely pushable toward the scan);
-    - the tokens-dependent predicate carries a nondeterministic no-op guard
-      (`or rand() > 2`, always false) so PushDownPredicates cannot sink it
-      below the projection — otherwise the whole tokenize chain is
-      evaluated once in the pushed Filter and AGAIN in the Project.
+    NOTE: this composed formulation (gate over an already-shredded hits
+    frame) is the *relational twin* kept for oracle/unit-test clarity and
+    for callers that already hold a hits table.  The production
+    docs->mentions path is ``detect_mentions`` — under Spark 4.1 the old
+    ``rand() > 2`` pushdown barrier here is constant-folded away by
+    `OptimizeRand`, so when this gate is stacked on ``docs_to_hits`` the
+    optimizer substitutes the parse/tokenize projections into the pushed
+    filter (~15 re-evaluations of split per span; measured 2-4x the whole
+    stage).  detect_mentions is structurally immune (see its docstring).
     """
     db_col = F.col("db")
     known_dbs = [d.name for d in cfg.blast_dbs]
@@ -137,6 +138,167 @@ def gate_candidates_multi(hits: DataFrame, cfg: AhrdConfig) -> DataFrame:
     )
 
 
+def detect_mentions(docs: DataFrame, cfg: AhrdConfig) -> DataFrame:
+    """Fused shred+gate (row-equal to ``gate_candidates_multi(docs_to_hits(
+    docs), cfg)``; parity pinned by tests/test_pipeline.py).
+
+    Why a second formulation exists: the composed plan computes the parse
+    (``split`` ×9) and tokenize chains in a Project ABOVE the posexplode,
+    and `PushDownPredicates` then pushes the gate's filters through that
+    Project by *substituting* the alias expressions into the predicates —
+    Spark generates no common-subexpression elimination across a Filter's
+    conjuncts, so ``split(span.text)`` re-evaluates ~15x per span and the
+    tokenize chain twice (measured 2-4x the whole stage).  Spark 4.1's
+    `OptimizeRand` also constant-folds the old ``rand() > 2`` pushdown
+    barrier, and nondeterministic predicates now push through Projects, so
+    no *filter-level* barrier is reliable anymore.
+
+    The fix is structural: parse + per-db filter/tokenize run inside chained
+    array ``transform``s BEFORE the explode.  Each chained lambda binds the
+    previous stage's fields as struct attributes, so every expensive
+    expression (`split`, the C3 regex chain, tokenize) is evaluated exactly
+    once per span; and because the gate predicates reference *generator
+    output* fields, Catalyst cannot push them below the Generate at all —
+    the explode IS the pushdown barrier, with no optimizer-version games.
+    """
+    db_of = lambda s: F.substring_index(s["kind"], ":", -1)  # noqa: E731
+
+    def branch(groups, mkexpr, default, dbcol):
+        out = default
+        for key, names in groups.items():
+            out = F.when(dbcol.isin(names), mkexpr(key)).otherwise(out)
+        return out
+
+    bl_groups = _grouped_by_regexes(cfg.blast_dbs, lambda d: d.blacklist)
+    ft_groups = _grouped_by_regexes(
+        cfg.blast_dbs, lambda d: (d.filter, d.token_blacklist)
+    )
+    sa_groups = _grouped_by_regexes(cfg.blast_dbs, lambda d: d.short_accession_regex)
+    known_dbs = [d.name for d in cfg.blast_dbs]
+
+    # t1: keep the ORIGINAL span index (line_no) and split once per span
+    spans_i = F.filter(
+        F.transform("spans", lambda s, i: F.struct(s.alias("s"), i.alias("i"))),
+        lambda x: x["s"]["kind"].startswith("blast_hit:"),
+    )
+    t1 = F.transform(
+        spans_i,
+        lambda x: F.struct(
+            db_of(x["s"]).alias("db"),
+            F.split(x["s"]["text"], "\t", 9).alias("p"),
+            x["i"].cast("long").alias("line_no"),
+            x["s"]["media_ref"].alias("media_ref"),
+        ),
+    )
+
+    # t2: typed fields + C2 blacklist verdict (on the RAW description) +
+    # C3-filtered description + C8 short accession
+    def t2_fields(x):
+        g = lambda i: F.get(x["p"], i)  # noqa: E731
+        db = x["db"]
+        raw = g(8)
+        return F.struct(
+            db.alias("db"),
+            g(0).alias("hit_acc"),
+            g(1).try_cast("int").alias("q_start"),
+            g(2).try_cast("int").alias("q_end"),
+            g(3).try_cast("int").alias("s_start"),
+            g(4).try_cast("int").alias("s_end"),
+            g(5).try_cast("double").alias("e_value"),
+            g(6).try_cast("double").alias("bit_score"),
+            g(7).try_cast("int").alias("s_len"),
+            branch(
+                bl_groups,
+                lambda bl: blacklist_fails_expr(raw, bl),
+                F.lit(False),
+                db,
+            ).alias("bl_fail"),
+            branch(
+                ft_groups,
+                lambda key: apply_filter_regexes(raw, key[0]),
+                raw,
+                db,
+            ).alias("description"),
+            branch(
+                sa_groups,
+                lambda regex: short_accession_expr(g(0), regex),
+                g(0),
+                db,
+            ).alias("short_acc"),
+            x["line_no"].alias("line_no"),
+            x["media_ref"].alias("media_ref"),
+        )
+
+    t2 = F.transform(t1, t2_fields)
+
+    # t3: T1 tokenize over the already-filtered description
+    def t3_fields(x):
+        keep = [
+            "db", "hit_acc", "q_start", "q_end", "s_start", "s_end",
+            "e_value", "bit_score", "s_len", "bl_fail", "description",
+            "short_acc", "line_no", "media_ref",
+        ]
+        return F.struct(
+            *[x[c].alias(c) for c in keep],
+            branch(
+                ft_groups,
+                lambda key: tokenize_expr(x["description"], key[1]),
+                F.array().cast("array<string>"),
+                x["db"],
+            ).alias("tokens"),
+        )
+
+    t3 = F.transform(t2, t3_fields)
+
+    from ahrd_spark.plans.docs import query_length_expr
+
+    h = F.col("h")
+    exploded = (
+        docs.withColumn("qlen", query_length_expr())
+        .select(
+            F.col("doc_id").alias("protein_acc"),
+            "qlen",
+            F.explode(t3).alias("h"),
+        )
+    )
+    gated = exploded.filter(
+        (h["hit_acc"] != "")
+        & h["bit_score"].isNotNull()
+        & h["description"].isNotNull()
+        & (h["description"] != "")
+        & h["q_start"].isNotNull()
+        & h["q_end"].isNotNull()
+        & (h["q_start"] < h["q_end"])
+        & h["s_start"].isNotNull()
+        & h["s_end"].isNotNull()
+        & (h["s_end"] > h["s_start"])
+        & h["s_len"].isNotNull()
+        & h["e_value"].isNotNull()
+        & h["db"].isin(known_dbs)
+        & ~h["bl_fail"]
+        & (F.size(h["tokens"]) > 0)
+    )
+    # column order matches gate_candidates_multi(docs_to_hits(...)) exactly
+    return gated.select(
+        "protein_acc",
+        "qlen",
+        h["db"].alias("db"),
+        h["hit_acc"].alias("hit_acc"),
+        h["q_start"].alias("q_start"),
+        h["q_end"].alias("q_end"),
+        h["s_start"].alias("s_start"),
+        h["s_end"].alias("s_end"),
+        h["e_value"].alias("e_value"),
+        h["bit_score"].alias("bit_score"),
+        h["s_len"].alias("s_len"),
+        h["description"].alias("description"),
+        h["line_no"].alias("line_no"),
+        h["media_ref"].alias("media_ref"),
+        h["tokens"].alias("tokens"),
+        h["short_acc"].alias("short_acc"),
+    )
+
+
 def run_pipeline(
     spark: SparkSession,
     docs: DataFrame,
@@ -175,8 +337,11 @@ def run_pipeline(
     def build_mentions():
         # media_ref stays in the docs table (span invariant) but is consumed
         # by no downstream stage — dropping it from the checkpoint saves
-        # ~40 bytes/row of shuffle + parquet encode on the widest stage
-        return gate_candidates_multi(docs_to_hits(docs), cfg).drop("media_ref")
+        # ~40 bytes/row of shuffle + parquet encode on the widest stage.
+        # detect_mentions is the fused pre-explode formulation (2-3x the
+        # composed gate_candidates_multi(docs_to_hits(...)) plan — see its
+        # docstring for the pushdown-duplication story).
+        return detect_mentions(docs, cfg).drop("media_ref")
 
     # (protein_acc, line_no) is already a unique total order for mention
     # rows (line_no = span position within the doc) — fewer sort/checksum

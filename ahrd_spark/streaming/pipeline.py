@@ -18,8 +18,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ahrd_spark.config import AhrdConfig
-from ahrd_spark.plans.docs import DOCS_SCHEMA, docs_to_hits
-from ahrd_spark.plans.pipeline import gate_candidates_multi
+from ahrd_spark.plans.docs import DOCS_SCHEMA
+from ahrd_spark.plans.pipeline import detect_mentions
 
 
 def stream_mention_detect(
@@ -32,14 +32,14 @@ def stream_mention_detect(
 ):
     """readStream(docs parquet dir) -> shred + gate -> append parquet sink.
     Exactly-once via the streaming checkpoint; the transformation is the
-    SAME gate_candidates_multi plan the batch stage runs — one codebase,
+    SAME detect_mentions plan the batch stage runs — one codebase,
     two execution modes."""
     docs = (
         spark.readStream.schema(DOCS_SCHEMA)
         .option("maxFilesPerTrigger", 8)
         .parquet(source_dir)
     )
-    mentions = gate_candidates_multi(docs_to_hits(docs), cfg)
+    mentions = detect_mentions(docs, cfg)
     writer = (
         mentions.writeStream.outputMode("append")
         .format("parquet")

@@ -14,7 +14,11 @@ from ahrd_spark.operators.connected_components import (
     connected_components,
 )
 from ahrd_spark.plans.docs import build_docs, docs_to_hits, span_fingerprint
-from ahrd_spark.plans.pipeline import run_pipeline
+from ahrd_spark.plans.pipeline import (
+    detect_mentions,
+    gate_candidates_multi,
+    run_pipeline,
+)
 
 from test_e2e_annotate import golden_triples, load_golden
 
@@ -54,6 +58,66 @@ def test_docs_shape_and_roundtrip(spark, docs, test_run_cfg):
     }
     assert qlens["gene:chr01.502:mRNA:chr01.502"] == 108
     assert qlens["gene:chr01.1056:mRNA:chr01.1056"] == 829
+
+
+def test_detect_mentions_matches_composed_gate(spark, docs, test_run_cfg):
+    """The fused pre-explode formulation (detect_mentions) must be row-equal
+    to the relational twin gate_candidates_multi(docs_to_hits(docs)) —
+    same rows, same schema, same column order.  This is the parity pin the
+    production pipeline relies on (pipeline.py uses the fused path; the
+    oracles were written against the composed semantics)."""
+    fused = detect_mentions(docs, test_run_cfg)
+    composed = gate_candidates_multi(docs_to_hits(docs), test_run_cfg)
+    assert fused.columns == composed.columns
+    assert [f.dataType for f in fused.schema.fields] == [
+        f.dataType for f in composed.schema.fields
+    ]
+    key = lambda r: (r["protein_acc"], r["line_no"])  # noqa: E731
+    f_rows = sorted((r.asDict(recursive=True) for r in fused.collect()), key=key)
+    c_rows = sorted(
+        (r.asDict(recursive=True) for r in composed.collect()), key=key
+    )
+    assert f_rows == c_rows
+    assert len(f_rows) > 200  # non-trivial fixture coverage
+
+
+def test_detect_mentions_synthetic_parity(spark):
+    """Parity on the synthetic docs generator too (multi-db configs with
+    differing blacklist/filter/token settings), so the fused when()-branch
+    grouping is exercised beyond the reference fixture's three DBs."""
+    from ahrd_spark.config import AhrdConfig, BlastDbConfig
+    from ahrd_spark.plans.docs import synthesize_docs
+
+    cfg = AhrdConfig(
+        blast_dbs=(
+            BlastDbConfig(
+                name="db0", weight=100,
+                description_score_bit_score_weight=0.2,
+            ),
+            BlastDbConfig(
+                name="db1",
+                weight=50,
+                description_score_bit_score_weight=0.4,
+                blacklist=("(?i)unknown protein",),
+                filter=("\\sOS=.*$",),
+                token_blacklist=("(?i)^\\d+$",),
+            ),
+            BlastDbConfig(
+                name="db2", weight=10,
+                description_score_bit_score_weight=0.4,
+            ),
+        )
+    )
+    docs = synthesize_docs(spark, n_docs=300)
+    fused = detect_mentions(docs, cfg)
+    composed = gate_candidates_multi(docs_to_hits(docs), cfg)
+    assert fused.columns == composed.columns
+    key = lambda r: (r["protein_acc"], r["line_no"])  # noqa: E731
+    f_rows = sorted((r.asDict(recursive=True) for r in fused.collect()), key=key)
+    c_rows = sorted(
+        (r.asDict(recursive=True) for r in composed.collect()), key=key
+    )
+    assert f_rows == c_rows and len(f_rows) > 500
 
 
 def test_pipeline_golden_parity_and_resume(spark, docs, test_run_cfg, tmp_path):
