@@ -633,10 +633,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if os.path.isdir(p):
             for f in sorted(os.listdir(p)):
                 st = os.stat(os.path.join(p, f))
-                stats.append((f, st.st_size, int(st.st_mtime)))
+                stats.append((f, st.st_size, st.st_mtime_ns))
         elif os.path.exists(p):
             st = os.stat(p)
-            stats.append(("f", st.st_size, int(st.st_mtime)))
+            stats.append(("f", st.st_size, st.st_mtime_ns))
         return hashlib.md5(repr((sf, stats)).encode()).hexdigest()[:12]
 
     def _pipeline_triples_impl(spark, sf, prefer_go):

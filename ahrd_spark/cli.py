@@ -101,8 +101,16 @@ def main(argv: list[str] | None = None) -> int:
         spark, docs, cfg, args.workdir,
         num_partitions=args.partitions, stage_timings=stage_timings,
     )
-    triples.write.mode("overwrite").parquet(args.out)
-    n = spark.read.parquet(args.out).count()
+    # count rides the write job via an Observation — re-reading args.out
+    # for the log line would double the cheapest stage's I/O on every run
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("cli_out_rows")
+    triples.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+        "overwrite"
+    ).parquet(args.out)
+    n = int(obs.get["rows"])
     print(json.dumps({
         "triples": n,
         "out": args.out,

@@ -5,7 +5,10 @@ in the GOA map, the query protein inherits that full GO set.
 
 Spark shape: the winners table is small relative to the hits (one row per
 protein); GOA is pre-filtered to hit accessions (A8 semi-join).  The
-transfer is a broadcast equi-join on short_acc followed by collect_set.
+transfer is an equi-join on short_acc followed by collect_set; the join
+strategy is left to AQE — both sides scale with the input (winners with the
+doc count, filtered GOA with the hit-accession vocabulary), so a forced
+broadcast would cap the operator at driver memory.
 """
 
 from __future__ import annotations
@@ -19,13 +22,15 @@ def transfer_go(winners: DataFrame, goa: DataFrame) -> DataFrame:
     winning hit has reference GO annotations."""
     return (
         winners.select("protein_acc", "short_acc")
-        .join(F.broadcast(goa), "short_acc")
+        .join(goa, "short_acc")
         .groupBy("protein_acc")
         .agg(F.array_sort(F.collect_set("go_term")).alias("go_terms"))
     )
 
 
-def go_dag_closure(edges: DataFrame, max_iter: int = 32) -> DataFrame:
+def go_dag_closure(
+    edges: DataFrame, max_iter: int = 32, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Transitive closure of a GO is-a DAG given (child, parent) edges ->
     (go_term, ancestor).  Generalizes the InterPro parent-chain recursion
     (InterproResult.java:198-244) to the GO ontology — the reference
@@ -33,7 +38,10 @@ def go_dag_closure(edges: DataFrame, max_iter: int = 32) -> DataFrame:
     the engine makes DAG propagation a first-class operator.
 
     The ontology is dictionary-sized -> iterative self-join on the driver's
-    Spark session, broadcast downstream."""
+    Spark session, broadcast downstream.  ``checkpoint_dir`` truncates the
+    final lineage to reliable storage (``DataFrame.checkpoint``) for
+    cluster fault tolerance; default localCheckpoint is the fast
+    single-process mode (same option contract as connected_components)."""
     e = edges.toDF("go_term", "ancestor").filter(
         F.col("go_term") != F.col("ancestor")
     ).distinct().cache()
@@ -58,7 +66,11 @@ def go_dag_closure(edges: DataFrame, max_iter: int = 32) -> DataFrame:
         closure = closure.unionByName(nxt)
         frontier = nxt
     # materialize once, release the loop caches (see interpro_closure)
-    out = closure.localCheckpoint(eager=True)
+    if checkpoint_dir:
+        closure.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        out = closure.checkpoint(eager=True)
+    else:
+        out = closure.localCheckpoint(eager=True)
     for df in cached:
         df.unpersist(blocking=False)
     return out

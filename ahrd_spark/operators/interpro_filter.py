@@ -24,10 +24,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def interpro_closure(interpro_db: DataFrame, max_iter: int = 32) -> DataFrame:
+def interpro_closure(
+    interpro_db: DataFrame,
+    max_iter: int = 32,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """closure(ipr_id, superior_id): superior_id is a transitive ancestor
     (via parent_id chain) or transitive container (via contains sets,
-    inverted to child->container edges) of ipr_id."""
+    inverted to child->container edges) of ipr_id.
+
+    ``checkpoint_dir`` switches the final lineage truncation to reliable
+    storage (``DataFrame.checkpoint``) so a long-lived cluster job survives
+    executor loss; default localCheckpoint is the fast single-process mode
+    (same option contract as connected_components)."""
     parent_edges = interpro_db.filter(F.col("parent_id").isNotNull()).select(
         F.col("ipr_id"), F.col("parent_id").alias("superior_id")
     )
@@ -65,7 +74,11 @@ def interpro_closure(interpro_db: DataFrame, max_iter: int = 32) -> DataFrame:
     # loop cache — a long-lived session must not leak executor memory per
     # call.  The result's own blocks are freed by the ContextCleaner when
     # the caller drops the DataFrame.
-    out = closure.localCheckpoint(eager=True)
+    if checkpoint_dir:
+        closure.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        out = closure.checkpoint(eager=True)
+    else:
+        out = closure.localCheckpoint(eager=True)
     for df in cached:
         df.unpersist(blocking=False)
     return out

@@ -321,8 +321,13 @@ def select_winners(
     """
     df = scored
     if prefer_go and goa is not None:
+        # no F.broadcast hint: has_go derives from the GOA *reference* table
+        # but is still data-sized (one row per distinct annotated accession)
+        # — at 100x a forced broadcast can exceed the driver limit and fail
+        # the job.  Leave the strategy to AQE, mirroring the batch path
+        # (scoring_batch.py select_winners_batch).
         has_go = goa.select("short_acc").distinct().withColumn("__has_go", F.lit(True))
-        df = df.join(F.broadcast(has_go), "short_acc", "left").withColumn(
+        df = df.join(has_go, "short_acc", "left").withColumn(
             "__has_go", F.coalesce(F.col("__has_go"), F.lit(False))
         )
         any_go = Window.partitionBy("protein_acc")

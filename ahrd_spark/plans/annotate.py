@@ -139,8 +139,10 @@ def load_candidate_hits(spark: SparkSession, cfg: AhrdConfig) -> DataFrame:
     for other in per_db[1:]:
         hits = hits.unionByName(other)
     # J1: attach query length (inner join mirrors the reference's insistence
-    # that every query accession exists in the protein DB)
-    return hits.join(F.broadcast(proteins), "protein_acc")
+    # that every query accession exists in the protein DB).  No broadcast
+    # hint: proteins has one row per query sequence, i.e. it scales with the
+    # input — AQE broadcasts it at small SF and shuffle-joins at large.
+    return hits.join(proteins, "protein_acc")
 
 
 def score_candidates(

@@ -82,7 +82,16 @@ def discover_batches(yml_path: str, base_dir: str | None = None) -> list[AhrdCon
     ipr_dir = _path(raw.get("interpro_results_dir"))
 
     out = []
-    for batch_name in sorted(os.listdir(proteins_dir)):
+    # skip subdirectories, mirroring Batcher.java:319
+    # ('!proteinFile.isDirectory()') — a nested dir is not a batch and
+    # would otherwise become a bogus config whose proteins_fasta is a
+    # directory
+    batch_names = sorted(
+        name
+        for name in os.listdir(proteins_dir)
+        if os.path.isfile(os.path.join(proteins_dir, name))
+    )
+    for batch_name in batch_names:
         dbs = []
         for db in base_cfg.blast_dbs:
             table = (

@@ -139,10 +139,13 @@ class CheckpointManager:
     ) -> DataFrame:
         """Deterministically materialize a stage: hash-repartition by
         ``key``, sort within partitions by ``sort_keys`` (a per-row-unique
-        key set — sorting/checksumming every column would double the stage
-        cost for no extra guarantee), write, record per-partition
-        rows+checksum lineage.  Returns the re-read DataFrame (so downstream
-        stages read the checkpoint, never the live plan)."""
+        key set, so the sort itself stays cheap), write, record
+        per-partition rows + an ALL-column xxhash64-fold checksum as
+        lineage (sorting every column would double the stage cost, but
+        checksumming every column is one extra projection riding the write
+        job and makes the fingerprint content-addressed over the full row,
+        not just the sort keys).  Returns the re-read DataFrame (so
+        downstream stages read the checkpoint, never the live plan)."""
         from pyspark.sql import Observation
 
         keys = [key] if isinstance(key, str) else list(key)

@@ -78,11 +78,25 @@ def annotation_lines(result: DataFrame) -> DataFrame:
     if "sum_token_scores" in cols:
         from ahrd_spark.functions.format import format_number_expr
 
-        for c in SCORE_COLS:
-            cell = F.when(
-                F.col("hit_acc").isNotNull(), format_number_expr(F.col(c))
-            ).otherwise(F.lit(""))
-            line = F.concat(line, F.lit("\t"), F.coalesce(cell, F.lit("")))
+        scored = F.concat(
+            *[
+                F.concat(
+                    F.lit("\t"),
+                    F.coalesce(format_number_expr(F.col(c)), F.lit("")),
+                )
+                for c in SCORE_COLS
+            ]
+        )
+        # reference quirk reproduced for byte parity: buildDescScoreCells
+        # (OutputWriter.java:197-199) emits EIGHT empty cells when no
+        # high-scoring hit exists, but only five value cells otherwise —
+        # unknown-protein rows are 3 columns wider than scored rows.
+        line = F.concat(
+            line,
+            F.when(F.col("hit_acc").isNotNull(), scored).otherwise(
+                F.lit("\t" * 8)
+            ),
+        )
     return result.select(
         F.col("protein_acc"), line.alias("line")
     ).orderBy("protein_acc")
@@ -115,21 +129,38 @@ def write_annotation_tsv(result: DataFrame, path: str, single_file: bool = True)
 
 
 def fasta_lines(result: DataFrame, sequences: DataFrame) -> DataFrame:
-    """B3: '>' + space-separated description line + AA sequence."""
+    """B3: '>' + buildDescriptionLine(prot, " ") + newline + AA sequence,
+    byte-identical to FastaOutputWriter.java:18-30 over
+    AbstractOutputWriter.buildDescriptionLine(:43-77), quirks included:
+
+    - winner lines carry a trailing separator after the description
+      (``desc + seperator``, :48-49) BEFORE the (possibly empty) sorted
+      InterPro list, so a winner without InterPro hits ends ``desc  `` with
+      two spaces once the always-appended post-IPR separator (:67) lands;
+    - the unknown branch appends "Unknown protein" with NO separator
+      before the InterPro list (:56 — only the tab-mode branch pads);
+    - InterPro entries sort by id (InterproResult.compareTo:194) and join
+      with ", "; GO terms sort lexically and join with ", ".
+    """
     ipr_cell = F.concat_ws(
         ", ",
-        F.transform(
-            F.col("interpro"),
-            lambda s: F.concat(s["ipr_id"], F.lit(" ("), s["name"], F.lit(")")),
+        F.array_sort(
+            F.transform(
+                F.col("interpro"),
+                lambda s: F.concat(
+                    s["ipr_id"], F.lit(" ("), s["name"], F.lit(")")
+                ),
+            )
         ),
     )
-    desc = F.when(
+    go_cell = F.concat_ws(", ", F.array_sort(F.col("go_terms")))
+    head = F.when(
         F.col("hit_acc").isNotNull(),
         F.concat_ws(
             " ", F.col("protein_acc"), F.col("hit_acc"), F.col("quality_code"),
-            F.col("description"),
+            F.col("description"), F.lit(""),
         ),
-    ).otherwise(F.concat_ws(" ", F.col("protein_acc"), F.lit("Unknown protein")))
+    ).otherwise(F.concat(F.col("protein_acc"), F.lit(" Unknown protein")))
     joined = result.join(
         sequences.select(
             F.col("accession").alias("protein_acc"), "sequence"
@@ -137,12 +168,13 @@ def fasta_lines(result: DataFrame, sequences: DataFrame) -> DataFrame:
         "protein_acc",
     )
     return joined.select(
+        F.col("protein_acc"),
         F.concat(
-            F.lit(">"), desc,
-            F.when(ipr_cell != "", F.concat(F.lit(" "), ipr_cell)).otherwise(F.lit("")),
+            F.lit(">"), head, F.coalesce(ipr_cell, F.lit("")), F.lit(" "),
+            F.coalesce(go_cell, F.lit("")),
             F.lit("\n"), F.col("sequence"),
-        ).alias("line")
-    ).orderBy("line")
+        ).alias("line"),
+    ).orderBy("protein_acc")
 
 
 def write_hrd_scores(scored: DataFrame, path: str, single_file: bool = True):

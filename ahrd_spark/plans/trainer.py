@@ -389,6 +389,19 @@ class Trainer:
         r = _round_n(float(x), 3)
         return f"{r:,.3f}".rstrip("0").rstrip(".") if r % 1 else f"{int(r):,}"
 
+    @staticmethod
+    def _fmt6(x) -> str:
+        """TrainerOutputWriter.FRMT '#,######0.######' (6 fractional
+        digits) used for the per-DB weight columns — NOT the 3-digit
+        AbstractOutputWriter format.  The pattern's grouping size is 6
+        digits, which never triggers for weight-range values, so plain
+        non-grouped formatting is byte-identical here."""
+        if x is None or (isinstance(x, float) and math.isnan(x)):
+            return "NA"
+        r = _round_n(float(x), 6)
+        s = f"{r:.6f}".rstrip("0").rstrip(".")
+        return s if s not in ("", "-0") else "0"
+
     def write_path_log(self, path: str) -> None:
         """Write the per-iteration SA path as the reference's path-log CSV
         (TrainerOutputWriter.java:39-66 header/row shape).  The Spark
@@ -406,15 +419,20 @@ class Trainer:
         lines = [hdr]
         for e in self.path_log:
             bit, dbw, ovl, db_weight, dsbsw = e["params"]
+            # the extra empty cell after Average False-Positive-Rate is a
+            # deliberate reproduction of the reference's settingsRow quirk
+            # ('\t' + '\t', TrainerOutputWriter.java:87): data rows carry
+            # one more column than generateHeader emits.  Kept for byte
+            # parity with reference path logs.
             row = (
                 f"{e['temperature']}\t{e['avg_evaluation_score']!r}"
                 f"\t{e['diff']!r}\t{e['accepted']}"
-                f"\tNA\tNA"
+                f"\tNA\tNA\t"
                 f"\t{self._fmt(bit)}\t{self._fmt(dbw)}\t{self._fmt(ovl)}"
             )
             dbm, dsm = dict(db_weight), dict(dsbsw)
             for db in self.db_names:
-                row += f"\t{self._fmt(dbm[db])}\t{self._fmt(dsm[db])}"
+                row += f"\t{self._fmt6(dbm[db])}\t{self._fmt6(dsm[db])}"
             lines.append(row)
         with open(path, "w") as fh:
             fh.write("\n".join(lines) + "\n")

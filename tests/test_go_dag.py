@@ -72,3 +72,72 @@ def test_closure_loops_release_their_caches(spark):
     # loop caches released: repeated calls add nothing beyond transient
     # result blocks the ContextCleaner is still draining
     assert retained() <= base + 2
+
+
+def test_closures_reliable_checkpoint_mode(spark, tmp_path):
+    """checkpoint_dir switches both closure loops' final lineage truncation
+    to reliable storage: same closure rows, and checkpoint files actually
+    land in the directory (the mode a real cluster needs)."""
+    import os
+
+    from ahrd_spark.operators.interpro_filter import interpro_closure
+
+    edges = spark.createDataFrame(
+        [("GO:a", "GO:b"), ("GO:b", "GO:c")], "child string, parent string"
+    )
+    base = {(r["go_term"], r["ancestor"]) for r in go_dag_closure(edges).collect()}
+    godir = str(tmp_path / "go_ckpt")
+    got = {
+        (r["go_term"], r["ancestor"])
+        for r in go_dag_closure(edges, checkpoint_dir=godir).collect()
+    }
+    assert got == base
+
+    ipr_db = spark.createDataFrame(
+        [("IPR2", "IPR1", []), ("IPR3", "IPR2", []), ("IPR1", None, [])],
+        "ipr_id string, parent_id string, contains array<string>",
+    )
+    iprdir = str(tmp_path / "ipr_ckpt")
+    base_i = {
+        (r["ipr_id"], r["superior_id"])
+        for r in interpro_closure(ipr_db).collect()
+    }
+    got_i = {
+        (r["ipr_id"], r["superior_id"])
+        for r in interpro_closure(ipr_db, checkpoint_dir=iprdir).collect()
+    }
+    assert got_i == base_i
+
+    for d in (godir, iprdir):
+        found = []
+        for root, _dirs, files in os.walk(d):
+            found += files
+        assert found, f"no reliable checkpoint files written under {d}"
+
+
+def test_no_broadcast_hint_on_data_sized_frames():
+    """Grep-able scale invariant: F.broadcast() may only hint frames that
+    are dictionary-sized at any input scale (ontology closures, InterPro
+    DB, IVF centroids, ANN query panels, canonical entity maps).  Frames
+    that grow with the input (hits, winners, GOA, proteins) must leave the
+    join strategy to AQE — a forced broadcast caps the job at driver
+    memory at 100x scale."""
+    import glob
+    import os
+    import re
+
+    pkg = os.path.join(os.path.dirname(__file__), "..", "ahrd_spark")
+    # corpus.orderBy(...).limit(n_centroids) is the IVF centroid seed —
+    # bounded by the n_centroids parameter, not by input size.
+    allowed = re.compile(
+        r"F\.broadcast\(\s*(q\b|centroids|cents|closure|ipr_db|cmap"
+        r"|corpus\.orderBy)"
+    )
+    offenders = []
+    for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        src = open(path).read()
+        for m in re.finditer(r"F\.broadcast\([^)]*", src):
+            if not allowed.match(m.group(0).replace("\n", " ")):
+                line = src[: m.start()].count("\n") + 1
+                offenders.append(f"{os.path.relpath(path, pkg)}:{line} {m.group(0)[:60]}")
+    assert not offenders, f"data-sized broadcast hints found: {offenders}"

@@ -105,6 +105,55 @@ def test_write_scores_and_token_set_columns(spark, tmp_path):
     v = vals["gene:chr01.502:mRNA:chr01.502"]
     assert float(winner[10].replace(",", "")) == round(v["lexical_score"], 3)
     assert float(winner[11].replace(",", "")) == round(v["rel_bit_score"], 3)
-    # the no-hit protein keeps EMPTY score cells
+    # the no-hit protein gets EIGHT empty score cells — the reference's
+    # buildDescScoreCells quirk (OutputWriter.java:197-199) emits 8 empties
+    # for the no-winner case vs 5 value cells otherwise, reproduced for
+    # byte parity
     unknown = rows["NoBlastResults"]
-    assert len(unknown) == 12 and unknown[7:] == [""] * 5
+    assert len(unknown) == 15 and unknown[7:] == [""] * 8
+
+
+def test_fasta_output_lines_match_reference_formula(spark):
+    """B3 (FastaOutputWriter.java:18-30): '>' + buildDescriptionLine(prot,
+    ' ') + newline + AA sequence.  Expected bytes are rebuilt here in
+    Python straight from the Java formula (AbstractOutputWriter.java:43-77)
+    over the annotate result rows — including the trailing-separator and
+    unknown-branch-missing-separator quirks — and compared cell-for-cell
+    against fasta_lines()."""
+    from ahrd_spark.plans.output import fasta_lines
+    from ahrd_spark.sources.fasta import read_query_fasta
+
+    cfg = load_config(
+        f"{REF}/test/resources/ahrd_input_test_run.yml", base_dir=REF
+    )
+    result = run_annotate(spark, cfg)
+    seqs = read_query_fasta(spark, cfg.proteins_fasta, keep_sequence=True)
+    got = {
+        r["protein_acc"]: r["line"]
+        for r in fasta_lines(result, seqs).collect()
+    }
+    seq_by_acc = {r["accession"]: r["sequence"] for r in seqs.collect()}
+
+    def java_line(r):
+        # buildDescriptionLine(prot, " ") quirks included
+        if r["hit_acc"] is not None:
+            line = (
+                f"{r['protein_acc']} {r['hit_acc']} {r['quality_code']} "
+                f"{r['description']} "
+            )
+        else:
+            line = f"{r['protein_acc']} Unknown protein"
+        iprs = sorted(
+            f"{d['ipr_id']} ({d['name']})" for d in (r["interpro"] or [])
+        )
+        line += ", ".join(iprs) + " "
+        line += ", ".join(sorted(r["go_terms"] or []))
+        return ">" + line + "\n" + seq_by_acc[r["protein_acc"]]
+
+    rows = result.collect()
+    assert {r["protein_acc"] for r in rows} == set(got)
+    for r in rows:
+        assert got[r["protein_acc"]] == java_line(r), r["protein_acc"]
+    # fixture covers both branches: at least one winner and one unknown
+    assert any(r["hit_acc"] is not None for r in rows)
+    assert any(r["hit_acc"] is None for r in rows)

@@ -157,3 +157,11 @@ def test_path_log_file_written(spark, tmp_path):
     assert first[0] == "3"              # starting temperature
     assert float(first[1]) > 0          # avg score
     assert first[4] == first[5] == "NA"  # TPR/FPR not tracked
+    # reference settingsRow quirk reproduced: one extra EMPTY cell after
+    # FPR ('\t' + '\t', TrainerOutputWriter.java:87) -> data rows carry one
+    # more column than the header
+    assert first[6] == "" and len(first) == len(hdr) + 1
+    # db-weight columns use the 6-fraction-digit TrainerOutputWriter.FRMT
+    dbw_idx = hdr.index("swissprot-Weight") + 1  # +1 for the quirk cell
+    cell = first[dbw_idx]
+    assert cell == "NA" or "." not in cell or len(cell.split(".")[1]) <= 6
