@@ -181,9 +181,14 @@ def load_config(yml_path: str, base_dir: str | None = None) -> AhrdConfig:
         dbs.append(
             BlastDbConfig(
                 name=name,
-                weight=int(m["weight"]),
+                # weight keys are optional: TrainerBatcher-style YAMLs
+                # (trainer_batcher_example.yml) omit them because every
+                # start point draws its own via Parameters.randomParameters
+                # — the defaults here are placeholders the multi-start
+                # trainer immediately overrides
+                weight=int(m.get("weight", 100)),
                 description_score_bit_score_weight=float(
-                    m["description_score_bit_score_weight"]
+                    m.get("description_score_bit_score_weight", 0.5)
                 ),
                 seq_sim_table=_path(m.get("file")),
                 fasta_db=_path(m.get("database")),

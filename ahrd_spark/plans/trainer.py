@@ -93,6 +93,70 @@ def normalize_token_weights(b: float, d: float, o: float):
     return (_round_n(b / s, 4), _round_n(d / s, 4), _round_n(o / s, 4))
 
 
+def random_params(db_names, rng: random.Random) -> Params:
+    """Parameters.randomParameters (Parameters.java:54-69): token-score
+    weights drawn as random multiples of 0.1 in [0.1, 1.0]
+    (Utils.randomMultipleOfOneTenth:56-58) then normalized to sum 1; per
+    sorted DB a description-score bit-score weight from the same
+    distribution and a blast-db weight as a random multiple of 10 in
+    [10, 100] (Utils.randomMultipleOfTen:65-68).  Draw order mirrors the
+    Java loop (dsbsw before db-weight per database) for auditability — the
+    streams themselves differ, only the distributions are pinned
+    (ParametersTest.java:30-390)."""
+    mult10 = lambda: (rng.randrange(10) + 1) * 10  # noqa: E731
+    mult01 = lambda: mult10() * 0.01  # noqa: E731
+    b, d, o = normalize_token_weights(mult01(), mult01(), mult01())
+    dsbsw, dbw = [], []
+    for name in sorted(db_names):
+        dsbsw.append((name, mult01()))
+        dbw.append((name, mult10()))
+    return Params(
+        token_bit=b, token_db=d, token_ovl=o,
+        db_weight=tuple(dbw), dsbsw=tuple(dsbsw),
+    )
+
+
+def distinct_random_starts(
+    n: int, db_names, rng: random.Random
+) -> list[Params]:
+    """TrainerBatcher.generateDistinctRandomParameters
+    (TrainerBatcher.java:69-79): redraw until n pairwise-distinct start
+    points exist.  The parameter space has 10^3 token-weight draws x
+    (10*10)^|dbs| per-db draws, so 1,024 distinct points always exist for
+    >=2 databases; a guard trips if n exceeds the space."""
+    space = 1000 * (100 ** len(list(db_names)))
+    if n > space:
+        raise ValueError(f"{n} distinct starts requested but space has {space}")
+    seen: set = set()
+    out: list[Params] = []
+    while len(out) < n:
+        p = random_params(db_names, rng)
+        if p.key() not in seen:
+            seen.add(p.key())
+            out.append(p)
+    return out
+
+
+def load_trainer_batcher(yml_path: str, base_dir: str | None = None):
+    """Parse a TrainerBatcher-style YAML (trainer_batcher_example.yml) ->
+    (AhrdConfig, n_start_positions).  The reference writes
+    no_start_positions_in_parameter_space YAML files plus a shell script
+    that runs one Trainer JVM per file (TrainerBatcher.java:40-57); the
+    engine instead runs the chains in one session via
+    Trainer.train_multi_start, where every chain reuses the same cached
+    parameter-independent frames.  Default mirrors noOfBatches = 1000
+    (TrainerBatcher.java:22)."""
+    import yaml
+
+    from ahrd_spark.config import load_config
+
+    cfg = load_config(yml_path, base_dir=base_dir)
+    with open(yml_path) as fh:
+        raw = yaml.safe_load(fh)
+    n = int(raw.get("no_start_positions_in_parameter_space", 1000))
+    return cfg, n
+
+
 class Trainer:
     def __init__(
         self,
@@ -120,6 +184,7 @@ class Trainer:
         self.cfg = cfg
         self.rng = random.Random(seed)
         self.temperature = _or(temperature, cfg.temperature)
+        self._initial_temperature = self.temperature
         self.cool_down_by = _or(cool_down_by, cfg.cool_down_by)
         self.sf = _or(
             scaling_factor, cfg.optimization_acceptance_probability_scaling_factor
@@ -336,8 +401,10 @@ class Trainer:
             last_mutated=idx,
         )
 
-    def train(self, max_iterations: int | None = None) -> Params:
-        current = params_from_config(self.cfg)
+    def train(
+        self, max_iterations: int | None = None, start: Params | None = None
+    ) -> Params:
+        current = start if start is not None else params_from_config(self.cfg)
         it = 0
         while self.temperature > 0:
             if max_iterations is not None and it >= max_iterations:
@@ -378,6 +445,66 @@ class Trainer:
         if self.cfg.path_log:
             self.write_path_log(self.cfg.path_log)
         return self.best
+
+    def train_multi_start(
+        self,
+        n_starts: int,
+        seed: int | None = None,
+        max_iterations: int | None = None,
+    ) -> Params:
+        """TrainerBatcher re-imagined (TrainerBatcher.java:40-79): instead
+        of writing n_starts YAML files and launching one Trainer JVM per
+        file, run n_starts SA chains in THIS session from pairwise-distinct
+        random start points (Parameters.randomParameters) and return the
+        best parameters found across all chains.
+
+        Every chain reuses the SAME cached parameter-independent frames
+        (scan/gate/tokenize/top-k partials) — the dominant cost the
+        reference pays once per JVM is paid once total here.  When
+        remember_path memoization is on, the score cache also spans chains:
+        the objective is a pure function of the parameter key, so a point
+        revisited by a later chain is free.
+
+        Per-chain summaries land in ``self.multi_start_log``; after the
+        run, ``self.path_log`` (and a configured cfg.path_log file) holds
+        the WINNING chain's path so the B5 side-channel stays coherent.
+        """
+        rng = random.Random(seed if seed is not None else self.rng.random())
+        starts = distinct_random_starts(n_starts, self.db_names, rng)
+        self.multi_start_log = []
+        g_best, g_best_score, g_best_temp, g_best_path = None, float("-inf"), None, []
+        for i, start in enumerate(starts):
+            # reset per-chain SA state; `tested` deliberately persists
+            self.temperature = self._initial_temperature
+            self.accepted = self.accepted_score = None
+            self.best, self.best_score = None, float("-inf")
+            self.best_temperature = None
+            self.path_log = []
+            # defer the path-log file write until the winner is known
+            cfg_path_log, self.cfg = self.cfg.path_log, self.cfg.with_(
+                path_log=None
+            )
+            try:
+                best = self.train(max_iterations=max_iterations, start=start)
+            finally:
+                self.cfg = self.cfg.with_(path_log=cfg_path_log)
+            self.multi_start_log.append(
+                {
+                    "chain": i,
+                    "start": start.key(),
+                    "best": best.key(),
+                    "best_score": self.best_score,
+                    "best_temperature": self.best_temperature,
+                }
+            )
+            if self.best_score > g_best_score:
+                g_best, g_best_score = best, self.best_score
+                g_best_temp, g_best_path = self.best_temperature, self.path_log
+        self.best, self.best_score = g_best, g_best_score
+        self.best_temperature, self.path_log = g_best_temp, g_best_path
+        if self.cfg.path_log:
+            self.write_path_log(self.cfg.path_log)
+        return g_best
 
     # ---- B5: simulated-annealing path log -----------------------------
     @staticmethod

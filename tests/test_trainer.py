@@ -165,3 +165,84 @@ def test_path_log_file_written(spark, tmp_path):
     dbw_idx = hdr.index("swissprot-Weight") + 1  # +1 for the quirk cell
     cell = first[dbw_idx]
     assert cell == "NA" or "." not in cell or len(cell.split(".")[1]) <= 6
+
+
+def test_random_params_distribution_goldens():
+    """Parameters.randomParameters (Parameters.java:54-69) +
+    Utils.randomMultipleOfTen/OneTenth (Utils.java:56-68) distribution
+    pins, modeled on ParametersTest.java:30-390: token weights are
+    normalized multiples-of-0.1 summing to 1 (4dp); db weights are
+    multiples of 10 covering exactly [10, 100]; dsbsw are multiples of 0.1
+    covering exactly [0.1, 1.0]."""
+    import random
+
+    from ahrd_spark.plans.trainer import random_params
+
+    rng = random.Random(123)
+    dbs = ["swissprot", "tair", "trembl"]
+    seen_dbw, seen_ds = set(), set()
+    for _ in range(2000):
+        p = random_params(dbs, rng)
+        assert round(p.token_bit + p.token_db + p.token_ovl, 3) == 1.0
+        assert [n for n, _ in p.db_weight] == dbs  # sorted db order
+        for _n, w in p.db_weight:
+            assert w in range(10, 101, 10)
+            seen_dbw.add(w)
+        for _n, w in p.dsbsw:
+            w10 = round(w * 10)
+            assert abs(w - w10 / 10) < 1e-12 and 1 <= w10 <= 10
+            seen_ds.add(w10)
+    # 2000 draws x 3 dbs: every value of both 10-point supports must appear
+    assert seen_dbw == set(range(10, 101, 10))
+    assert seen_ds == set(range(1, 11))
+
+
+def test_distinct_random_starts_are_pairwise_distinct():
+    """TrainerBatcher.generateDistinctRandomParameters
+    (TrainerBatcher.java:69-79): the start set is pairwise distinct even
+    when n forces redraws in a small space (1 db -> 100k-point space)."""
+    import random
+
+    from ahrd_spark.plans.trainer import distinct_random_starts
+
+    starts = distinct_random_starts(256, ["onlydb"], random.Random(5))
+    assert len({s.key() for s in starts}) == 256
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        distinct_random_starts(10**9, ["onlydb"], random.Random(5))
+
+
+def test_trainer_batcher_yaml_parses():
+    """trainer_batcher_example.yml (TrainerBatcher entry point) parses:
+    1024 start positions, the three reference DBs, weight keys absent from
+    the YAML filled with placeholder defaults."""
+    from ahrd_spark.plans.trainer import load_trainer_batcher
+
+    cfg, n = load_trainer_batcher(
+        f"{REF}/trainer_batcher_example.yml", base_dir=REF
+    )
+    assert n == 1024
+    assert cfg.db_names == ["swissprot", "tair", "trembl"]
+    assert cfg.references_fasta and cfg.proteins_fasta
+
+
+def test_train_multi_start_best_of_chains(spark):
+    """Two-chain integration: train_multi_start returns the best parameters
+    across both chains (best_score == max over multi_start_log), chains
+    start from distinct points, and the retained path_log is the winning
+    chain's."""
+    cfg = load_config(f"{REF}/evaluator_example.yml", base_dir=REF)
+    t = Trainer(spark, cfg, seed=11, temperature=2, cool_down_by=1,
+                scaling_factor=2e8)
+    best = t.train_multi_start(2, seed=99, max_iterations=2)
+    assert best is not None and len(t.multi_start_log) == 2
+    assert t.multi_start_log[0]["start"] != t.multi_start_log[1]["start"]
+    assert t.best_score == max(e["best_score"] for e in t.multi_start_log)
+    assert best.key() == next(
+        e["best"] for e in t.multi_start_log
+        if e["best_score"] == t.best_score
+    )
+    # winning chain's path log retained, one entry per iteration
+    assert len(t.path_log) == 2
+    assert all(e["params"] for e in t.path_log)
