@@ -47,7 +47,13 @@ def get_spark(
         # bigger Arrow batches cut the per-batch Python dispatch share of
         # the vectorized scorers (the NumPy kernels are batch-size-invariant;
         # 64k rows x ~15 cols ~ 10 MB per batch — well within executor heap)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # SPARK_GRAFT_ARROW_BATCH exists for stress-testing the batch
+        # scorers' group-boundary chaining: a tiny value (e.g. 64) forces
+        # Arrow batch splits inside nearly every protein group
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "65536"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
