@@ -39,6 +39,11 @@ def _runtime_session(app_name: str, shuffle_partitions: int | None) -> SparkSess
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # the docs scan is compute-dense (~1 s of regex/tokenize per MB in
+    # mention-detect, far above a typical scan), so the default 128 MB
+    # splits give each core multi-minute tasks with no straggler slack;
+    # 16 MB keeps scan tasks at a few seconds and task count >> cores
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     return spark
 
 

@@ -54,7 +54,10 @@ HEADLINE = [
 
 SYNTH_DOCS = int(os.environ.get("BENCH_SYNTH_DOCS", "80000"))
 SYNTH_HITS = 24
-PIPELINE_RUNS = int(os.environ.get("BENCH_PIPELINE_RUNS", "3"))
+# each child now runs warm-up + timed (2x pipeline executions), so two
+# interleaved children per level keep total bench wall-clock near the old
+# three-cold-children schedule while measuring steady state
+PIPELINE_RUNS = int(os.environ.get("BENCH_PIPELINE_RUNS", "2"))
 SCALE_N = int(os.environ.get("BENCH_SCALE_N", "1"))
 
 
@@ -117,19 +120,41 @@ def child_pipeline(par: int, docs_path: str):
     spark = get_spark(
         app_name=f"ahrd_bench_p{par}", master=f"local[{par}]",
         shuffle_partitions=par,
+        # mention-detect is compute-dense (~1 s/MB): 16 MB scan splits keep
+        # task count >> cores so the pre-shuffle stage has straggler slack
+        # (128 MB packs the 114 MB docs table into ~core-count splits)
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024)
+        },
     )
-    workdir = tempfile.mkdtemp(prefix=f"ahrd_bench_{par}_")
+    docs = spark.read.parquet(docs_path)
+
+    def one_run():
+        workdir = tempfile.mkdtemp(prefix=f"ahrd_bench_{par}_")
+        try:
+            stages: dict = {}
+            t0 = time.time()
+            run_pipeline(spark, docs, _pipeline_cfg(), workdir,
+                         num_partitions=par * 2, stage_timings=stages)
+            # row count comes from the materialize stage's lineage sidecar
+            # — the pipeline already recorded it; no extra Spark job
+            with open(
+                os.path.join(workdir, "materialize", "_lineage.json")
+            ) as fh:
+                n_triples = json.load(fh)["total_rows"]
+            return time.time() - t0, stages, n_triples
+        finally:
+            shutil.rmtree(workdir, ignore_errors=True)
+
     try:
-        docs = spark.read.parquet(docs_path)
-        stages: dict = {}
-        t0 = time.time()
-        run_pipeline(spark, docs, _pipeline_cfg(), workdir,
-                     num_partitions=par * 2, stage_timings=stages)
-        # row count comes from the materialize stage's lineage sidecar —
-        # the pipeline already recorded it; no extra Spark job
-        with open(os.path.join(workdir, "materialize", "_lineage.json")) as fh:
-            n_triples = json.load(fh)["total_rows"]
-        dt = time.time() - t0
+        # steady-state measurement: the first pipeline run in a fresh JVM
+        # pays ~13 s of JIT/whole-stage-codegen warmup (measured at par=4:
+        # 35 s cold vs 21-22 s for every later run in the same JVM) — a
+        # fixed per-JVM cost a long-running cluster job pays once, which
+        # would otherwise deflate the big level's throughput far more than
+        # the small level's.  One discarded warm-up run, then the timed run.
+        one_run()
+        dt, stages, n_triples = one_run()
         print(json.dumps({
             "parallelism": par,
             "docs": SYNTH_DOCS,
@@ -139,7 +164,6 @@ def child_pipeline(par: int, docs_path: str):
             "stages": stages,
         }))
     finally:
-        shutil.rmtree(workdir, ignore_errors=True)
         spark.stop()
 
 
