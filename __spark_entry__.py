@@ -639,7 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             stats.append(("f", st.st_size, st.st_mtime_ns))
         return hashlib.md5(repr((sf, stats)).encode()).hexdigest()[:12]
 
-    def _pipeline_triples_impl(spark, sf, prefer_go):
+    def _pipeline_triples_impl(spark, sf, prefer_go, mode="batch"):
         """docs -> mention-detect -> link-score -> canonicalize ->
         materialize, end-to-end through the checkpoint manager, on a docs
         table built from `documents` with the same derived-hit mapping the
@@ -719,7 +719,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ).alias("spans"),
             )
         )
-        variant = "goprefer" if prefer_go else "plain"
+        variant = ("goprefer" if prefer_go else "plain") + (
+            "_stream" if mode == "stream" else ""
+        )
         workdir = f"/tmp/ahrd_q_pipeline_{dkey}_{variant}"
         import shutil
 
@@ -728,7 +730,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             gene_ontology_result=goa_path,
             prefer_reference_with_go_annos=prefer_go,
         )
-        triples = run_pipeline(spark, docs, cfg, workdir)
+        if mode == "stream":
+            # incremental micro-batch mode: land the docs as multiple files,
+            # stream them through foreachBatch link-scoring, read the
+            # per-batch-partitioned sink back as one batch frame.  Same
+            # oracle as the batch chain — micro-batching must be exact.
+            from ahrd_spark.streaming.pipeline import stream_triples
+
+            src_dir = os.path.join(workdir, "docs_src")
+            sink = os.path.join(workdir, "sink")
+            docs.repartition(4).write.mode("overwrite").parquet(src_dir)
+            sq = stream_triples(
+                spark, cfg, src_dir, sink,
+                os.path.join(workdir, "stream_ckpt"),
+                max_files_per_trigger=2,
+            )
+            sq.awaitTermination(600)
+            triples = spark.read.parquet(sink)
+        else:
+            triples = run_pipeline(spark, docs, cfg, workdir)
         return triples.select(
             "subj", "pred", "obj", "obj_kind",
             F.round("score", 6).alias("score_r"),
@@ -745,8 +765,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         joined relationally in the batch scorer (no driver collect)."""
         return _pipeline_triples_impl(spark, sf, prefer_go=True)
 
+    def pipeline_triples_stream(spark, sf):
+        """Incremental (Structured Streaming foreachBatch) docs->triples:
+        the same docs arrive across multiple triggers and the union of the
+        per-batch outputs must equal the batch chain exactly — same SQL
+        oracle as pipeline_triples."""
+        return _pipeline_triples_impl(spark, sf, prefer_go=False,
+                                      mode="stream")
+
     q["pipeline_triples"] = pipeline_triples
     q["pipeline_triples_goprefer"] = pipeline_triples_goprefer
+    q["pipeline_triples_stream"] = pipeline_triples_stream
 
     def ann_lsh_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
@@ -1510,6 +1539,9 @@ FROM winner w JOIN goa g ON g.short_acc = w.short_acc
                  FROM documents WHERE doc_id % 7 = 0) g
         ON g.short_acc = s.short_acc)
     WHERE any_go = 0 OR has_go) WHERE rk = 1),""")
+
+    # the streaming micro-batch chain must be EXACTLY the batch chain
+    o["pipeline_triples_stream"] = o["pipeline_triples"]
 
     o["cc_components"] = """
 WITH edges AS (

@@ -157,3 +157,125 @@ def stateful_session_counts(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_triples(
+    spark: SparkSession,
+    cfg: AhrdConfig,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    synonym_edges: DataFrame | None = None,
+    num_partitions: int | None = None,
+    trigger_once: bool = True,
+    max_files_per_trigger: int = 8,
+):
+    """Incremental docs->triples: readStream(docs parquet landing zone) ->
+    foreachBatch(mention-detect + link-score + GO transfer + canonical map
+    -> idempotent per-batch parquet append under ``sink_dir/batch_id=N``).
+
+    Why micro-batching is EXACT here (not an approximation): a doc row is
+    self-contained — every hit of a protein lives in that protein's spans
+    array — and the scoring core's aggregations (E2/E3 totals, K1 top-k,
+    E10 argmax) are all per-protein.  A doc processed in batch N therefore
+    produces exactly the triples the batch pipeline would produce for it,
+    regardless of what other docs share the trigger.  The set-union of all
+    batch outputs equals the batch pipeline's output on the same docs
+    (pinned by tests/test_extras.py).
+
+    Exactly-once: the streaming checkpoint tracks consumed files; each
+    batch OVERWRITES its own ``batch_id=N`` directory, so a retried batch
+    rewrites the same rows instead of duplicating them (read the sink with
+    ``spark.read.parquet(sink_dir)`` — Spark maps the partition dirs back
+    to a ``batch_id`` column).
+
+    Static reference inputs (GOA, synonym edges) are resolved ONCE at
+    stream start and reused by every trigger: GOA is re-read per batch
+    semi-filtered to that batch's accessions (the reference-table scan is
+    predicate-pushed, never fully materialized), and the canonical map is a
+    small static frame broadcast into each batch.  InterPro hasDomain
+    triples come from a static per-config file in the reference layout, not
+    from the stream — run the batch pipeline for those.
+    """
+    from ahrd_spark.operators.connected_components import canonical_map
+    from ahrd_spark.operators.go_transfer import transfer_go
+    from ahrd_spark.operators.scoring_batch import select_winners_batch
+    from ahrd_spark.sources.goa import read_goa
+
+    docs = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    token_w = (
+        cfg.token_score_bit_score_weight,
+        cfg.token_score_database_score_weight,
+        cfg.token_score_overlap_score_weight,
+    )
+
+    def handle(batch_docs: DataFrame, batch_id: int) -> None:
+        mentions = detect_mentions(batch_docs, cfg).drop("media_ref")
+        goa = None
+        if cfg.has_go:
+            goa = read_goa(
+                spark,
+                cfg.gene_ontology_result,
+                cfg.reference_go_regex,
+                short_accessions=mentions.select("short_acc"),
+            )
+        winners = select_winners_batch(
+            mentions,
+            cfg.db_weights,
+            cfg.dsbs_weights,
+            token_w,
+            top_k=cfg.top_blast_results,
+            goa=goa,
+            prefer_go=cfg.prefer_reference_with_go_annos and goa is not None,
+            num_partitions=num_partitions,
+        )
+        triples = winners.select(
+            F.col("protein_acc").alias("subj"),
+            F.lit("hasDescription").alias("pred"),
+            F.col("description").alias("obj"),
+            F.lit("description").alias("obj_kind"),
+            F.col("desc_score").alias("score"),
+            F.col("db").alias("src_db"),
+            F.col("hit_acc").alias("src_hit"),
+        )
+        if goa is not None:
+            ents = transfer_go(winners, goa).select(
+                "protein_acc", F.explode("go_terms").alias("obj")
+            )
+            cmap = canonical_map(synonym_edges, ents.select("obj"))
+            go_triples = (
+                ents.join(
+                    F.broadcast(cmap.withColumnRenamed("node", "obj")),
+                    "obj",
+                    "left",
+                )
+                .join(
+                    winners.select("protein_acc", "db", "hit_acc"),
+                    "protein_acc",
+                    "left",
+                )
+                .select(
+                    F.col("protein_acc").alias("subj"),
+                    F.lit("hasGOTerm").alias("pred"),
+                    F.coalesce("canonical", "obj").alias("obj"),
+                    F.lit("go_term").alias("obj_kind"),
+                    F.lit(None).cast("double").alias("score"),
+                    F.col("db").alias("src_db"),
+                    F.col("hit_acc").alias("src_hit"),
+                )
+            )
+            triples = triples.unionByName(go_triples)
+        triples.write.mode("overwrite").parquet(
+            f"{sink_dir}/batch_id={batch_id}"
+        )
+
+    writer = docs.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

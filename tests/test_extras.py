@@ -284,3 +284,45 @@ def test_stateful_session_counts_stream_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got == {1: (3, 12), 2: (3, 12)}
+
+
+def test_stream_triples_equals_batch_pipeline(spark, tmp_path):
+    """Incremental docs->triples (stream_triples, foreachBatch micro-batch
+    mode) produces exactly the batch pipeline's (subj, pred, obj) set when
+    the same docs arrive across multiple triggers — micro-batching is
+    exact because docs are self-contained and scoring is per-protein.
+    Uses the reference's GO-prediction batch example, so the hasGOTerm
+    path (per-batch GOA semi-join + transfer) is exercised too."""
+    from ahrd_spark.config import load_config
+    from ahrd_spark.plans.docs import build_docs
+    from ahrd_spark.plans.pipeline import run_pipeline
+    from ahrd_spark.streaming.pipeline import stream_triples
+
+    cfg = load_config(
+        "/root/reference/ahrd_example_input_go_prediction.yml",
+        base_dir="/root/reference",
+    )
+    docs = build_docs(spark, cfg)
+    batch_triples = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in run_pipeline(
+            spark, docs, cfg, str(tmp_path / "batch_ckpt")
+        ).collect()
+    }
+
+    src = str(tmp_path / "docs_src")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    sink = str(tmp_path / "triples_sink")
+    q = stream_triples(
+        spark, cfg, src, sink, str(tmp_path / "stream_ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink)
+    assert "batch_id" in got.columns  # idempotent per-batch partition dirs
+    stream_triples_set = {
+        (r["subj"], r["pred"], r["obj"]) for r in got.collect()
+    }
+    assert stream_triples_set == batch_triples and len(batch_triples) > 0
+    # multiple triggers actually happened (3 source files, 1 per trigger)
+    assert got.select("batch_id").distinct().count() >= 2

@@ -270,3 +270,25 @@ def test_connected_components_local_contraction_parity(spark):
     }
     assert contracted == pure == auto
     assert len(pure) == 5000
+
+
+@pytest.mark.parametrize(
+    "yml,golden_file",
+    [
+        ("ahrd_example_input.yml", "golden_example.csv"),
+        ("ahrd_example_input_go_prediction.yml", "golden_go.csv"),
+    ],
+)
+def test_pipeline_golden_parity_batch_examples(spark, tmp_path, yml, golden_file):
+    """North-star P/R pin on the reference's own batch example configs
+    (ahrd_example_input / ahrd_example_input_go_prediction): the 4-stage
+    checkpointed docs->triples pipeline emits exactly the reference's
+    (subj, pred, obj) set — P = R = 1.0 ≥ 0.95.  Complements the
+    test-run-config parity above; together every reference example config
+    runs end-to-end through the pipeline, not just run_annotate."""
+    cfg = load_config(f"{REF}/{yml}", base_dir=REF)
+    docs = build_docs(spark, cfg)
+    triples = run_pipeline(spark, docs, cfg, str(tmp_path / "ckpt"))
+    got = {(r["subj"], r["pred"], r["obj"]) for r in triples.collect()}
+    expected = golden_triples(load_golden(golden_file))
+    assert got == expected and len(expected) > 0
