@@ -95,10 +95,13 @@ def main(argv: list[str] | None = None) -> int:
     spark = _runtime_session("ahrd_spark_pipeline", args.partitions)
     cfg = load_config(args.config) if args.config else default_config()
 
+    from ahrd_spark.sources.table_io import read_table, write_table
+
     if args.synth is not None:
         docs = synthesize_docs(spark, args.synth, partitions=args.partitions)
     else:
-        docs = spark.read.parquet(args.docs)
+        # table URI dispatch: iceberg:db.docs / table:name / parquet path
+        docs = read_table(spark, args.docs)
 
     stage_timings: dict = {}
     t0 = time.time()
@@ -112,9 +115,9 @@ def main(argv: list[str] | None = None) -> int:
     from pyspark.sql import functions as F
 
     obs = Observation("cli_out_rows")
-    triples.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
-        "overwrite"
-    ).parquet(args.out)
+    write_table(
+        triples.observe(obs, F.count(F.lit(1)).alias("rows")), args.out
+    )
     n = int(obs.get["rows"])
     print(json.dumps({
         "triples": n,

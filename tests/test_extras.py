@@ -326,3 +326,40 @@ def test_stream_triples_equals_batch_pipeline(spark, tmp_path):
     assert stream_triples_set == batch_triples and len(batch_triples) > 0
     # multiple triggers actually happened (3 source files, 1 per trigger)
     assert got.select("batch_id").distinct().count() >= 2
+
+
+def test_table_io_uri_dispatch(spark, tmp_path):
+    """table_io: the one seam for docs/triples IO — parquet paths and
+    catalog tables round-trip; iceberg: URIs parse and fail loudly here
+    (no Iceberg runtime jars in the sandbox, documented in the module)."""
+    import pytest as _pytest
+
+    from ahrd_spark.sources.table_io import (
+        parse_table_uri,
+        read_table,
+        write_table,
+    )
+
+    assert parse_table_uri("iceberg:db.docs") == ("iceberg", "db.docs")
+    assert parse_table_uri("table:t1") == ("table", "t1")
+    assert parse_table_uri("s3a://b/p") == ("path", "s3a://b/p")
+    assert parse_table_uri("/tmp/x") == ("path", "/tmp/x")
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(10).select(
+        F.col("id").alias("subj"), F.lit("p").alias("pred")
+    )
+    # path round-trip
+    p = str(tmp_path / "t")
+    write_table(df, p)
+    assert read_table(spark, p).count() == 10
+    # catalog-table round-trip (in-memory/derby catalog, no Iceberg needed)
+    write_table(df, "table:t_io_roundtrip")
+    try:
+        assert read_table(spark, "table:t_io_roundtrip").count() == 10
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_io_roundtrip")
+    # iceberg needs runtime jars + catalog config -> loud failure here
+    with _pytest.raises(Exception):
+        write_table(df, "iceberg:nosuch.catalog_table")
