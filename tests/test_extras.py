@@ -363,3 +363,21 @@ def test_table_io_uri_dispatch(spark, tmp_path):
     # iceberg needs runtime jars + catalog config -> loud failure here
     with _pytest.raises(Exception):
         write_table(df, "iceberg:nosuch.catalog_table")
+
+
+def test_minhash_short_doc_tail_behavior(spark):
+    """Docs shorter than shingle_k still get a signature (one truncated
+    shingle), and signatures are insensitive to the formulation's
+    element_at-past-end nulls: a 1-token doc's single shingle is the token
+    itself."""
+    from ahrd_spark.operators.dedup import minhash_signature
+
+    df = spark.createDataFrame(
+        [("a", "one"), ("b", "one two"), ("c", "one two three four")],
+        "doc_id string, text string",
+    )
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signature(df).collect()}
+    assert set(sigs) == {"a", "b", "c"} and all(len(s) == 16 for s in sigs.values())
+    # a's only shingle is "one"; c contains shingle "one two three" — all
+    # three docs must have DISTINCT signatures (different shingle sets)
+    assert sigs["a"] != sigs["b"] and sigs["b"] != sigs["c"]
