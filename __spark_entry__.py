@@ -789,6 +789,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh_topk"] = ann_lsh_topk
 
+    def dedup_canonical_q(spark, sf):
+        """Pair detection -> cluster collapse: LSH candidate pairs become
+        connected components; canonical_id = min doc id per cluster, docs
+        in no pair map to themselves (the keep-filter step of a real dedup
+        pipeline)."""
+        from ahrd_spark.operators.dedup import (
+            dedup_canonical,
+            lsh_candidate_pairs,
+            minhash_signature,
+        )
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        pairs = lsh_candidate_pairs(
+            minhash_signature(docs, num_hashes=4), bands=2, rows_per_band=2
+        )
+        return dedup_canonical(docs, pairs)
+
+    q["dedup_canonical"] = dedup_canonical_q
+
+    def sample_hash(spark, sf):
+        from ahrd_spark.operators.sampling import hash_sample
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return hash_sample(docs, 0.25, salt="v1").select("doc_id", "source")
+
+    q["sample_hash"] = sample_hash
+
+    def sample_stratified(spark, sf):
+        from ahrd_spark.operators.sampling import stratified_sample
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        fr = {"src0": 1.0, "src1": 0.5, "src2": 0.1}
+        return stratified_sample(docs, fr, strata_col="source",
+                                 salt="mix1").select("doc_id", "source")
+
+    q["sample_stratified"] = sample_stratified
+
     # ---- oracle-less (rows-only check) --------------------------------
     def events_stateful_sessions(spark, sf):
         """applyInPandasWithState sessionizer driven end-to-end: stream the
@@ -1056,6 +1093,45 @@ sig AS (
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+    # cluster collapse: recursive min-label closure over the SAME banded
+    # pair graph; docs in no pair map to themselves
+    o["dedup_canonical"] = ("WITH RECURSIVE " + minhash_cte.split("WITH ", 1)[1]) + """
+, banded AS (
+  SELECT doc_id, 0 AS band,
+         md5(h0::VARCHAR || '|' || h1::VARCHAR) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band,
+         md5(h2::VARCHAR || '|' || h3::VARCHAR) AS bucket FROM sig),
+prs AS (
+  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+sym AS (SELECT u, v FROM prs UNION SELECT v AS u, u AS v FROM prs),
+reach AS (
+  SELECT u AS node, u AS r FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT reach.node, sym.v AS r FROM reach JOIN sym ON sym.u = reach.r),
+comp AS (SELECT node, min(r) AS c FROM reach GROUP BY node)
+SELECT d.doc_id, coalesce(comp.c, d.doc_id) AS canonical_id
+FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+"""
+
+    # deterministic hash sampling: exact replay of _hash_bucket's md5 math
+    _bucket = (
+        "(('0x' || substr(md5(doc_id::VARCHAR || ':' || '{salt}'), 1, 15))"
+        "::BIGINT % 10000)"
+    )
+    o["sample_hash"] = f"""
+SELECT doc_id, source FROM documents
+WHERE {_bucket.format(salt="v1")} < 2500
+"""
+    o["sample_stratified"] = f"""
+SELECT doc_id, source FROM documents
+WHERE {_bucket.format(salt="mix1")} <
+      CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                  WHEN 'src2' THEN 1000 ELSE 0 END
 """
 
     o["dedup_jaccard"] = """

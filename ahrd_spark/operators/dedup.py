@@ -297,3 +297,26 @@ def embedding_dup_pairs(
         )
         .filter(F.col("cosine") >= F.lit(threshold))
     )
+
+
+def dedup_canonical(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """-> (doc_id, canonical_id): collapse near-duplicate candidate pairs
+    into clusters and pick one keeper per cluster.
+
+    This is the step a training-data pipeline actually runs after pair
+    detection: near-dup relations are not transitive pairwise decisions —
+    A~B and B~C must land A, B, C in ONE cluster or the "deduplicated"
+    corpus still contains B/C.  Clusters are the connected components of
+    the pair graph (delegates to the engine's web-scale CC operator);
+    canonical_id = the cluster's MINIMUM doc id (deterministic, join-free
+    to recompute).  Docs in no pair map to themselves.  Downstream keep
+    filter: ``result.filter(col("doc_id") == col("canonical_id"))``.
+    """
+    from ahrd_spark.operators.connected_components import canonical_map
+
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    return canonical_map(edges, df.select(F.col(id_col).alias("obj"))).select(
+        F.col("node").alias(id_col), F.col("canonical").alias("canonical_id")
+    )

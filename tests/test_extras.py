@@ -381,3 +381,59 @@ def test_minhash_short_doc_tail_behavior(spark):
     # a's only shingle is "one"; c contains shingle "one two three" — all
     # three docs must have DISTINCT signatures (different shingle sets)
     assert sigs["a"] != sigs["b"] and sigs["b"] != sigs["c"]
+
+
+def test_dedup_canonical_transitive_clusters(spark):
+    """A~B and B~C must collapse to ONE cluster even though (A,C) was never
+    a detected pair — dedup is component-wise, not pairwise."""
+    from ahrd_spark.operators.dedup import dedup_canonical
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(6)], "doc_id bigint"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "doc_a bigint, doc_b bigint"
+    )
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup_canonical(docs, pairs).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4}
+    # keep-filter semantics: one keeper per cluster
+    keepers = [d for d, c in got.items() if d == c]
+    assert sorted(keepers) == [0, 3, 4]
+
+
+def test_sampling_determinism_and_strata(spark):
+    """hash_sample: same (id, salt) -> same membership across calls and
+    partitionings; smaller fraction with the same salt nests inside the
+    larger.  stratified_sample: per-stratum rates, unknown strata dropped."""
+    from pyspark.sql import functions as F
+
+    from ahrd_spark.operators.sampling import hash_sample, stratified_sample
+
+    docs = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 4).cast("string")).alias("source"),
+    )
+    s25 = {r["doc_id"] for r in hash_sample(docs, 0.25, salt="s").collect()}
+    s25b = {
+        r["doc_id"]
+        for r in hash_sample(docs.repartition(13), 0.25, salt="s").collect()
+    }
+    assert s25 == s25b and 0.2 < len(s25) / 4000 < 0.3
+    s05 = {r["doc_id"] for r in hash_sample(docs, 0.05, salt="s").collect()}
+    assert s05 <= s25  # nested: same salt, smaller threshold
+    other = {r["doc_id"] for r in hash_sample(docs, 0.25, salt="t").collect()}
+    assert other != s25  # different salt -> different (disjoint-ish) sample
+
+    strat = stratified_sample(
+        docs, {"src0": 1.0, "src1": 0.25}, strata_col="source", salt="m"
+    )
+    by_src = {
+        r["source"]: r["n"]
+        for r in strat.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src.get("src0") == 1000          # fraction 1.0 keeps all
+    assert 150 < by_src.get("src1", 0) < 350   # ~25% of 1000
+    assert "src2" not in by_src and "src3" not in by_src  # allowlist
