@@ -826,6 +826,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sample_stratified"] = sample_stratified
 
+    def pack_sequences_q(spark, sf):
+        from ahrd_spark.operators.packing import pack_sequences
+        from ahrd_spark.operators.textstats import ws_token_count_expr
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+            "doc_id", ws_token_count_expr(F.col("text")).alias("n_tokens")
+        )
+        return pack_sequences(
+            docs, "n_tokens", budget=512, buckets=8, salt="p1"
+        ).select("doc_id", "n_tokens", "bucket", "pack_id")
+
+    q["pack_sequences"] = pack_sequences_q
+
     # ---- oracle-less (rows-only check) --------------------------------
     def events_stateful_sessions(spark, sf):
         """applyInPandasWithState sessionizer driven end-to-end: stream the
@@ -1132,6 +1145,22 @@ SELECT doc_id, source FROM documents
 WHERE {_bucket.format(salt="mix1")} <
       CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
                   WHEN 'src2' THEN 1000 ELSE 0 END
+"""
+
+    o["pack_sequences"] = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+           AS n_tokens,
+         (('0x' || substr(md5(doc_id::VARCHAR || ':' || 'p1'), 1, 15))::BIGINT % 8)
+           AS bucket
+  FROM documents)
+SELECT doc_id, n_tokens, bucket,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0) AS BIGINT)
+         AS pack_id
+FROM t
 """
 
     o["dedup_jaccard"] = """

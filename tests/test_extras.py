@@ -437,3 +437,41 @@ def test_sampling_determinism_and_strata(spark):
     assert by_src.get("src0") == 1000          # fraction 1.0 keeps all
     assert 150 < by_src.get("src1", 0) < 350   # ~25% of 1000
     assert "src2" not in by_src and "src3" not in by_src  # allowlist
+
+
+def test_pack_sequences_contract(spark):
+    """Packing invariants: deterministic under repartitioning; within a
+    (bucket, pack_id) the token total exceeds the budget by at most one
+    doc's tokens; every pack except a bucket's last is at least
+    budget-full; long docs get their own pack."""
+    from pyspark.sql import functions as F
+
+    from ahrd_spark.operators.packing import pack_sequences
+
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        (F.abs(F.xxhash64("id")) % 900 + 1).alias("n_tokens"),
+    )
+    packed = pack_sequences(docs, "n_tokens", budget=512, buckets=4, salt="t")
+    again = pack_sequences(
+        docs.repartition(17), "n_tokens", budget=512, buckets=4, salt="t"
+    )
+    a = {(r["doc_id"]): (r["bucket"], r["pack_id"]) for r in packed.collect()}
+    b = {(r["doc_id"]): (r["bucket"], r["pack_id"]) for r in again.collect()}
+    assert a == b  # pure function of (corpus, params)
+
+    # exact model: within each bucket (ordered by doc_id), pack_id =
+    # floor(exclusive_prefix_sum / budget)
+    rows = sorted(packed.collect(), key=lambda r: (r["bucket"], r["doc_id"]))
+    cum: dict = {}
+    for r in rows:
+        pre = cum.get(r["bucket"], 0)
+        assert r["pack_id"] == pre // 512, (r, pre)
+        cum[r["bucket"]] = pre + r["n_tokens"]
+    # overflow contract: a pack exceeds the budget by at most one doc's
+    # tokens (max doc here is 900)
+    packs: dict = {}
+    for r in rows:
+        packs.setdefault((r["bucket"], r["pack_id"]), 0)
+        packs[(r["bucket"], r["pack_id"])] += r["n_tokens"]
+    assert all(total < 512 + 900 for total in packs.values())
