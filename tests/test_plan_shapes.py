@@ -1,0 +1,97 @@
+"""Physical-plan regression tests — pin the measured plan-shape wins so a
+future refactor can't silently reintroduce them as perf bugs.
+
+Each assertion encodes a decision with a measured cost behind it (numbers
+in BASELINE.md):
+- mention-detect parse-once fusion (2.3x): the old composed plan let
+  predicate pushdown substitute the parse into ~15 filter conjuncts;
+- shuffle-free MinHash shingling (5x): the old plan shuffled+sorted the
+  full exploded token stream through a lead() window;
+- no row-at-a-time Python UDFs anywhere in the driver queries (the
+  engine's standing rule: JVM codegen or Arrow-vectorized only).
+"""
+
+import pytest
+
+from ahrd_spark.config import AhrdConfig, BlastDbConfig
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def cfg3():
+    return AhrdConfig(
+        blast_dbs=tuple(
+            BlastDbConfig(
+                name=f"db{i}", weight=[100, 50, 10][i],
+                description_score_bit_score_weight=[0.2, 0.4, 0.4][i],
+            )
+            for i in range(3)
+        )
+    )
+
+
+def test_detect_mentions_parse_once_plan(spark, cfg3):
+    from ahrd_spark.plans.docs import synthesize_docs
+    from ahrd_spark.plans.pipeline import detect_mentions
+
+    docs = synthesize_docs(spark, 100)
+    plan = _plan(detect_mentions(docs, cfg3))
+    # the 9-field tab split is evaluated exactly ONCE per span — the old
+    # composed formulation re-evaluated it once per pushed filter conjunct
+    assert plan.count("split(") == 1, plan[:2000]
+    # one Generate (the explode IS the pushdown barrier); no leftover
+    # rand()-style optimizer-fragile barriers
+    assert plan.count("Generate") == 1
+    assert "rand(" not in plan
+    # narrow plan: the stage has no shuffle of its own
+    assert "Exchange" not in plan
+
+
+def test_minhash_shuffle_free_shingles(spark):
+    from pyspark.sql import functions as F
+
+    from ahrd_spark.operators.dedup import minhash_signature
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("a b c d e f g").alias("text")
+    )
+    plan = _plan(minhash_signature(df))
+    # no per-doc window (the old formulation shuffled + sorted the full
+    # exploded token stream); the ONLY exchange is the post-partial-agg
+    # one-row-per-doc shuffle
+    assert "Window" not in plan
+    assert plan.count("Sort") == 0
+    # at most the post-partial-agg one-row-per-doc exchange (zero when the
+    # planner can prove doc co-partitioning, as on a range input)
+    assert plan.count("Exchange") <= 1, plan[:2000]
+    assert "HashAggregate" in plan  # map-side partial agg engaged
+
+
+def test_no_rowwise_python_udfs_in_driver_queries(spark):
+    """BatchEvalPython = row-at-a-time Python UDF — banned from every
+    driver query plan.  ArrowEvalPython/MapInPandas (vectorized) are the
+    allowed Python surfaces.  Plans are built (not executed) against
+    sf0.001; queries that EXECUTE work inside the query function
+    (checkpointed pipeline, streaming sinks) are exercised by their own
+    oracles and skipped here."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    skip = {
+        "pipeline_triples", "pipeline_triples_goprefer",
+        "pipeline_triples_stream", "events_stateful_sessions",
+    }
+    sf = "/root/testdata/sf0.001"
+    offenders = []
+    for name, fn in entrymod.queries().items():
+        if name in skip:
+            continue
+        plan = _plan(fn(spark, sf))
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, f"row-wise Python UDFs in: {offenders}"
