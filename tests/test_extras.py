@@ -475,3 +475,73 @@ def test_pack_sequences_contract(spark):
         packs.setdefault((r["bucket"], r["pack_id"]), 0)
         packs[(r["bucket"], r["pack_id"])] += r["n_tokens"]
     assert all(total < 512 + 900 for total in packs.values())
+
+
+def test_stream_triples_incremental_resume(spark, tmp_path):
+    """Restarting stream_triples with the same streaming checkpoint after
+    new docs land processes ONLY the new files (incremental ingest), and
+    the accumulated sink equals the batch pipeline over the full corpus."""
+    import glob
+    import shutil
+
+    from ahrd_spark.config import load_config
+    from ahrd_spark.plans.docs import build_docs
+    from ahrd_spark.plans.pipeline import run_pipeline
+    from ahrd_spark.streaming.pipeline import stream_triples
+
+    cfg = load_config(
+        "/root/reference/ahrd_example_input_go_prediction.yml",
+        base_dir="/root/reference",
+    )
+    docs = build_docs(spark, cfg).cache()
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    first, rest = ids[:-1], ids[-1:]
+
+    src = str(tmp_path / "src")
+    stage = str(tmp_path / "stage")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    from pyspark.sql import functions as F
+
+    docs.filter(F.col("doc_id").isin(first)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    q = stream_triples(spark, cfg, src, sink, ckpt)
+    q.awaitTermination(120)
+    batches_before = {
+        r["batch_id"]
+        for r in spark.read.parquet(sink).select("batch_id").distinct().collect()
+    }
+
+    # a new docs file lands; same checkpoint -> only the new file processes
+    docs.filter(F.col("doc_id").isin(rest)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    for f in glob.glob(f"{stage}/part-*"):
+        shutil.copy(f, f"{src}/late-{f.split('/')[-1]}")
+    q2 = stream_triples(spark, cfg, src, sink, ckpt)
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(sink)
+    new_batches = {
+        r["batch_id"]
+        for r in got.select("batch_id").distinct().collect()
+    } - batches_before
+    assert len(new_batches) == 1  # exactly one incremental batch ran
+    new_subjects = {
+        r["subj"]
+        for r in got.filter(
+            F.col("batch_id").isin([int(b) for b in new_batches])
+        ).select("subj").distinct().collect()
+    }
+    assert new_subjects <= set(rest)  # the late doc only
+
+    expected = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in run_pipeline(
+            spark, docs, cfg, str(tmp_path / "batch_ckpt")
+        ).collect()
+    }
+    accumulated = {(r["subj"], r["pred"], r["obj"]) for r in got.collect()}
+    assert accumulated == expected
