@@ -745,7 +745,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 os.path.join(workdir, "stream_ckpt"),
                 max_files_per_trigger=2,
             )
-            sq.awaitTermination(600)
+            # awaitTermination returns False on timeout (no raise) — a
+            # partially-written sink must fail loudly, not hash-mismatch
+            if not sq.awaitTermination(600):
+                sq.stop()
+                raise TimeoutError(
+                    "pipeline_triples_stream: streaming query did not "
+                    "finish within 600s"
+                )
             triples = spark.read.parquet(sink)
         else:
             triples = run_pipeline(spark, docs, cfg, workdir)

@@ -157,7 +157,11 @@ def _read_regex_list(path: str | None, base_dir: str) -> tuple[str, ...]:
         return tuple(ln.rstrip("\n") for ln in fh if ln.strip())
 
 
-def load_config(yml_path: str, base_dir: str | None = None) -> AhrdConfig:
+def load_config(
+    yml_path: str,
+    base_dir: str | None = None,
+    allow_missing_weights: bool = False,
+) -> AhrdConfig:
     """Parse an AHRD-style input.yml (Settings.java:248-376 analog).
 
     Relative paths in the YAML resolve against ``base_dir`` (defaults to the
@@ -181,14 +185,21 @@ def load_config(yml_path: str, base_dir: str | None = None) -> AhrdConfig:
         dbs.append(
             BlastDbConfig(
                 name=name,
-                # weight keys are optional: TrainerBatcher-style YAMLs
-                # (trainer_batcher_example.yml) omit them because every
-                # start point draws its own via Parameters.randomParameters
-                # — the defaults here are placeholders the multi-start
-                # trainer immediately overrides
-                weight=int(m.get("weight", 100)),
-                description_score_bit_score_weight=float(
-                    m.get("description_score_bit_score_weight", 0.5)
+                # weight keys are REQUIRED for annotate/pipeline configs —
+                # a missing or typo'd key must fail at load, not silently
+                # score with a placeholder.  Only the TrainerBatcher loader
+                # passes allow_missing_weights=True: its YAMLs omit weights
+                # by design because every start point draws its own via
+                # Parameters.randomParameters.
+                weight=(
+                    int(m.get("weight", 100))
+                    if allow_missing_weights
+                    else int(m["weight"])
+                ),
+                description_score_bit_score_weight=(
+                    float(m.get("description_score_bit_score_weight", 0.5))
+                    if allow_missing_weights
+                    else float(m["description_score_bit_score_weight"])
                 ),
                 seq_sim_table=_path(m.get("file")),
                 fasta_db=_path(m.get("database")),

@@ -41,7 +41,11 @@ def go_dag_closure(
     Spark session, broadcast downstream.  ``checkpoint_dir`` truncates the
     final lineage to reliable storage (``DataFrame.checkpoint``) for
     cluster fault tolerance; default localCheckpoint is the fast
-    single-process mode (same option contract as connected_components)."""
+    single-process mode.  Same option contract AND caveats as
+    connected_components: ``setCheckpointDir`` is session-global (share one
+    dir across concurrent callers) and reliable checkpoint files need
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (or manual
+    cleanup) to be reclaimed."""
     e = edges.toDF("go_term", "ancestor").filter(
         F.col("go_term") != F.col("ancestor")
     ).distinct().cache()

@@ -35,8 +35,13 @@ def interpro_closure(
 
     ``checkpoint_dir`` switches the final lineage truncation to reliable
     storage (``DataFrame.checkpoint``) so a long-lived cluster job survives
-    executor loss; default localCheckpoint is the fast single-process mode
-    (same option contract as connected_components)."""
+    executor loss; default localCheckpoint is the fast single-process mode.
+    Same option contract AND same caveats as connected_components:
+    ``setCheckpointDir`` is session-global (concurrent callers should share
+    one dir — files are per-RDD-uuid, so sharing is safe), and reliable
+    checkpoint files are only auto-deleted with
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true``; otherwise
+    clean the dir after the job."""
     parent_edges = interpro_db.filter(F.col("parent_id").isNotNull()).select(
         F.col("ipr_id"), F.col("parent_id").alias("superior_id")
     )

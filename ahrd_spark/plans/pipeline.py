@@ -299,6 +299,21 @@ def detect_mentions(docs: DataFrame, cfg: AhrdConfig) -> DataFrame:
     )
 
 
+def desc_triples(winners: DataFrame) -> DataFrame:
+    """winner rows -> (subj, hasDescription, obj, ...) triples — the ONE
+    definition of the triple schema, shared by the batch materialize stage
+    and the streaming foreachBatch path so the two cannot drift."""
+    return winners.select(
+        F.col("protein_acc").alias("subj"),
+        F.lit("hasDescription").alias("pred"),
+        F.col("description").alias("obj"),
+        F.lit("description").alias("obj_kind"),
+        F.col("desc_score").alias("score"),
+        F.col("db").alias("src_db"),
+        F.col("hit_acc").alias("src_hit"),
+    )
+
+
 def run_pipeline(
     spark: SparkSession,
     docs: DataFrame,
@@ -458,17 +473,9 @@ def run_pipeline(
 
     # -- stage 4: materialize -----------------------------------------
     def build_triples():
-        desc_triples = winners.select(
-            F.col("protein_acc").alias("subj"),
-            F.lit("hasDescription").alias("pred"),
-            F.col("description").alias("obj"),
-            F.lit("description").alias("obj_kind"),
-            F.col("desc_score").alias("score"),
-            F.col("db").alias("src_db"),
-            F.col("hit_acc").alias("src_hit"),
-        )
+        dt = desc_triples(winners)
         if canonical is None:
-            return desc_triples
+            return dt
         ent_triples = (
             canonical.join(
                 winners.select("protein_acc", "db", "hit_acc"), "protein_acc", "left"
@@ -483,7 +490,7 @@ def run_pipeline(
                 F.col("hit_acc").alias("src_hit"),
             )
         )
-        return desc_triples.unionByName(ent_triples)
+        return dt.unionByName(ent_triples)
 
     mat_inputs = ["link_score", "canonicalize"] if has_canonical else ["link_score"]
     return _timed("materialize", lambda: ckpt.run_stage(

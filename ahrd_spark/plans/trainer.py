@@ -121,19 +121,28 @@ def distinct_random_starts(
 ) -> list[Params]:
     """TrainerBatcher.generateDistinctRandomParameters
     (TrainerBatcher.java:69-79): redraw until n pairwise-distinct start
-    points exist.  The parameter space has 10^3 token-weight draws x
-    (10*10)^|dbs| per-db draws, so 1,024 distinct points always exist for
-    >=2 databases; a guard trips if n exceeds the space."""
-    space = 1000 * (100 ** len(list(db_names)))
-    if n > space:
-        raise ValueError(f"{n} distinct starts requested but space has {space}")
+    points exist.  NOTE: the distinct-KEY space is smaller than the raw
+    draw space (normalization collapses proportional token-weight draws:
+    (0.1,0.1,0.1) and (0.2,0.2,0.2) share one key), so exhaustion is
+    detected dynamically — a long run of draws with no new key raises
+    instead of spinning forever."""
     seen: set = set()
     out: list[Params] = []
+    since_progress = 0
     while len(out) < n:
         p = random_params(db_names, rng)
         if p.key() not in seen:
             seen.add(p.key())
             out.append(p)
+            since_progress = 0
+        else:
+            since_progress += 1
+            if since_progress > 100_000:
+                raise ValueError(
+                    f"no new distinct start point in {since_progress} draws "
+                    f"({len(out)}/{n} found) — n exceeds the distinct "
+                    f"parameter-key space for {len(list(db_names))} database(s)"
+                )
     return out
 
 
@@ -150,7 +159,7 @@ def load_trainer_batcher(yml_path: str, base_dir: str | None = None):
 
     from ahrd_spark.config import load_config
 
-    cfg = load_config(yml_path, base_dir=base_dir)
+    cfg = load_config(yml_path, base_dir=base_dir, allow_missing_weights=True)
     with open(yml_path) as fh:
         raw = yaml.safe_load(fh)
     n = int(raw.get("no_start_positions_in_parameter_space", 1000))
@@ -488,6 +497,11 @@ class Trainer:
                 best = self.train(max_iterations=max_iterations, start=start)
             finally:
                 self.cfg = self.cfg.with_(path_log=cfg_path_log)
+            if best is None:
+                raise ValueError(
+                    "SA chain ran zero iterations (temperature <= 0 or "
+                    "max_iterations == 0) — nothing to select a best from"
+                )
             self.multi_start_log.append(
                 {
                     "chain": i,

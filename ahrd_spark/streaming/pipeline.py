@@ -214,9 +214,20 @@ def stream_triples(
     )
 
     def handle(batch_docs: DataFrame, batch_id: int) -> None:
+        from ahrd_spark.plans.pipeline import desc_triples
+
         mentions = detect_mentions(batch_docs, cfg).drop("media_ref")
+        # the write action references the winners subplan up to 3x (desc
+        # triples, GO transfer, the source join-back) and mentions twice —
+        # Spark does no cross-subplan CSE, so without persisting each
+        # micro-batch would re-run mention-detect + the vectorized scorer
+        # per reference (the recomputation the batch path avoids by
+        # checkpointing each stage)
+        cached = []
         goa = None
         if cfg.has_go:
+            mentions = mentions.persist()
+            cached.append(mentions)
             goa = read_goa(
                 spark,
                 cfg.gene_ontology_result,
@@ -233,15 +244,10 @@ def stream_triples(
             prefer_go=cfg.prefer_reference_with_go_annos and goa is not None,
             num_partitions=num_partitions,
         )
-        triples = winners.select(
-            F.col("protein_acc").alias("subj"),
-            F.lit("hasDescription").alias("pred"),
-            F.col("description").alias("obj"),
-            F.lit("description").alias("obj_kind"),
-            F.col("desc_score").alias("score"),
-            F.col("db").alias("src_db"),
-            F.col("hit_acc").alias("src_hit"),
-        )
+        if goa is not None:
+            winners = winners.persist()
+            cached.append(winners)
+        triples = desc_triples(winners)
         if goa is not None:
             ents = transfer_go(winners, goa).select(
                 "protein_acc", F.explode("go_terms").alias("obj")
@@ -269,9 +275,13 @@ def stream_triples(
                 )
             )
             triples = triples.unionByName(go_triples)
-        triples.write.mode("overwrite").parquet(
-            f"{sink_dir}/batch_id={batch_id}"
-        )
+        try:
+            triples.write.mode("overwrite").parquet(
+                f"{sink_dir}/batch_id={batch_id}"
+            )
+        finally:
+            for df in cached:
+                df.unpersist(blocking=False)
 
     writer = docs.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

@@ -115,7 +115,7 @@ def main():
     try:
         subprocess.run(
             [sys.executable, "-c",
-             "import sys; sys.path.insert(0, '/root/repo');"
+             f"import sys; sys.path.insert(0, {os.path.dirname(os.path.dirname(me))!r});"
              "from ahrd_spark.plans.docs import synthesize_docs;"
              "from ahrd_spark.session import get_spark;"
              f"s=get_spark(app_name='synth', master='local[32]', shuffle_partitions=32);"
