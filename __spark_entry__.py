@@ -415,6 +415,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_doc_freq"] = token_doc_freq
 
+    def decontaminate(spark, sf):
+        from ahrd_spark.operators.decontam import contamination_flags
+
+        docs = _docs(spark, sf)
+        # deterministic stand-in benchmark: every 29th document plays the
+        # held-out eval set; flag anything sharing >=2 distinct 5-grams
+        bench = docs.filter(F.col("doc_id") % 29 == 0)
+        return contamination_flags(docs, bench, k=5, min_matches=2)
+
+    q["decontaminate"] = decontaminate
+
+    def doc_repetition(spark, sf):
+        from ahrd_spark.operators.textstats import repetition_stats
+
+        return repetition_stats(_docs(spark, sf))
+
+    q["doc_repetition"] = doc_repetition
+
     def dedup_embedding(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         return embedding_dup_pairs(emb, threshold=0.25, dim=64, bits=4).select(
@@ -1259,6 +1277,49 @@ SELECT u.token, CAST(count(*) AS BIGINT) AS doc_freq
 FROM (SELECT doc_id, {tok} AS toks FROM documents) d,
      unnest(d.toks) AS u(token)
 GROUP BY u.token
+"""
+
+    # decontamination: same whitespace tokenization + positional 5-grams
+    # as ngram_rows (list slice truncates past the end exactly like
+    # concat_ws skipping try_element_at nulls)
+    ws_toks = "string_split_regex(lower(trim(text)), '\\s+')"
+    o["decontaminate"] = f"""
+WITH t AS (SELECT doc_id, {ws_toks} AS toks FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS gram
+  FROM t, unnest(range(1, greatest(len(toks) - 4, 1) + 1)) AS u(i)),
+b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 29 = 0),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams
+        FROM g GROUP BY doc_id),
+m AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_matched
+      FROM g JOIN b USING (gram) GROUP BY g.doc_id)
+SELECT tot.doc_id, tot.n_ngrams,
+       coalesce(m.n_matched, 0) AS n_matched,
+       coalesce(m.n_matched, 0) >= 2 AS contaminated
+FROM tot LEFT JOIN m ON tot.doc_id = m.doc_id
+"""
+
+    o["doc_repetition"] = f"""
+WITH t AS (SELECT doc_id, {ws_toks} AS toks FROM documents),
+tc AS (SELECT doc_id, u.tok, count(*) AS c
+       FROM t, unnest(t.toks) AS u(tok) GROUP BY doc_id, u.tok),
+ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+              CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+              max(c) AS top_c
+       FROM tc GROUP BY doc_id),
+bg AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g
+       FROM t, unnest(range(1, greatest(len(toks) - 1, 1) + 1)) AS u(i)),
+bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+              CAST(count(*) AS BIGINT) AS n_distinct_bigrams
+       FROM bc GROUP BY doc_id)
+SELECT ts.doc_id, ts.n_tokens, ts.n_distinct_tokens,
+  round(top_c::DOUBLE / n_tokens, 6) AS top_token_frac,
+  round(1.0 - n_distinct_tokens::DOUBLE / n_tokens, 6) AS dup_token_frac,
+  round(1.0 - n_distinct_bigrams::DOUBLE / n_bigrams, 6) AS dup_bigram_frac,
+  ((top_c::DOUBLE / n_tokens > 0.20)
+   OR (1.0 - n_distinct_bigrams::DOUBLE / n_bigrams > 0.20)) AS repetitive
+FROM ts JOIN bs USING (doc_id)
 """
 
     # embedding near-dup: the hyperplane sign matrix is deterministic

@@ -11,7 +11,7 @@ one tokenization semantics.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ahrd_spark.functions.text import patternize_expr, tokenize_expr
@@ -94,6 +94,88 @@ def quality_score_expr(text: Column) -> Column:
         + F.lit(0.35) * alpha_ratio
         + F.lit(0.25) * (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0)))
         + F.lit(0.15) * wl_score
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_token_max_frac: float = 0.20,
+    dup_bigram_max_frac: float = 0.20,
+) -> DataFrame:
+    """Gopher-style repetition / boilerplate signals, one row per document:
+
+        (doc_id, n_tokens, n_distinct_tokens, top_token_frac,
+         dup_token_frac, dup_bigram_frac, repetitive)
+
+    ``top_token_frac``   most frequent token's share of all tokens,
+    ``dup_token_frac``   1 - distinct/total tokens,
+    ``dup_bigram_frac``  1 - distinct/total token bigrams,
+    ``repetitive``       top_token_frac > ``top_token_max_frac`` OR
+                         dup_bigram_frac > ``dup_bigram_max_frac``
+    (thresholds follow the published Gopher repetition-filter defaults).
+
+    Tokenization is the dedup family's order-preserving whitespace split
+    (NOT the AHRD T1 tokenizer, which dedupes and would zero every signal).
+
+    Scale shape: both signals are two-level hash aggregations —
+    (doc, token) / (doc, bigram) partial-aggregate map-side, then one
+    doc-keyed reduce — so a hot token never concentrates on one reducer
+    (the first-level key includes the token).  No UDFs, no windows, no
+    per-doc O(n^2) array lambdas (interpreted higher-order functions cost
+    ~1 ms/doc; see dedup.minhash_signature's measurement note).
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"),
+                     F.size(toks).alias("n"))
+
+    tok_rows = base.select("doc_id", F.explode("toks").alias("tok"))
+    tok_stats = (
+        tok_rows.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_distinct_tokens"),
+            F.max("c").alias("top_c"),
+        )
+    )
+
+    # bigram occurrences: explode start positions, index the carried array
+    # (codegen throughout — same formulation as dedup.minhash_signature)
+    pos = F.explode(
+        F.sequence(F.lit(1), F.greatest(F.col("n") - 1, F.lit(1)))
+    )
+    bigram = F.concat_ws(
+        " ",
+        F.try_element_at("toks", F.col("pos")),
+        F.try_element_at("toks", F.col("pos") + 1),
+    )
+    bi_stats = (
+        base.select("doc_id", pos.alias("pos"), "toks")
+        .select("doc_id", bigram.alias("g"))
+        .groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams"), F.count("*").alias("n_distinct_bigrams"))
+    )
+
+    top_frac = F.col("top_c").cast("double") / F.col("n_tokens")
+    dup_tok = F.lit(1.0) - F.col("n_distinct_tokens").cast("double") / F.col("n_tokens")
+    dup_bi = F.lit(1.0) - F.col("n_distinct_bigrams").cast("double") / F.col("n_bigrams")
+    return (
+        tok_stats.join(bi_stats, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct_tokens",
+            F.round(top_frac, 6).alias("top_token_frac"),
+            F.round(dup_tok, 6).alias("dup_token_frac"),
+            F.round(dup_bi, 6).alias("dup_bigram_frac"),
+            (
+                (top_frac > top_token_max_frac)
+                | (dup_bi > dup_bigram_max_frac)
+            ).alias("repetitive"),
+        )
     )
 
 

@@ -200,7 +200,7 @@ def test_stream_mention_detect(spark, tmp_path):
     docs = synthesize_docs(spark, 50, hits_per_doc=5)
     docs.write.parquet(src)
     q = stream_mention_detect(spark, cfg, src, sink, ck, trigger_once=True)
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not finish in 600s"
     got = spark.read.parquet(sink).count()
     expected = gate_candidates_multi(docs_to_hits(docs), cfg).count()
     assert got == expected > 0
@@ -274,7 +274,7 @@ def test_stateful_session_counts_stream_equals_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not finish in 600s"
     got = {
         r["user_id"]: (r["n_sessions"], r["n_events"])
         for r in spark.sql(
@@ -317,7 +317,7 @@ def test_stream_triples_equals_batch_pipeline(spark, tmp_path):
         spark, cfg, src, sink, str(tmp_path / "stream_ckpt"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not finish in 600s"
     got = spark.read.parquet(sink)
     assert "batch_id" in got.columns  # idempotent per-batch partition dirs
     stream_triples_set = {
@@ -508,7 +508,7 @@ def test_stream_triples_incremental_resume(spark, tmp_path):
         "overwrite"
     ).parquet(src)
     q = stream_triples(spark, cfg, src, sink, ckpt)
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not finish in 600s"
     batches_before = {
         r["batch_id"]
         for r in spark.read.parquet(sink).select("batch_id").distinct().collect()
@@ -521,7 +521,7 @@ def test_stream_triples_incremental_resume(spark, tmp_path):
     for f in glob.glob(f"{stage}/part-*"):
         shutil.copy(f, f"{src}/late-{f.split('/')[-1]}")
     q2 = stream_triples(spark, cfg, src, sink, ckpt)
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(600), "stream did not finish in 600s"
 
     got = spark.read.parquet(sink)
     new_batches = {
@@ -545,3 +545,66 @@ def test_stream_triples_incremental_resume(spark, tmp_path):
     }
     accumulated = {(r["subj"], r["pred"], r["obj"]) for r in got.collect()}
     assert accumulated == expected
+
+
+def test_contamination_flags(spark):
+    from ahrd_spark.operators.decontam import contamination_flags, ngram_rows
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon"),   # shares a 3-gram run
+            (1, "alpha beta gamma zeta eta"),        # shares one 3-gram
+            (2, "completely unrelated words here now"),
+            (3, "tiny doc"),                          # shorter than k
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in contamination_flags(docs, bench, k=3, min_matches=2).collect()
+    }
+    assert set(out) == {0, 1, 2, 3}          # zero-overlap docs still emitted
+    # doc0 grams: (a b g), (b g d), (g d e) — all 3 in the benchmark
+    assert out[0]["n_matched"] == 3 and out[0]["contaminated"]
+    # doc1 shares only (a b g)
+    assert out[1]["n_matched"] == 1 and not out[1]["contaminated"]
+    assert out[2]["n_matched"] == 0 and not out[2]["contaminated"]
+    # short doc yields exactly one whole-text gram, checked not exempted
+    assert out[3]["n_ngrams"] == 1 and out[3]["n_matched"] == 0
+
+    grams = {r["gram"] for r in ngram_rows(docs.filter("doc_id = 3"), k=3).collect()}
+    assert grams == {"tiny doc"}              # truncated, not padded/dropped
+
+
+def test_repetition_stats(spark):
+    from ahrd_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam"),              # maximally repetitive
+            (1, "one two three four five six"),      # fully diverse
+            (2, "ab cd ab cd ab cd"),                # repeated bigrams
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    r0 = out[0]
+    assert r0["n_tokens"] == 4 and r0["n_distinct_tokens"] == 1
+    assert r0["top_token_frac"] == 1.0 and r0["dup_token_frac"] == 0.75
+    # bigrams: "spam spam" x3 -> 1 - 1/3
+    assert r0["dup_bigram_frac"] == pytest.approx(0.666667, abs=1e-6)
+    assert r0["repetitive"]
+
+    r1 = out[1]
+    assert r1["dup_token_frac"] == 0.0 and r1["dup_bigram_frac"] == 0.0
+    assert r1["top_token_frac"] == pytest.approx(1 / 6, abs=1e-6)
+    assert not r1["repetitive"]
+
+    # doc2: 6 tokens, 2 distinct; 5 bigrams, 2 distinct ("ab cd", "cd ab")
+    r2 = out[2]
+    assert r2["dup_bigram_frac"] == pytest.approx(0.6, abs=1e-6)
+    assert r2["repetitive"]
