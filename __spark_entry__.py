@@ -971,6 +971,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_resize"] = multimodal_resize
 
+    # ---- REAL-codec multimodal queries (P6 PPM, public Netpbm spec) ----
+    # media synthesized as VALID P6 payloads with native expressions only,
+    # so the DuckDB oracle can rebuild byte-identical blobs and replay the
+    # decode/resize/frame math exactly.
+    def _ppm_media(spark, sf):
+        docs = _docs(spark, sf)
+        ref = F.concat(F.lit("synth://"), F.col("doc_id").cast("string"))
+        hx = F.md5(ref)
+        seed = F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint")
+        w = (F.lit(4) + seed % 12).cast("int")
+        h = (F.lit(4) + F.floor(seed / 12).cast("bigint") % 12).cast("int")
+        header = F.concat(
+            F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"),
+            F.lit("\n255\n"),
+        )
+        pixels = F.unhex(F.substring(F.repeat(hx, 43), F.lit(1), w * h * 6))
+        return docs.select(
+            hx.alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.concat(F.encode(header, "UTF-8"), pixels).alias("payload"),
+            F.lit("image/x-portable-pixmap").alias("mime"),
+            ref.alias("source_ref"),
+        )
+
+    def multimodal_ppm(spark, sf):
+        """Real P6 decode: width/height come from actually parsing the
+        header, pinned against the oracle's generation-math replay."""
+        return decode_media(_ppm_media(spark, sf)).select(
+            "media_id", "kind", "n_bytes", "width", "height",
+        )
+
+    q["multimodal_ppm"] = multimodal_ppm
+
+    def multimodal_ppm_resize(spark, sf):
+        """Real nearest-neighbor resize to 2x2; the oracle rebuilds the
+        exact output P6 bytes by replaying the floor-index pixel picks."""
+        from ahrd_spark.operators.multimodal import resize_images
+
+        return resize_images(_ppm_media(spark, sf), target_w=2, target_h=2).select(
+            "media_id", "width", "height",
+            F.lower(F.hex("payload")).alias("resized_hex"),
+        )
+
+    q["multimodal_ppm_resize"] = multimodal_ppm_resize
+
+    def multimodal_ppm_frames(spark, sf):
+        """Real frame extraction from a concatenated-P6 stream (the ffmpeg
+        image2pipe format): every 2nd frame's exact bytes."""
+        from ahrd_spark.operators.multimodal import sample_frames
+
+        docs = _docs(spark, sf)
+        ref = F.concat(F.lit("synth://"), F.col("doc_id").cast("string"))
+        hx = F.md5(ref)
+        seed = F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint")
+        n_frames = (F.lit(1) + seed % 5).cast("int")
+        frame = lambda i: F.concat(  # noqa: E731
+            F.encode(F.lit("P6\n2 2\n255\n"), "UTF-8"),
+            F.unhex(
+                F.substring(
+                    F.md5(F.concat(ref, F.lit("#"), i.cast("string"))), 1, 24
+                )
+            ),
+        )
+        stream = F.aggregate(
+            F.sequence(F.lit(0), n_frames - 1),
+            F.lit(b""),
+            lambda acc, i: F.concat(acc, frame(i)),
+        )
+        media = docs.select(
+            hx.alias("media_id"),
+            F.lit("video").alias("kind"),
+            stream.alias("payload"),
+            F.lit("video/x-ppm-stream").alias("mime"),
+            ref.alias("source_ref"),
+        )
+        return sample_frames(media, every_n=2, max_frames=8).select(
+            "media_id", "frame_no", F.lower(F.hex("payload")).alias("frame_hex")
+        )
+
+    q["multimodal_ppm_frames"] = multimodal_ppm_frames
+
     return q
 
 
@@ -1428,6 +1509,53 @@ SELECT md5(text) AS media_id,
        md5(text || '|224x224') AS resized_md5
 FROM documents WHERE doc_id % 3 = 0
 """
+    # REAL P6 codec queries: the oracle rebuilds the exact same P6 blobs
+    # (same md5-repeat pixel stream) and replays the decode / NN-resize /
+    # frame-slice math.  '50360a3220320a3235350a' = hex("P6\\n2 2\\n255\\n").
+    _ppm = """
+WITH d AS (SELECT 'synth://' || doc_id::VARCHAR AS ref FROM documents),
+m AS (SELECT ref, md5(ref) AS hx FROM d),
+s AS (SELECT ref, hx, ('0x' || substr(hx, 1, 8))::BIGINT AS seed FROM m),
+g AS (SELECT ref, hx, 4 + seed % 12 AS w, 4 + (seed // 12) % 12 AS h FROM s),
+p AS (SELECT ref, hx, w, h, repeat(hx, 43) AS rep,
+        encode('P6' || chr(10) || w::VARCHAR || ' ' || h::VARCHAR
+               || chr(10) || '255' || chr(10))
+        || unhex(substr(repeat(hx, 43), 1, CAST(w * h * 6 AS INT))) AS payload
+      FROM g)
+"""
+    o["multimodal_ppm"] = f"""
+{_ppm}
+SELECT hx AS media_id, 'image' AS kind,
+       CAST(octet_length(payload) AS INTEGER) AS n_bytes,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height
+FROM p
+"""
+
+    _pix = (
+        "substr(rep, 2 * ((({ty} * h // 2) * w + ({tx} * w // 2)) * 3) + 1, 6)"
+    )
+    o["multimodal_ppm_resize"] = f"""
+{_ppm}
+SELECT hx AS media_id, CAST(2 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+       '50360a3220320a3235350a'
+       || {_pix.format(ty=0, tx=0)} || {_pix.format(ty=0, tx=1)}
+       || {_pix.format(ty=1, tx=0)} || {_pix.format(ty=1, tx=1)} AS resized_hex
+FROM p
+"""
+
+    o["multimodal_ppm_frames"] = """
+WITH d AS (SELECT 'synth://' || doc_id::VARCHAR AS ref FROM documents),
+s AS (SELECT ref, md5(ref) AS hx,
+             1 + (('0x' || substr(md5(ref), 1, 8))::BIGINT % 5) AS n_frames
+      FROM d),
+f AS (SELECT ref, hx, u.i AS fno
+      FROM s, unnest(range(0, n_frames, 2)) AS u(i))
+SELECT hx AS media_id, CAST(fno AS INTEGER) AS frame_no,
+       '50360a3220320a3235350a' || substr(md5(ref || '#' || fno), 1, 24)
+         AS frame_hex
+FROM f
+"""
+
     o["ann_ivf_topk"] = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
            FROM embeddings WHERE vec_id < 5),

@@ -3,12 +3,21 @@ with typed metadata, processed by Arrow-batched pandas UDFs over
 ``mapInPandas``.
 
 The Spark-side machinery — schema, batch iteration, partition sizing,
-metadata propagation — is real and tested.  The actual codec work (image
-decode, resampling, frame extraction) is STUBBED: the sandbox has no
-imaging/audio libraries, so ``decode_media`` ships a deterministic fake
-"decoder" (shape/fingerprint derived from the bytes) behind the same UDF
-signature a real libvips/ffmpeg-backed implementation would use; swap
-``_decode_payload`` for the real library call on a cluster that has it.
+metadata propagation — is real and tested.  The codec layer is REAL for
+the public formats a NumPy-only environment can handle:
+
+- **image**: Netpbm P6 PPM (binary RGB, maxval<=255) — full header parse,
+  pixel decode to an (h, w, 3) array, encode back, nearest-neighbor resize.
+- **video**: concatenated P6 frames — exactly what ``ffmpeg -f image2pipe
+  -vcodec ppm`` emits — frame counting and true frame extraction.
+- **audio**: RIFF/WAVE header parse (PCM frame count from the data chunk
+  and block-align).
+
+Payloads in any OTHER format (JPEG/PNG/MP4/...) fall back to a clearly
+deterministic fake "decoder" (shape/fingerprint derived from the bytes)
+behind the same UDF signature — swap ``_decode_payload``'s fallback branch
+for PIL/libvips/pyav calls on a cluster that has them; the Arrow plumbing
+is identical either way.
 
 Media references from the docs model (``media`` spans / ``media_ref``
 pointers like ``aln://db/batch001.pairwise#hit``) resolve through
@@ -19,12 +28,114 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType, IntegerType, StringType, StructField, StructType,
 )
+
+
+# ---------------------------------------------------------------------------
+# real codecs (pure NumPy, public formats)
+# ---------------------------------------------------------------------------
+def _ppm_header(b: bytes, offset: int = 0) -> tuple[int, int, int, int]:
+    """Parse a P6 header starting at ``offset`` -> (width, height, maxval,
+    raster_start).  Follows the Netpbm spec: tokens separated by whitespace,
+    ``#`` comments run to end-of-line, exactly ONE whitespace byte after
+    maxval before the raster."""
+    if b[offset:offset + 2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos = offset + 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        # skip whitespace and comments
+        while pos < len(b) and b[pos:pos + 1].isspace():
+            pos += 1
+        if b[pos:pos + 1] == b"#":
+            while pos < len(b) and b[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and b[pos:pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("malformed P6 header")
+        vals.append(int(b[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    w, h, maxval = vals
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    return w, h, maxval, pos
+
+
+def ppm_decode(b: bytes) -> np.ndarray:
+    """P6 PPM bytes -> (h, w, 3) uint8 array."""
+    w, h, _maxval, pos = _ppm_header(b)
+    need = w * h * 3
+    raster = np.frombuffer(b, dtype=np.uint8, count=need, offset=pos)
+    return raster.reshape(h, w, 3)
+
+
+def ppm_encode(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 array -> P6 PPM bytes (maxval 255)."""
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        arr, dtype=np.uint8
+    ).tobytes()
+
+
+def ppm_resize_nn(arr: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
+    """Nearest-neighbor resize via integer index mapping
+    (src = floor(dst * src_extent / dst_extent))."""
+    h, w = arr.shape[:2]
+    ys = (np.arange(target_h) * h) // target_h
+    xs = (np.arange(target_w) * w) // target_w
+    return arr[ys][:, xs]
+
+
+def ppm_stream_frames(b: bytes) -> list[tuple[int, int]]:
+    """Concatenated-P6 stream (``ffmpeg -f image2pipe -vcodec ppm``) ->
+    [(offset, length)] per frame."""
+    frames = []
+    pos = 0
+    while pos < len(b):
+        w, h, _maxval, raster = _ppm_header(b, pos)
+        end = raster + w * h * 3
+        if end > len(b):
+            raise ValueError("truncated P6 frame in stream")
+        frames.append((pos, end - pos))
+        pos = end
+    return frames
+
+
+def wav_info(b: bytes) -> dict:
+    """RIFF/WAVE header parse -> {channels, sample_rate, frames}.
+    PCM frame count = data-chunk size / block align (public RIFF spec);
+    walks chunks, so fmt/data need not be adjacent."""
+    import struct
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    channels = sample_rate = block_align = None
+    data_size = None
+    while pos + 8 <= len(b):
+        cid, size = b[pos:pos + 4], struct.unpack("<I", b[pos + 4:pos + 8])[0]
+        if cid == b"fmt ":
+            channels, sample_rate = struct.unpack("<HI", b[pos + 10:pos + 16])
+            block_align = struct.unpack("<H", b[pos + 20:pos + 22])[0]
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if block_align in (None, 0) or data_size is None:
+        raise ValueError("missing fmt/data chunk")
+    return {
+        "channels": channels,
+        "sample_rate": sample_rate,
+        "frames": data_size // block_align,
+    }
 
 MEDIA_SCHEMA = StructType(
     [
@@ -50,11 +161,14 @@ DECODED_SCHEMA = StructType(
 
 
 def _decode_payload(kind: str, payload: bytes | None) -> dict:
-    """STUB decoder — deterministic fake features from the raw bytes.
+    """Decode one payload -> feature dict.
 
-    A real deployment replaces this body with PIL/libvips (image), soundfile
-    (audio) or pyav (video) calls; the surrounding Arrow plumbing is
-    unchanged.  Raises for unknown kinds, mirroring how a real codec path
+    REAL paths (magic-byte dispatch): P6 PPM images, concatenated-P6 video
+    streams, RIFF/WAVE audio.  Anything else falls back to the deterministic
+    fake features (md5 arithmetic) so unsupported formats still flow through
+    the pipeline with stable values — swap the fallback branch for
+    PIL/libvips (image), soundfile (audio) or pyav (video) on a cluster that
+    has them.  Raises for unknown kinds, mirroring how a real codec path
     would reject unsupported media.
     """
     import hashlib
@@ -63,9 +177,23 @@ def _decode_payload(kind: str, payload: bytes | None) -> dict:
         raise NotImplementedError(f"unsupported media kind: {kind}")
     b = payload or b""
     h = hashlib.md5(b).hexdigest()
-    seed = int(h[:8], 16)
     feats = {"n_bytes": len(b), "fingerprint": h, "width": None, "height": None,
              "frames": None}
+    if kind == "image" and b[:2] == b"P6":
+        w, hh, _maxval, _pos = _ppm_header(b)
+        feats["width"], feats["height"] = w, hh
+        return feats
+    if kind == "video" and b[:2] == b"P6":
+        frames = ppm_stream_frames(b)
+        w, hh, _maxval, _pos = _ppm_header(b, frames[0][0])
+        feats["width"], feats["height"] = w, hh
+        feats["frames"] = len(frames)
+        return feats
+    if kind == "audio" and b[:4] == b"RIFF":
+        feats["frames"] = wav_info(b)["frames"]
+        return feats
+    # fallback: deterministic fake features (documented stub seam)
+    seed = int(h[:8], 16)
     if kind == "image":
         feats["width"] = 16 + seed % 2048
         feats["height"] = 16 + (seed // 2048) % 2048
@@ -131,23 +259,26 @@ def resize_images(
     media: DataFrame, target_w: int = 224, target_h: int = 224
 ) -> DataFrame:
     """mapInPandas resize pass for image rows: -> (media_id, width, height,
-    payload).  Plumbing (Arrow batches, binary in/out, schema) is real; the
-    pixel work is the STUB — a real build swaps the body for
-    PIL.Image.resize/libvips thumbnail.  The stub emits a deterministic
-    payload (md5 of input bytes + target box) so downstream stages and
-    tests have stable bytes to check.
+    payload).
+
+    P6 PPM payloads get a REAL nearest-neighbor resize (NumPy index
+    mapping) and come back as valid P6 bytes of the target box.  Other
+    formats keep the deterministic stub payload (md5 of input bytes +
+    target box) — swap that branch for PIL.Image.resize/libvips thumbnail
+    where those libraries exist; the Arrow plumbing is identical.
     """
     import hashlib
+
+    def _resize_one(p: bytes | None) -> bytes:
+        b = p or b""
+        if b[:2] == b"P6":
+            return ppm_encode(ppm_resize_nn(ppm_decode(b), target_w, target_h))
+        return hashlib.md5(b + f"|{target_w}x{target_h}".encode()).digest()
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf[pdf["kind"] == "image"]
-            out_payload = [
-                hashlib.md5(
-                    (p or b"") + f"|{target_w}x{target_h}".encode()
-                ).digest()
-                for p in pdf["payload"]
-            ]
+            out_payload = [_resize_one(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].values,
@@ -173,9 +304,12 @@ def sample_frames(media: DataFrame, every_n: int = 30, max_frames: int = 8
                   ) -> DataFrame:
     """mapInPandas frame sampler for video rows — a 1->N batch expansion
     (the Arrow-batch analog of a generator/UDTF): every ``every_n``-th
-    frame up to ``max_frames`` per video.  Frame extraction itself is the
-    STUB (deterministic bytes per (video, frame_no)); a real build calls
-    pyav/ffmpeg inside the same batch loop.
+    frame up to ``max_frames`` per video.
+
+    Concatenated-P6 streams get REAL extraction: each emitted payload is
+    the actual standalone P6 frame sliced from the stream.  Other container
+    formats keep the deterministic stub bytes per (video, frame_no) — swap
+    that branch for pyav/ffmpeg where available.
     """
     import hashlib
 
@@ -184,6 +318,17 @@ def sample_frames(media: DataFrame, every_n: int = 30, max_frames: int = 8
             pdf = pdf[pdf["kind"] == "video"]
             ids, nos, payloads = [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = p or b""
+                if b[:2] == b"P6":
+                    spans = ppm_stream_frames(b)
+                    for i, fno in enumerate(range(0, len(spans), every_n)):
+                        if i >= max_frames:
+                            break
+                        off, ln = spans[fno]
+                        ids.append(mid)
+                        nos.append(fno)
+                        payloads.append(b[off:off + ln])
+                    continue
                 n_frames = _decode_payload("video", p)["frames"]
                 for i, fno in enumerate(range(0, n_frames, every_n)):
                     if i >= max_frames:
@@ -191,7 +336,7 @@ def sample_frames(media: DataFrame, every_n: int = 30, max_frames: int = 8
                     ids.append(mid)
                     nos.append(fno)
                     payloads.append(
-                        hashlib.md5((p or b"") + f"|f{fno}".encode()).digest()
+                        hashlib.md5(b + f"|f{fno}".encode()).digest()
                     )
             yield pd.DataFrame(
                 {"media_id": ids, "frame_no": nos, "payload": payloads}

@@ -608,3 +608,101 @@ def test_repetition_stats(spark):
     r2 = out[2]
     assert r2["dup_bigram_frac"] == pytest.approx(0.6, abs=1e-6)
     assert r2["repetitive"]
+
+
+def _naive_ppm(w, h, seed=7):
+    """Independent P6 builder: header + deterministic pixel bytes."""
+    pix = bytes((seed + 11 * i) % 256 for i in range(w * h * 3))
+    return b"P6\n%d %d\n255\n" % (w, h) + pix, pix
+
+
+def test_ppm_codec_roundtrip_and_header_quirks():
+    import numpy as np
+
+    from ahrd_spark.operators.multimodal import (
+        ppm_decode, ppm_encode, ppm_resize_nn, ppm_stream_frames, wav_info,
+    )
+
+    b, pix = _naive_ppm(5, 3)
+    arr = ppm_decode(b)
+    assert arr.shape == (3, 5, 3) and arr.tobytes() == pix
+    assert ppm_decode(ppm_encode(arr)).tobytes() == pix  # round-trip
+
+    # spec quirks: comments + multi-whitespace in the header
+    commented = b"P6 # c1\n# full comment line\n 5\t3 #w h\n255\n" + pix
+    assert ppm_decode(commented).tobytes() == pix
+
+    # nearest-neighbor equals the naive floor-mapped double loop
+    rs = ppm_resize_nn(arr, 2, 2)
+    for ty in range(2):
+        for tx in range(2):
+            sy, sx = (ty * 3) // 2, (tx * 5) // 2
+            assert (rs[ty, tx] == arr[sy, sx]).all()
+
+    # concatenated-P6 stream: offsets slice back to the exact inputs
+    f0, _ = _naive_ppm(2, 2, seed=1)
+    f1, _ = _naive_ppm(2, 2, seed=2)
+    f2, _ = _naive_ppm(2, 2, seed=3)
+    stream = f0 + f1 + f2
+    spans = ppm_stream_frames(stream)
+    assert [stream[o:o + n] for o, n in spans] == [f0, f1, f2]
+
+    # minimal PCM WAV: 2ch 16-bit 8kHz, 25 frames -> 100 data bytes
+    import struct
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    data = bytes(100)
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + fmt
+           + b"data" + struct.pack("<I", len(data)) + data)
+    info = wav_info(wav)
+    assert info == {"channels": 2, "sample_rate": 8000, "frames": 25}
+
+    with pytest.raises(ValueError):
+        ppm_decode(b"P5\n2 2\n255\n" + bytes(4))  # grayscale PGM rejected
+
+
+def test_multimodal_real_codecs_through_spark(spark):
+    from ahrd_spark.operators.multimodal import (
+        decode_media, resize_images, sample_frames,
+    )
+
+    img, _ = _naive_ppm(6, 4)
+    f0, _ = _naive_ppm(2, 2, seed=1)
+    f1, _ = _naive_ppm(2, 2, seed=2)
+    f2, _ = _naive_ppm(2, 2, seed=3)
+    import struct
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    wav = (b"RIFF" + struct.pack("<I", 36 + 64) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + fmt
+           + b"data" + struct.pack("<I", 64) + bytes(64))
+    rows = [
+        ("m_img", "image", bytearray(img), "image/x-portable-pixmap", None),
+        ("m_vid", "video", bytearray(f0 + f1 + f2),
+         "video/x-ppm-stream", None),
+        ("m_wav", "audio", bytearray(wav), "audio/wav", None),
+        ("m_jpg", "image", bytearray(b"\xff\xd8not-really-jpeg"),
+         "image/jpeg", None),  # fallback path stays alive
+    ]
+    from ahrd_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    dec = {r["media_id"]: r for r in decode_media(media).collect()}
+    assert (dec["m_img"]["width"], dec["m_img"]["height"]) == (6, 4)
+    assert dec["m_vid"]["frames"] == 3
+    assert (dec["m_vid"]["width"], dec["m_vid"]["height"]) == (2, 2)
+    assert dec["m_wav"]["frames"] == 32  # 64 bytes / block_align 2
+    assert dec["m_jpg"]["width"] is not None  # stub fallback still decodes
+
+    rs = {r["media_id"]: r for r in
+          resize_images(media, target_w=3, target_h=2).collect()}
+    from ahrd_spark.operators.multimodal import ppm_decode, ppm_resize_nn
+
+    expect = ppm_resize_nn(ppm_decode(img), 3, 2)
+    got = ppm_decode(bytes(rs["m_img"]["payload"]))
+    assert (got == expect).all()
+    assert len(rs["m_jpg"]["payload"]) == 16  # md5 stub for non-P6
+
+    fr = sample_frames(media, every_n=2, max_frames=8).collect()
+    by_no = {r["frame_no"]: bytes(r["payload"])
+             for r in fr if r["media_id"] == "m_vid"}
+    assert by_no == {0: f0, 2: f2}  # true byte slices, every 2nd frame
