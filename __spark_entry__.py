@@ -433,6 +433,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_repetition"] = doc_repetition
 
+    def pii_redact(spark, sf):
+        from ahrd_spark.operators.pii import redact_pii
+
+        docs = _docs(spark, sf)
+        # deterministically seed PII-ish content into every 7th doc so the
+        # operator has real matches to find (both sides build the same text)
+        d = F.col("doc_id")
+        seeded = F.when(
+            d % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"), d.cast("string"),
+                F.lit("@example.com or +1 (555) 010-"),
+                (d % 100).cast("string"),
+                F.lit(" at 10.0."), (d % 256).cast("string"), F.lit(".7"),
+            ),
+        ).otherwise(F.col("text"))
+        return redact_pii(docs.select("doc_id", seeded.alias("text")))
+
+    q["pii_redact"] = pii_redact
+
     def dedup_embedding(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         return embedding_dup_pairs(emb, threshold=0.25, dim=64, bits=4).select(
@@ -1401,6 +1422,32 @@ SELECT ts.doc_id, ts.n_tokens, ts.n_distinct_tokens,
   ((top_c::DOUBLE / n_tokens > 0.20)
    OR (1.0 - n_distinct_bigrams::DOUBLE / n_bigrams > 0.20)) AS repetitive
 FROM ts JOIN bs USING (doc_id)
+"""
+
+    # PII redaction: the pattern strings are shared with the operator
+    # (lookaround-free, so java.util.regex and RE2 agree); DuckDB needs the
+    # explicit 'g' flag to replace all matches like Spark does.
+    from ahrd_spark.operators.pii import PII_PATTERNS
+
+    _seeded = (
+        "CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || doc_id"
+        " || '@example.com or +1 (555) 010-' || (doc_id % 100)"
+        " || ' at 10.0.' || (doc_id % 256) || '.7' ELSE text END"
+    )
+    _red = "t"
+    for _name, _pat, _tok in PII_PATTERNS:
+        _red = f"regexp_replace({_red}, '{_pat}', '{_tok}', 'g')"
+    _cnts = ", ".join(
+        f"CAST(len(regexp_extract_all(t, '{_pat}')) AS INTEGER) AS n_{_name}"
+        for _name, _pat, _tok in PII_PATTERNS
+    )
+    o["pii_redact"] = f"""
+WITH s AS (SELECT doc_id, {_seeded} AS t FROM documents)
+SELECT doc_id, {_red} AS redacted, {_cnts},
+       (len(regexp_extract_all(t, '{PII_PATTERNS[0][1]}'))
+        + len(regexp_extract_all(t, '{PII_PATTERNS[1][1]}'))
+        + len(regexp_extract_all(t, '{PII_PATTERNS[2][1]}'))) > 0 AS has_pii
+FROM s
 """
 
     # embedding near-dup: the hyperplane sign matrix is deterministic

@@ -706,3 +706,26 @@ def test_multimodal_real_codecs_through_spark(spark):
     by_no = {r["frame_no"]: bytes(r["payload"])
              for r in fr if r["media_id"] == "m_vid"}
     assert by_no == {0: f0, 2: f2}  # true byte slices, every 2nd frame
+
+
+def test_pii_redaction(spark):
+    from ahrd_spark.operators.pii import redact_pii
+
+    rows = [
+        (0, "write to jane.doe+x@sub.example.co.uk for details"),
+        (1, "server at 192.168.10.255 port 8080"),
+        (2, "call +44 (20) 7946-0958 today"),
+        (3, "no pii here just words"),
+        (4, "a@b.io and 10.0.0.1 and +1 555 010 4242"),
+    ]
+    out = {r["doc_id"]: r for r in
+           redact_pii(spark.createDataFrame(rows, "doc_id bigint, text string")
+                      ).collect()}
+    assert out[0]["redacted"] == "write to <EMAIL> for details"
+    assert out[0]["n_email"] == 1 and out[0]["has_pii"]
+    assert out[1]["redacted"] == "server at <IP> port 8080"
+    assert out[2]["redacted"] == "call <PHONE> today"
+    assert out[3]["redacted"] == rows[3][1] and not out[3]["has_pii"]
+    r4 = out[4]
+    assert r4["redacted"] == "<EMAIL> and <IP> and <PHONE>"
+    assert (r4["n_email"], r4["n_ip"], r4["n_phone"]) == (1, 1, 1)
