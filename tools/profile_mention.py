@@ -3,14 +3,19 @@
 Each variant runs in its own subprocess (fresh JVM), local[4],
 best-of-N.  Variants:
 
-  full      ckpt.run_stage('mention_detect', ...)  — the real stage
-  nockpt    build_mentions() -> noop sink           — compute only
-  shred     docs_to_hits() -> noop sink             — shredding only
-  notok     gate without the tokens column -> noop  — gate minus tokenize
-  prepart   repartition docs BEFORE explode, skip ckpt repartition
-  noobs     full checkpoint write minus the Observation checksum
+  fusedfull   ckpt.run_stage over detect_mentions   — the real stage
+  fused       detect_mentions -> noop sink          — compute only
+  shred       docs_to_hits() -> noop sink           — shredding only
+  ckptsort    repartition+sort+observe+parquet      — write internals
+  ckptnosort  same minus the in-partition sort
+  ckpthashsort  sort prefixed with xxhash64(key)    — cheap-compare sort
+  ckptnoobs2  sort+write minus the Observation checksum
+  (legacy, pre-fusion composed plan — SLOW, see detect_mentions docstring:
+   full / nockpt / notok / prepart / noobs)
 
-Usage: python tools/profile_mention.py [runs]
+Usage: [PROFILE_WARM=1] python tools/profile_mention.py [runs]
+PROFILE_WARM=1 pays one warm-up execution per child JVM and times the
+second (bench.py's steady-state convention); default times the cold run.
 """
 from __future__ import annotations
 
@@ -43,6 +48,9 @@ def _cfg():
 
 
 def child(variant: str, docs_path: str):
+    """PROFILE_WARM=1: run the variant once to pay JIT/codegen warm-up, wipe
+    the workdir, then time a second execution (matches bench.py's
+    steady-state measurement)."""
     from pyspark.sql import functions as F
 
     from ahrd_spark.plans.checkpoint import CheckpointManager
@@ -54,9 +62,26 @@ def child(variant: str, docs_path: str):
                       shuffle_partitions=PAR)
     cfg = _cfg()
     docs = spark.read.parquet(docs_path)
+    warm = os.environ.get("PROFILE_WARM") == "1"
     workdir = tempfile.mkdtemp(prefix=f"prof_{variant}_")
+    for _round in range(2 if warm else 1):
+        if _round:  # wipe so the timed round never resumes a checkpoint
+            shutil.rmtree(workdir, ignore_errors=True)
+            os.makedirs(workdir, exist_ok=True)
+        t0 = time.time()
+        _run_variant(
+            variant, spark, docs, cfg, workdir, F,
+            CheckpointManager, docs_to_hits, gate_candidates_multi,
+        )
+    print(json.dumps({"variant": variant, "sec": round(time.time() - t0, 3)}))
+    shutil.rmtree(workdir, ignore_errors=True)
+    spark.stop()
+
+
+def _run_variant(variant, spark, docs, cfg, workdir, F,
+                 CheckpointManager, docs_to_hits, gate_candidates_multi):
     t0 = time.time()
-    try:
+    if True:
         if variant == "fusedfull":
             from ahrd_spark.plans.pipeline import detect_mentions
 
@@ -99,12 +124,33 @@ def child(variant: str, docs_path: str):
                 .repartition(PAR * 2, F.col("protein_acc")) \
                 .sortWithinPartitions("protein_acc", "line_no")
             out.write.mode("overwrite").parquet(os.path.join(workdir, "data"))
+        elif variant in ("ckptsort", "ckptnosort", "ckpthashsort", "ckptnoobs2"):
+            # isolate the checkpoint-write internals: repartition + sort +
+            # observe-checksum + parquet write (no sidecar/footer reads)
+            from pyspark.sql import Observation
+
+            from ahrd_spark.plans.pipeline import detect_mentions
+
+            out = detect_mentions(docs, cfg).drop("media_ref") \
+                .repartition(PAR * 2, F.col("protein_acc"))
+            if variant == "ckptsort":
+                out = out.sortWithinPartitions("protein_acc", "line_no")
+            elif variant == "ckpthashsort":
+                out = out.sortWithinPartitions(
+                    F.xxhash64("protein_acc"), "protein_acc", "line_no"
+                )
+            if variant != "ckptnoobs2":
+                obs = Observation(f"prof_{variant}")
+                out = out.observe(
+                    obs,
+                    F.count(F.lit(1)).alias("rows"),
+                    F.bit_xor(F.xxhash64(*out.columns)).alias("checksum"),
+                )
+            else:
+                out = out.sortWithinPartitions("protein_acc", "line_no")
+            out.write.mode("overwrite").parquet(os.path.join(workdir, "data"))
         else:
             raise SystemExit(f"unknown variant {variant}")
-        print(json.dumps({"variant": variant, "sec": round(time.time() - t0, 3)}))
-    finally:
-        shutil.rmtree(workdir, ignore_errors=True)
-        spark.stop()
 
 
 def main():
