@@ -286,7 +286,11 @@ def select_winners_batch(
     n = num_partitions or int(
         hits.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    # hash prefix: one long compare decides inter-protein order instead of
+    # long-common-prefix string compares; equal accessions hash equal, so
+    # each protein's rows stay contiguous with their (db, hit_acc, line_no)
+    # order intact — exactly what the per-group scorer needs
     arranged = slim.repartition(n, F.col("protein_acc")).sortWithinPartitions(
-        "protein_acc", "db", "hit_acc", "line_no"
+        F.xxhash64(F.col("protein_acc")), "protein_acc", "db", "hit_acc", "line_no"
     )
     return arranged.mapInPandas(process, WINNER_SCHEMA)
