@@ -95,3 +95,29 @@ def test_no_rowwise_python_udfs_in_driver_queries(spark):
         if "BatchEvalPython" in plan:
             offenders.append(name)
     assert not offenders, f"row-wise Python UDFs in: {offenders}"
+
+def test_no_broadcast_of_stream_derived_frames():
+    """Source-level invariant (round-1 and round-2 both caught one): an
+    explicit F.broadcast on a frame derived from the hits/docs stream can
+    exceed broadcast limits and kill the job at 100x scale — size-based
+    decisions on stream-derived sides belong to AQE.  Explicit broadcasts
+    are allowed only in dictionary/dimension modules (ontology closures,
+    InterPro metadata, ANN query/centroid sides, canonical maps)."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "ahrd_spark"
+    # scorer + skew modules consume the hits stream: any F.broadcast here
+    # is stream-derived by construction
+    stream_modules = [
+        pkg / "operators" / "scoring.py",
+        pkg / "operators" / "scoring_batch.py",
+        pkg / "operators" / "scoring_pandas.py",
+        pkg / "operators" / "skew.py",
+        pkg / "operators" / "dedup.py",
+        pkg / "plans" / "docs.py",
+    ]
+    offenders = [
+        str(m) for m in stream_modules
+        if m.exists() and "broadcast(" in m.read_text()
+    ]
+    assert not offenders, f"stream-side F.broadcast in: {offenders}"
