@@ -65,6 +65,9 @@ from ahrd_spark.streaming.pipeline import windowed_event_counts
 # shared constants (mirrored into the SQL oracles)
 # ---------------------------------------------------------------------------
 TOPK = 5
+# mixture-plan demo: rebalance four named sources, drop the rest
+MIXTURE_WEIGHTS = {"src0": 0.3, "src1": 0.2, "src2": 0.1, "src3": 0.05}
+MIXTURE_BUDGET = 50_000
 DB_WEIGHTS = {"db0": 100, "db1": 50, "db2": 10}
 DSBSW = {"db0": 0.2, "db1": 0.4, "db2": 0.4}
 TOKEN_W = (0.5, 0.3, 0.2)
@@ -414,6 +417,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return token_document_frequency(_docs(spark, sf), salt_buckets=16)
 
     q["token_doc_freq"] = token_doc_freq
+
+    def tfidf_terms(spark, sf):
+        from ahrd_spark.operators.corpus import tfidf_top_terms
+
+        return tfidf_top_terms(_docs(spark, sf), k=3, salt_buckets=16).select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("doc_freq").cast("bigint").alias("doc_freq"),
+            F.round("tfidf", 6).alias("tfidf_r"),
+        )
+
+    q["tfidf_terms"] = tfidf_terms
+
+    def bigram_lm_quality(spark, sf):
+        from ahrd_spark.operators.corpus import bigram_lm_scores
+
+        return bigram_lm_scores(_docs(spark, sf), add_k=0.5).select(
+            "doc_id",
+            "n_bigrams",
+            F.round("avg_logp", 6).alias("avg_logp_r"),
+        )
+
+    q["bigram_lm_quality"] = bigram_lm_quality
+
+    def mixture_plan_q(spark, sf):
+        from ahrd_spark.operators.corpus import mixture_plan
+
+        return mixture_plan(
+            _docs(spark, sf), MIXTURE_WEIGHTS, MIXTURE_BUDGET
+        ).select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "target_tokens",
+            F.round("sample_fraction", 6).alias("sample_fraction_r"),
+            F.round("epochs", 6).alias("epochs_r"),
+        )
+
+    q["mixture_plan"] = mixture_plan_q
+
+    def dedup_incremental(spark, sf):
+        from ahrd_spark.operators.dedup import incremental_novelty
+
+        docs = _docs(spark, sf)
+        # snapshot split: every 5th doc plays the NEW crawl, the rest the
+        # existing corpus — novelty = no LSH band bucket collision across
+        new = minhash_signature(docs.filter(F.col("doc_id") % 5 == 0), num_hashes=4)
+        corpus = minhash_signature(docs.filter(F.col("doc_id") % 5 != 0), num_hashes=4)
+        return incremental_novelty(new, corpus, bands=2, rows_per_band=2)
+
+    q["dedup_incremental"] = dedup_incremental
 
     def decontaminate(spark, sf):
         from ahrd_spark.operators.decontam import contamination_flags
@@ -1258,6 +1313,25 @@ SELECT d.doc_id, coalesce(comp.c, d.doc_id) AS canonical_id
 FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
 """
 
+    # cross-snapshot novelty: new = doc_id % 5 == 0, corpus = the rest;
+    # novel iff no band bucket of the new doc exists among corpus buckets
+    # (signatures are per-doc, so sig-over-all-then-filter == filter-then-sig)
+    o["dedup_incremental"] = minhash_cte + """
+, banded AS (
+  SELECT doc_id, 0 AS band,
+         md5(h0::VARCHAR || '|' || h1::VARCHAR) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band,
+         md5(h2::VARCHAR || '|' || h3::VARCHAR) AS bucket FROM sig),
+corpb AS (SELECT DISTINCT band, bucket FROM banded WHERE doc_id % 5 <> 0),
+hit AS (SELECT DISTINCT n.doc_id
+        FROM (SELECT * FROM banded WHERE doc_id % 5 = 0) n
+        JOIN corpb USING (band, bucket))
+SELECT s.doc_id, (hit.doc_id IS NULL) AS novel
+FROM (SELECT doc_id FROM sig WHERE doc_id % 5 = 0) s
+LEFT JOIN hit USING (doc_id)
+"""
+
     # deterministic hash sampling: exact replay of _hash_bucket's md5 math
     _bucket = (
         "(('0x' || substr(md5(doc_id::VARCHAR || ':' || '{salt}'), 1, 15))"
@@ -1379,6 +1453,70 @@ SELECT u.token, CAST(count(*) AS BIGINT) AS doc_freq
 FROM (SELECT doc_id, {tok} AS toks FROM documents) d,
      unnest(d.toks) AS u(token)
 GROUP BY u.token
+"""
+
+    # TF-IDF: whitespace tokens with duplicates (tf), distinct-per-doc terms
+    # (df), smoothed idf = ln((N+1)/(df+1)) + 1, top-3 per doc
+    o["tfidf_terms"] = """
+WITH t AS (SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\\s+') AS toks
+           FROM documents),
+tf AS (SELECT doc_id, u.term, CAST(count(*) AS BIGINT) AS tf
+       FROM t, unnest(t.toks) AS u(term)
+       WHERE u.term <> '' GROUP BY doc_id, u.term),
+dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS doc_freq
+        FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+s AS (SELECT tf.doc_id, tf.term, tf.tf, dfc.doc_freq,
+             tf.tf * (ln((n.n_docs + 1) / (dfc.doc_freq + 1)) + 1) AS tfidf
+      FROM tf JOIN dfc USING (term) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk FROM s)
+SELECT doc_id, term, tf, doc_freq, round(tfidf, 6) AS tfidf_r
+FROM r WHERE rk <= 3
+"""
+
+    # corpus-trained add-k bigram LM: P(w2|w1) = (c12+k)/(c1+k*V), k=0.5
+    o["bigram_lm_quality"] = """
+WITH t AS (SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\\s+') AS toks
+           FROM documents),
+occ AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        FROM t, unnest(range(1, greatest(len(toks) - 1, 1) + 1)) AS u(i)
+        WHERE len(toks) >= 2),
+db AS (SELECT doc_id, w1, w2, count(*) AS m FROM occ GROUP BY doc_id, w1, w2),
+uni AS (SELECT u.w1, count(*) AS c1
+        FROM t, unnest(t.toks) AS u(w1) GROUP BY u.w1),
+v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+bi AS (SELECT w1, w2, sum(m) AS c12 FROM db GROUP BY w1, w2),
+p AS (SELECT db.doc_id, db.m,
+             ln((bi.c12 + 0.5) / (uni.c1 + 0.5 * v.v)) AS logp
+      FROM db JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v),
+agg AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+               sum(m * logp) / sum(m) AS avg_logp
+        FROM p GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(agg.n_bigrams, 0) AS n_bigrams,
+       round(agg.avg_logp, 6) AS avg_logp_r
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+    mix_case = "CASE source " + " ".join(
+        f"WHEN '{s}' THEN CAST({w} AS DOUBLE)"
+        for s, w in sorted(MIXTURE_WEIGHTS.items())
+    ) + " ELSE CAST(0.0 AS DOUBLE) END"
+    o["mixture_plan"] = f"""
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END)
+              AS BIGINT) AS n_tokens,
+         ({mix_case}) * CAST({MIXTURE_BUDGET} AS DOUBLE) AS target_tokens
+  FROM documents GROUP BY source)
+SELECT source, n_docs, n_tokens, target_tokens,
+       round(least(target_tokens / n_tokens, 1.0), 6) AS sample_fraction_r,
+       round(target_tokens / n_tokens, 6) AS epochs_r
+FROM per
 """
 
     # decontamination: same whitespace tokenization + positional 5-grams

@@ -125,15 +125,14 @@ def minhash_signature(
     )
 
 
-def lsh_candidate_pairs(
+def banded_buckets(
     signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
 ) -> DataFrame:
-    """Band the signatures and emit candidate duplicate pairs (a < b) that
-    share at least one band bucket.  The join is keyed by (band, bucket
-    hash) — bucket sizes are the only skew surface; near-duplicate floods
-    (e.g. boilerplate) surface as big buckets, which AQE skew-join splits.
-    """
-    banded = signatures.select(
+    """(doc_id, band, bucket): LSH band buckets of a minhash signature —
+    bucket = md5 over the band's signature slice.  Shared by same-corpus
+    pair generation (``lsh_candidate_pairs``) and cross-snapshot novelty
+    (``incremental_novelty``)."""
+    return signatures.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -154,6 +153,17 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "bucket"),
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures and emit candidate duplicate pairs (a < b) that
+    share at least one band bucket.  The join is keyed by (band, bucket
+    hash) — bucket sizes are the only skew surface; near-duplicate floods
+    (e.g. boilerplate) surface as big buckets, which AQE skew-join splits.
+    """
+    banded = banded_buckets(signatures, bands, rows_per_band)
     # Aggregate bucket members first (ONE shuffle materializes the upstream
     # signature computation), then expand member pairs in place — a
     # self-join here would recompute the signatures for both sides.
@@ -167,6 +177,44 @@ def lsh_candidate_pairs(
         .select("doc_a", F.explode("ids").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
+    )
+
+
+def incremental_novelty(
+    new_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Cross-snapshot near-dup screening: (doc_id, novel) for every NEW
+    document — ``novel`` is false iff any of its LSH band buckets already
+    exists in the reference corpus.
+
+    This is the incremental-rebuild move a production pipeline runs every
+    snapshot: dedup the new crawl AGAINST the existing corpus without ever
+    re-pairing the existing corpus with itself (the anti-join side is
+    corpus *buckets*, not corpus documents x new documents).  Cost: one
+    join keyed by (band, bucket); the corpus side arrives pre-aggregated to
+    distinct buckets, so a boilerplate flood in the corpus is one row per
+    bucket, not one per document.  No N^2 term anywhere; both sides
+    partition by the uniform bucket hash.
+    """
+    new_b = banded_buckets(new_sigs, bands, rows_per_band)
+    corpus_b = banded_buckets(corpus_sigs, bands, rows_per_band).select(
+        "band", "bucket"
+    ).distinct()
+    hit = (
+        new_b.join(corpus_b, ["band", "bucket"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    return (
+        new_sigs.select("doc_id")
+        .join(hit, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce(~F.col("__hit"), F.lit(True)).alias("novel")
+        )
     )
 
 

@@ -299,6 +299,21 @@ def detect_mentions(docs: DataFrame, cfg: AhrdConfig) -> DataFrame:
     )
 
 
+def tokens_recompute_expr(cfg: AhrdConfig):
+    """T1 tokens from the checkpointed (already C3-filtered) description,
+    branched per distinct token-blacklist setting — byte-equal to the
+    tokens column detect_mentions computed in the gate (tokenize is a pure
+    function of the filtered description)."""
+    ft_groups = _grouped_by_regexes(
+        cfg.blast_dbs, lambda d: (d.filter, d.token_blacklist)
+    )
+    return _branch_by_db(
+        ft_groups,
+        lambda key: tokenize_expr(F.col("description"), key[1]),
+        F.array().cast("array<string>"),
+    )
+
+
 def desc_triples(winners: DataFrame) -> DataFrame:
     """winner rows -> (subj, hasDescription, obj, ...) triples — the ONE
     definition of the triple schema, shared by the batch materialize stage
@@ -349,14 +364,28 @@ def run_pipeline(
     )
 
     # -- stage 1: mention-detect --------------------------------------
+    # AHRD_KEEP_TOKENS=1 restores the pre-slim checkpoint layout (A/B knob;
+    # see BASELINE.md round-3 continuation for the measurement)
+    import os as _os
+
+    slim_tokens = _os.environ.get("AHRD_KEEP_TOKENS") != "1"
+
     def build_mentions():
         # media_ref stays in the docs table (span invariant) but is consumed
         # by no downstream stage — dropping it from the checkpoint saves
         # ~40 bytes/row of shuffle + parquet encode on the widest stage.
+        # tokens is DERIVED data (T1 over the checkpointed filtered
+        # description): the gate still computes it for the size()>0
+        # predicate, but writing the array column would roughly double the
+        # string payload of the widest checkpoint — link_score re-derives
+        # it with one split/sort pass at read time instead (recompute-vs-
+        # reread: the parquet encode + all-column checksum + re-read of the
+        # array costs more than the tokenize).
         # detect_mentions is the fused pre-explode formulation (2-3x the
         # composed gate_candidates_multi(docs_to_hits(...)) plan — see its
         # docstring for the pushdown-duplication story).
-        return detect_mentions(docs, cfg).drop("media_ref")
+        dropped = ["media_ref"] + (["tokens"] if slim_tokens else [])
+        return detect_mentions(docs, cfg).drop(*dropped)
 
     # (protein_acc, line_no) is already a unique total order for mention
     # rows (line_no = span position within the doc) — fewer sort/checksum
@@ -380,12 +409,17 @@ def run_pipeline(
     def build_winners():
         from ahrd_spark.operators.scoring_batch import select_winners_batch
 
+        scorer_in = (
+            mentions.withColumn("tokens", tokens_recompute_expr(cfg))
+            if slim_tokens
+            else mentions
+        )
         # GO preference stays relational: the GOA accession set joins onto
         # the mention rows as a boolean column inside select_winners_batch
         # (never a driver-side collect — at reference-GOA scale that set is
         # 10^7..10^9 accessions)
         return select_winners_batch(
-            mentions,
+            scorer_in,
             cfg.db_weights,
             cfg.dsbs_weights,
             (

@@ -1,0 +1,121 @@
+"""Semantic tests for the corpus-statistics operators (TF-IDF, bigram LM
+quality, mixture planning) and cross-snapshot incremental dedup — the
+invariants the DuckDB value-replay oracles can't express."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from ahrd_spark.operators.corpus import (
+    bigram_lm_scores,
+    mixture_plan,
+    tfidf_top_terms,
+)
+from ahrd_spark.operators.dedup import incremental_novelty, minhash_signature
+
+
+def test_tfidf_golden(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "apple cherry"),
+            (3, "banana banana banana date"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = tfidf_top_terms(docs, k=2, salt_buckets=4).collect()
+    got = {(r["doc_id"], r["term"]): (r["tf"], r["doc_freq"], r["tfidf"]) for r in rows}
+    # hand math: N=3; idf(t) = ln(4/(df+1)) + 1
+    idf = lambda df_: math.log(4.0 / (df_ + 1)) + 1  # noqa: E731
+    assert got[(1, "apple")][0] == 2 and got[(1, "apple")][1] == 2
+    assert abs(got[(1, "apple")][2] - 2 * idf(2)) < 1e-12
+    assert abs(got[(3, "banana")][2] - 3 * idf(2)) < 1e-12
+    # k=2: doc 1 has exactly 2 terms; rarer 'cherry' (df=1) outranks
+    # 'apple' (df=2) in doc 2 on idf at equal tf
+    d2 = sorted(
+        [(t, v[2]) for (d, t), v in got.items() if d == 2],
+        key=lambda x: -x[1],
+    )
+    assert d2[0][0] == "cherry"
+
+
+def test_tfidf_rank_determinism_on_ties(spark):
+    # equal tfidf -> term ASC breaks the tie, and k caps rows per doc
+    docs = spark.createDataFrame(
+        [(1, "zz aa"), (2, "zz aa")], "doc_id bigint, text string"
+    )
+    rows = tfidf_top_terms(docs, k=1, salt_buckets=2).collect()
+    assert {(r["doc_id"], r["term"]) for r in rows} == {(1, "aa"), (2, "aa")}
+
+
+def test_bigram_lm_scores_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "the cat ran"),
+            (3, "the cat sat"),
+            (4, "xqj zzk"),
+            (5, "single"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_scores(docs, add_k=0.5).collect()}
+    # <2 tokens -> no bigram positions, NULL score
+    assert out[5]["n_bigrams"] == 0 and out[5]["avg_logp"] is None
+    assert out[1]["n_bigrams"] == 2
+    # corpus-frequent transitions score higher than a one-off rare pair
+    assert out[1]["avg_logp"] > out[4]["avg_logp"]
+    # identical docs score identically
+    assert out[1]["avg_logp"] == out[3]["avg_logp"]
+    # hand math for doc 4: V=7 distinct unigrams (the cat sat ran xqj zzk
+    # single); c('xqj zzk')=1, c('xqj')=1
+    expect = math.log((1 + 0.5) / (1 + 0.5 * 7))
+    assert abs(out[4]["avg_logp"] - expect) < 1e-12
+
+
+def test_mixture_plan_arithmetic(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "web"),
+            (2, "d e", "web"),
+            (3, "f g h i", "books"),
+            (4, "j", "forum"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    out = {
+        r["source"]: r
+        for r in mixture_plan(
+            docs, {"web": 0.5, "books": 0.5}, token_budget=20
+        ).collect()
+    }
+    assert out["web"]["n_tokens"] == 5 and out["books"]["n_tokens"] == 4
+    # books wants 10 tokens but has 4 -> oversample (epochs 2.5), capped frac
+    assert abs(out["books"]["epochs"] - 2.5) < 1e-12
+    assert out["books"]["sample_fraction"] == 1.0
+    # web wants 10 of 5 -> epochs 2.0; forum absent from weights -> 0
+    assert abs(out["web"]["epochs"] - 2.0) < 1e-12
+    assert out["forum"]["target_tokens"] == 0.0
+    assert out["forum"]["sample_fraction"] == 0.0
+
+
+def test_incremental_novelty(spark):
+    corpus = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(3)],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon zeta"),  # exact dup
+            (101, "totally different words entirely here now"),
+        ],
+        "doc_id bigint, text string",
+    )
+    sig = lambda d: minhash_signature(d, num_hashes=4)  # noqa: E731
+    out = {
+        r["doc_id"]: r["novel"]
+        for r in incremental_novelty(
+            sig(new), sig(corpus), bands=2, rows_per_band=2
+        ).collect()
+    }
+    assert out == {100: False, 101: True}

@@ -128,10 +128,12 @@ def test_no_broadcast_hint_on_data_sized_frames():
 
     pkg = os.path.join(os.path.dirname(__file__), "..", "ahrd_spark")
     # corpus.orderBy(...).limit(n_centroids) is the IVF centroid seed —
-    # bounded by the n_centroids parameter, not by input size.
+    # bounded by the n_centroids parameter, not by input size; n_docs and
+    # vocab (operators/corpus.py) are 1-row global aggregates (count(*) /
+    # vocabulary size) — scalar at any input scale.
     allowed = re.compile(
         r"F\.broadcast\(\s*(q\b|centroids|cents|closure|ipr_db|cmap"
-        r"|corpus\.orderBy)"
+        r"|corpus\.orderBy|n_docs\b|vocab\b)"
     )
     offenders = []
     for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
