@@ -544,6 +544,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_cosine_topk"] = ann_cosine_topk
 
+    # ---- embedding clustering / semantic dedup -----------------------
+    def kmeans_assign_q(spark, sf):
+        from ahrd_spark.operators.clustering import kmeans_assign
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        return kmeans_assign(emb, n_clusters=10, iters=2).select(
+            "vec_id",
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            F.col("cosine").alias("cosine_r"),
+        )
+
+    q["kmeans_assign"] = kmeans_assign_q
+
+    def semantic_dedup_q(spark, sf):
+        from ahrd_spark.operators.clustering import semantic_dedup
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        # threshold 0.35: the synthetic embeddings are near-orthogonal
+        # (within-label max cosine ~0.47), so SemDeDup's usual 0.95+ finds
+        # nothing — 0.35 exercises a real keep/drop split (408/92 at sf0.01)
+        return semantic_dedup(
+            emb, n_clusters=10, iters=2, threshold=0.35
+        ).select(
+            "vec_id",
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            "keep",
+        )
+
+    q["semantic_dedup"] = semantic_dedup_q
+
     # ---- events: windows, sessions -----------------------------------
     def events_windowed(spark, sf):
         ev = spark.read.parquet(f"{sf}/events.parquet")
@@ -1792,6 +1822,63 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, neighbor_id ASC) rank
       FROM scored)
 WHERE rank <= 3
+"""
+
+    # k-means replay: unroll the Lloyd rounds as CTE pairs (assign a{i}
+    # from cents{i}, mean-update cents{i+1} from a{i}) — same lowest-id
+    # seeding, argmax-cosine assignment with lowest-cluster tie-break, and
+    # arithmetic-mean update as ahrd_spark.operators.clustering
+    def _kmeans_ctes(k: int, iters: int) -> str:
+        def assign(i: int) -> str:
+            return (
+                f"a{i} AS (SELECT vid, v, cluster_id FROM (\n"
+                "  SELECT c.vid, c.v, ce.cluster_id,\n"
+                "         row_number() OVER (PARTITION BY c.vid ORDER BY\n"
+                f"           {_cos.format(a='c.v', b='ce.cv')} DESC,\n"
+                "           ce.cluster_id ASC) rk\n"
+                f"  FROM c, cents{i} ce) WHERE rk = 1)"
+            )
+
+        parts = [
+            "c AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v"
+            " FROM embeddings)",
+            "cents0 AS (SELECT row_number() OVER (ORDER BY vid ASC) - 1"
+            " AS cluster_id, v AS cv"
+            f" FROM (SELECT * FROM c ORDER BY vid ASC LIMIT {k}))",
+        ]
+        for i in range(iters):
+            parts.append(assign(i))
+            parts.append(
+                f"cents{i + 1} AS (SELECT cluster_id,"
+                " list(m ORDER BY pos) AS cv FROM ("
+                "SELECT cluster_id, pos, avg(x) AS m FROM ("
+                "SELECT cluster_id, generate_subscripts(v, 1) AS pos,"
+                f" unnest(v) AS x FROM a{i}) t"
+                " GROUP BY cluster_id, pos) t2 GROUP BY cluster_id)"
+            )
+        parts.append(
+            "af AS (SELECT vid, v, cluster_id, cos FROM (\n"
+            "  SELECT c.vid, c.v, ce.cluster_id,\n"
+            f"         {_cos.format(a='c.v', b='ce.cv')} AS cos,\n"
+            "         row_number() OVER (PARTITION BY c.vid ORDER BY\n"
+            f"           {_cos.format(a='c.v', b='ce.cv')} DESC,\n"
+            "           ce.cluster_id ASC) rk\n"
+            f"  FROM c, cents{iters} ce) WHERE rk = 1)"
+        )
+        return "WITH " + ",\n".join(parts)
+
+    o["kmeans_assign"] = f"""
+{_kmeans_ctes(10, 2)}
+SELECT vid AS vec_id, cluster_id, round(cos, 6) AS cosine_r FROM af
+"""
+
+    o["semantic_dedup"] = f"""
+{_kmeans_ctes(10, 2)},
+dup AS (SELECT DISTINCT b.vid FROM af a JOIN af b
+        ON a.cluster_id = b.cluster_id AND a.vid < b.vid
+        WHERE {_cos.format(a='a.v', b='b.v')} >= 0.35)
+SELECT a.vid AS vec_id, a.cluster_id, (d.vid IS NULL) AS keep
+FROM af a LEFT JOIN dup d ON a.vid = d.vid
 """
 
     o["events_windowed"] = """
