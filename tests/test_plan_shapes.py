@@ -121,3 +121,30 @@ def test_no_broadcast_of_stream_derived_frames():
         if m.exists() and "broadcast(" in m.read_text()
     ]
     assert not offenders, f"stream-side F.broadcast in: {offenders}"
+
+
+def test_kmeans_assignment_shuffle_free_corpus_side(spark):
+    """k-means assignment must stay a broadcast-fold projection: the only
+    exchanges belong to the kilobyte centroid subtree (its single-partition
+    collect_list agg + the broadcast), never the corpus side — a corpus
+    shuffle per Lloyd round is the classic k-means scale killer."""
+    from pyspark.sql import functions as F
+
+    from ahrd_spark.operators.clustering import _assign
+
+    c = spark.range(200).select(
+        F.col("id").alias("vid"),
+        F.array(*[(F.col("id") * (i + 1)).cast("double") for i in range(4)])
+        .alias("v"),
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "cluster_id INT, cv ARRAY<DOUBLE>",
+    )
+    plan = _plan(_assign(c, cents))
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    # centroid subtree: one single-partition agg exchange + one broadcast
+    # exchange; corpus side contributes none
+    assert plan.count("Exchange") <= 2, plan[:2000]
