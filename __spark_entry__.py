@@ -557,6 +557,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kmeans_assign"] = kmeans_assign_q
 
+    def chunk_documents_q(spark, sf):
+        from ahrd_spark.operators.packing import chunk_documents
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return chunk_documents(docs, window=16, stride=11)
+
+    q["chunk_documents"] = chunk_documents_q
+
     def semantic_dedup_q(spark, sf):
         from ahrd_spark.operators.clustering import semantic_dedup
 
@@ -1866,6 +1874,31 @@ WHERE rank <= 3
             f"  FROM c, cents{iters} ce) WHERE rk = 1)"
         )
         return "WITH " + ",\n".join(parts)
+
+    # sliding-window chunking replay: same token split, start-offset
+    # arithmetic, and slice bounds as operators/packing.py::chunk_documents
+    # (window=16, stride=11)
+    o["chunk_documents"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM documents),
+n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+s AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(
+           0, CAST(ceil(GREATEST(n - 16, 0) / 11.0) AS BIGINT) * 11, 11
+         )) AS start_token
+  FROM n)
+SELECT doc_id,
+       start_token / 11 AS chunk_id,
+       start_token,
+       least(16, n - start_token) AS n_tokens,
+       array_to_string(list_slice(toks, start_token + 1, start_token + 16),
+                       ' ') AS chunk_text
+FROM s
+"""
 
     o["kmeans_assign"] = f"""
 {_kmeans_ctes(10, 2)}

@@ -53,3 +53,59 @@ def pack_sequences(
         "pack_id",
         F.floor((cum - F.col(token_col)) / F.lit(budget)).cast("bigint"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window token chunking for context-window preparation ->
+    (id_col, chunk_id, start_token, n_tokens, chunk_text).
+
+    Docs are whitespace-tokenized; chunk ``i`` covers tokens
+    [i*stride, i*stride + window).  Chunk count is
+    ``ceil(max(n - window, 0) / stride) + 1`` — every token lands in at
+    least one chunk, the final chunk may be shorter than ``window``, and a
+    doc at most ``window`` tokens long yields exactly one chunk.  Empty
+    docs yield one empty chunk (kept: downstream joins stay total over
+    doc ids).
+
+    Scale shape: pure per-row codegen — split once, one ``sequence`` of
+    start offsets, one explode, ``slice`` + ``concat_ws`` per chunk.  No
+    shuffle, no Python; output rows ~= corpus tokens / stride, produced
+    streaming inside the scan stage, so the operator pipelines into any
+    downstream shuffle (e.g. pack_sequences on the chunk token counts).
+    Overlap (window - stride tokens) is the standard training-data stride
+    redundancy; set stride == window for disjoint chunks.
+    """
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(F.size(toks))
+    n_chunks = (
+        F.ceil(F.greatest(n - window, F.lit(0)) / F.lit(stride)) + 1
+    ).cast("int")
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+    return (
+        df.select(
+            F.col(id_col),
+            toks.alias("_toks"),
+            n.alias("_n"),
+            F.posexplode(starts).alias("chunk_id", "start_token"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.col("start_token").cast("bigint").alias("start_token"),
+            F.least(
+                F.lit(window).cast("bigint"),
+                (F.col("_n") - F.col("start_token")).cast("bigint"),
+            ).alias("n_tokens"),
+            F.concat_ws(
+                " ", F.slice(F.col("_toks"), F.col("start_token") + 1, window)
+            ).alias("chunk_text"),
+        )
+    )

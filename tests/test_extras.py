@@ -477,6 +477,56 @@ def test_pack_sequences_contract(spark):
     assert all(total < 512 + 900 for total in packs.values())
 
 
+def test_chunk_documents_model(spark):
+    """Sliding-window chunking: every token covered, stride overlap exact,
+    tail chunk short, <=window docs yield one chunk, empty docs one empty
+    chunk."""
+    from pyspark.sql import functions as F
+
+    from ahrd_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(f"t{i}" for i in range(10))),   # 10 toks: 3 chunks
+            (1, "a b c"),                                  # 1 chunk, short
+            (2, " ".join(f"u{i}" for i in range(4))),    # exactly window
+            (3, ""),                                       # empty doc
+            (4, " ".join(f"v{i}" for i in range(7))),    # 7 toks: 2 chunks
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = sorted(
+        chunk_documents(docs, window=4, stride=3).collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 10 tokens, window 4, stride 3 -> ceil(6/3)+1 = 3 chunks
+    c0 = by_doc[0]
+    assert [(r.start_token, r.n_tokens) for r in c0] == [(0, 4), (3, 4), (6, 4)]
+    assert c0[1].chunk_text == "t3 t4 t5 t6"  # stride overlap of 1 token
+    assert by_doc[1][0].chunk_text == "a b c" and len(by_doc[1]) == 1
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_tokens == 4
+    assert len(by_doc[3]) == 1 and by_doc[3][0].n_tokens == 0
+    assert by_doc[3][0].chunk_text == ""
+    assert [(r.start_token, r.n_tokens) for r in by_doc[4]] == [(0, 4), (3, 4)]
+    # full coverage: union of [start, start+n_tokens) == [0, n)
+    covered = set()
+    for r in by_doc[0]:
+        covered |= set(range(r.start_token, r.start_token + r.n_tokens))
+    assert covered == set(range(10))
+    # disjoint mode
+    dis = chunk_documents(
+        docs.filter("doc_id = 0"), window=4, stride=4
+    ).collect()
+    assert sorted((r.start_token, r.n_tokens) for r in dis) == [
+        (0, 4), (4, 4), (8, 2)
+    ]
+    with pytest.raises(ValueError):
+        chunk_documents(docs, window=0, stride=3)
+
+
 def test_stream_triples_incremental_resume(spark, tmp_path):
     """Restarting stream_triples with the same streaming checkpoint after
     new docs land processes ONLY the new files (incremental ingest), and
