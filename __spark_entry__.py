@@ -565,6 +565,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["chunk_documents"] = chunk_documents_q
 
+    def pagerank_q(spark, sf):
+        from ahrd_spark.operators.graph import pagerank
+
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        # bipartite order->part edge table; prefixes keep the two integer
+        # key spaces from colliding as graph nodes.  Every part node is
+        # dangling (no out-edges), so the redistribution path is exercised.
+        edges = li.select(
+            F.concat(F.lit("o"), F.col("l_orderkey")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+        )
+        return pagerank(edges, iters=3).select(
+            "node", F.round("rank", 6).alias("rank_r")
+        )
+
+    q["pagerank"] = pagerank_q
+
     def semantic_dedup_q(spark, sf):
         from ahrd_spark.operators.clustering import semantic_dedup
 
@@ -1874,6 +1891,36 @@ WHERE rank <= 3
             f"  FROM c, cents{iters} ce) WHERE rk = 1)"
         )
         return "WITH " + ",\n".join(parts)
+
+    # PageRank replay: unrolled synchronous iterations — same distinct
+    # edge set, out-degree weights, uniform dangling redistribution, and
+    # damping as operators/graph.py::pagerank (iters=3, d=0.85)
+    def _pr_iter(i: int) -> str:
+        return f"""r{i + 1} AS (
+  SELECT nodes.node,
+         (1 - 0.85) / nc.n + 0.85 * (coalesce(im.m, 0) + dg.dm / nc.n)
+           AS rank
+  FROM nodes
+  CROSS JOIN nc
+  CROSS JOIN (SELECT coalesce(sum(r.rank), 0) AS dm FROM r{i} r
+              WHERE r.node NOT IN (SELECT src FROM od)) dg
+  LEFT JOIN (SELECT w.dst AS node, sum(r.rank * w.w) AS m
+             FROM r{i} r JOIN w ON r.node = w.src GROUP BY w.dst) im
+        ON im.node = nodes.node)"""
+
+    o["pagerank"] = f"""
+WITH e AS (SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS src,
+                  'p' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nc AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+od AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src),
+w AS (SELECT e.src, e.dst, 1.0 / od.deg AS w FROM e JOIN od USING (src)),
+r0 AS (SELECT node, 1.0 / nc.n AS rank FROM nodes, nc),
+{_pr_iter(0)},
+{_pr_iter(1)},
+{_pr_iter(2)}
+SELECT node, round(rank, 6) AS rank_r FROM r3
+"""
 
     # sliding-window chunking replay: same token split, start-offset
     # arithmetic, and slice bounds as operators/packing.py::chunk_documents
