@@ -34,6 +34,12 @@ TOKEN_SPLITTER_REGEX = "-|/|;|\\\\|,|:|\"|'|\\.|\\s+|\\||\\(|\\)"
 # twelve alternation attempts (tokenize is the widest scan expression in
 # mention-detect).  Equivalence is asserted in tests/test_text_functions.py.
 TOKEN_SPLITTER_FAST = "[-/;\\\\,:\"'.|()\\s]+"
+# Negated splitter class: a description yields >=1 token iff it contains
+# any character OUTSIDE the splitter set (the mention gate's "has a token"
+# predicate reduces to one rlike of this class when the token blacklist is
+# empty — no split, no array allocation).  Derived, not hand-copied, so the
+# two classes cannot drift.
+NON_SPLITTER_CHAR = TOKEN_SPLITTER_FAST[:-1].replace("[", "[^", 1)
 
 # AHRD.java:160 — hardcoded top-k cap per (protein, blast database)
 TOP_BLAST_RESULTS = 200

@@ -87,6 +87,30 @@ def tokenize_expr(desc: Column, token_blacklist=()) -> Column:
     return F.sort_array(F.array_remove(toks, ""))
 
 
+def has_token_expr(desc: Column, token_blacklist=()) -> Column:
+    """TRUE iff ``tokenize_expr(desc, token_blacklist)`` would be non-empty,
+    without materializing the token array (the mention gate only needs the
+    emptiness verdict; the array itself is dropped from the slim checkpoint
+    and re-derived in link-score).
+
+    - empty blacklist: >=1 token  <=>  >=1 non-splitter character.  One
+      rlike, no split, no array.  (lower() cannot turn a non-splitter char
+      into a splitter: the splitter class is punctuation/whitespace only.)
+    - with a blacklist: exists() over the split — short-circuits on the
+      first surviving token and skips tokenize's distinct + sort.
+
+    Equivalence with size(tokenize_expr(...)) > 0 is pinned by
+    tests/test_text_functions.py (incl. a hypothesis property).
+    """
+    from ahrd_spark.config import NON_SPLITTER_CHAR, TOKEN_SPLITTER_FAST
+
+    combined = combine_find_regexes(token_blacklist)
+    if combined is None:
+        return desc.rlike(NON_SPLITTER_CHAR)
+    toks = F.split(F.lower(desc), TOKEN_SPLITTER_FAST)
+    return F.exists(toks, lambda t: (t != F.lit("")) & ~t.rlike(combined))
+
+
 def patternize_expr(tokens: Column) -> Column:
     """T2: sorted unique tokens concatenated — the description-line identity
     key (BlastResult.java:391-401)."""

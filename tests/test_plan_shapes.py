@@ -41,13 +41,23 @@ def test_detect_mentions_parse_once_plan(spark, cfg3):
     plan = _plan(detect_mentions(docs, cfg3))
     # the 9-field tab split is evaluated exactly ONCE per span — the old
     # composed formulation re-evaluated it once per pushed filter conjunct
-    assert plan.count("split(") == 1, plan[:2000]
+    assert plan.count("\t, 9") == 1, plan[:2000]
+    # tokens is output-only: exactly one further split (the tokenize over
+    # the filtered description), in the post-filter Project
+    assert plan.count("split(") == 2, plan[:2000]
     # one Generate (the explode IS the pushdown barrier); no leftover
     # rand()-style optimizer-fragile barriers
     assert plan.count("Generate") == 1
     assert "rand(" not in plan
     # narrow plan: the stage has no shuffle of its own
     assert "Exchange" not in plan
+
+    # the production slim-checkpoint path drops tokens -> Catalyst must
+    # prune the ENTIRE tokenize out of the stage (the gate's ">=1 token"
+    # predicate is the rlike of the negated splitter class, not a split)
+    slim = _plan(detect_mentions(docs, cfg3).drop("tokens", "media_ref"))
+    assert slim.count("split(") == 1, slim[:2000]
+    assert "sort_array" not in slim and "array_distinct" not in slim
 
 
 def test_minhash_shuffle_free_shingles(spark):

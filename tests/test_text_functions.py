@@ -152,3 +152,58 @@ def test_fast_splitter_equivalent_to_reference_alternation(spark):
         ).alias("fast"),
     )
     assert fx.filter(F.col("ref") != F.col("fast")).count() == 0
+
+def test_has_token_expr_equivalent_to_tokenize_nonempty(spark):
+    """has_token_expr (the mention gate's cheap ">=1 token" predicate) must
+    agree with size(tokenize_expr(...)) > 0 on every input, for both the
+    empty-blacklist rlike path and the exists() blacklist path — including
+    strings made ONLY of splitter chars, empties, and unicode."""
+    from ahrd_spark.functions.text import has_token_expr, tokenize_expr
+
+    strings = [
+        "a--b", "x  y", "-lead", "trail-", "a-/;,:'\".|()b", "", "   ",
+        "-/;,:'\".|()", "...", "|", "Flavohemoprotein-1", "123",
+        "OS=Arabidopsis (thaliana) | AT1G01040.1", "\\", "\\a\\",
+        "ünïcödé tökens", "UPPER lower MiXeD", "\t\n ", "e-105", "(1)",
+        "kinase", "putative protein 42", "42 7 9", None,
+    ]
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    for bl in [(), ("(?i)^\\d+$",), ("(?i)protein", "^e$"), ("^.*$",)]:
+        got = df.select(
+            F.coalesce(has_token_expr(F.col("s"), bl), F.lit(False)).alias("fast"),
+            F.coalesce(
+                F.size(tokenize_expr(F.col("s"), bl)) > 0, F.lit(False)
+            ).alias("full"),
+            "s",
+        )
+        bad = [r for r in got.collect() if r["fast"] != r["full"]]
+        assert not bad, f"blacklist={bl}: {bad}"
+
+
+def test_has_token_expr_hypothesis(spark):
+    """Property: has_token_expr == (size(tokenize_expr) > 0) over random
+    strings drawn from a splitter-heavy alphabet."""
+    from hypothesis import given, settings, strategies as st
+
+    from ahrd_spark.functions.text import has_token_expr, tokenize_expr
+
+    alphabet = "ab1-/;,:'\".|() \t\\Z"
+    collected: list[str] = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.text(alphabet=alphabet, max_size=24))
+    def gather(s):
+        collected.append(s)
+
+    gather()
+    df = spark.createDataFrame([(s,) for s in collected], "s string")
+    for bl in [(), ("^[ab]+$",)]:
+        got = df.select(
+            F.coalesce(has_token_expr(F.col("s"), bl), F.lit(False)).alias("fast"),
+            F.coalesce(
+                F.size(tokenize_expr(F.col("s"), bl)) > 0, F.lit(False)
+            ).alias("full"),
+            "s",
+        )
+        bad = [r for r in got.collect() if r["fast"] != r["full"]]
+        assert not bad, f"blacklist={bl}: {bad}"
