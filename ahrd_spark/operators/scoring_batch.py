@@ -227,6 +227,7 @@ def select_winners_batch(
     goa: DataFrame | None = None,
     prefer_go: bool = False,
     num_partitions: int | None = None,
+    pre_grouped: bool = False,
 ) -> DataFrame:
     """Gated candidate hits -> one winner row per protein.
 
@@ -236,6 +237,18 @@ def select_winners_batch(
     sort, then the vectorized chunk scorer over Arrow batches.  The chunker
     carries the possibly-incomplete trailing protein group of each batch
     into the next batch, so Arrow batch boundaries never split a group.
+
+    ``pre_grouped=True`` skips that repartition+sort entirely — the caller
+    asserts every protein's rows are already contiguous within each input
+    partition (the mention-detect CHECKPOINT satisfies this: it is
+    hash-repartitioned by protein_acc and written one file per partition,
+    read back under ``whole_file_scan`` so no file splits across tasks).
+    This removes the job's second shuffle of the widest table — the winner
+    math itself is row-order-independent within a group (K1 re-ranks by
+    (e_value, line_no); E10's tie-break is a total order), so parity with
+    the shuffled path is exact (pinned in tests/test_scoring_batch.py).
+    Incompatible with ``prefer_go``: the __has_go join would re-plan the
+    distribution and void the contiguity contract.
 
     ``goa``: when ``prefer_go`` is set, a 1-column DataFrame (``short_acc``)
     of GO-annotated short accessions.  It enters as a relational join that
@@ -272,6 +285,11 @@ def select_winners_batch(
                 top_k, prefer_go,
             )
 
+    if pre_grouped and prefer_go:
+        raise ValueError(
+            "pre_grouped is incompatible with prefer_go: the __has_go join "
+            "breaks the caller's group-contiguity guarantee"
+        )
     slim = hits.select(*_IN_COLS)
     if prefer_go:
         flag = (
@@ -283,14 +301,19 @@ def select_winners_batch(
         slim = slim.join(flag, "short_acc", "left").withColumn(
             "__has_go", F.coalesce(F.col("__has_go"), F.lit(False))
         )
-    n = num_partitions or int(
-        hits.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
-    # hash prefix: one long compare decides inter-protein order instead of
-    # long-common-prefix string compares; equal accessions hash equal, so
-    # each protein's rows stay contiguous with their (db, hit_acc, line_no)
-    # order intact — exactly what the per-group scorer needs
-    arranged = slim.repartition(n, F.col("protein_acc")).sortWithinPartitions(
-        F.xxhash64(F.col("protein_acc")), "protein_acc", "db", "hit_acc", "line_no"
-    )
+    if pre_grouped:
+        arranged = slim
+    else:
+        n = num_partitions or int(
+            hits.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        # hash prefix: one long compare decides inter-protein order instead
+        # of long-common-prefix string compares; equal accessions hash
+        # equal, so each protein's rows stay contiguous with their
+        # (db, hit_acc, line_no) order intact — exactly what the per-group
+        # scorer needs
+        arranged = slim.repartition(n, F.col("protein_acc")).sortWithinPartitions(
+            F.xxhash64(F.col("protein_acc")), "protein_acc", "db", "hit_acc",
+            "line_no"
+        )
     return arranged.mapInPandas(process, WINNER_SCHEMA)

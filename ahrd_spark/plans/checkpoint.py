@@ -38,6 +38,39 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def whole_file_scan(spark: SparkSession, max_file_bytes: int):
+    """Plan file scans executed inside this block with one WHOLE part-file
+    per task — the read-side contract of a checkpoint's group contiguity.
+
+    A stage checkpoint is hash-repartitioned by its key and written one file
+    per partition, so every key group lives wholly inside one file, sorted.
+    A downstream per-group operator (the batch scorer) can then skip its own
+    repartition+sort — but only if Spark's scan doesn't split a file across
+    tasks.  Split size is ``min(maxPartitionBytes, max(openCostInBytes,
+    bytesPerCore))``; pinning BOTH maxPartitionBytes and openCostInBytes to
+    the largest part-file (+margin) makes the split size >= every file (no
+    splits) and makes each file's packing cost >= the split size (no two
+    files coalesced into one task) -> exactly one task per part-file.
+    """
+    pad = max_file_bytes + (16 << 20)
+    keys = ("spark.sql.files.maxPartitionBytes", "spark.sql.files.openCostInBytes")
+    old = {k: spark.conf.get(k, None) for k in keys}
+    for k in keys:
+        spark.conf.set(k, str(pad))
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def _config_hash(obj) -> str:
     import hashlib
 
@@ -224,9 +257,25 @@ class CheckpointManager:
                     "partition_id": len(parts),
                     "file": pp.basename(info.path),
                     "rows": rows,
+                    # byte size feeds grouped_scan's no-split guarantee; it
+                    # stays OUT of the fingerprint (rows+checksum only) so
+                    # a parquet-encoder version bump can't invalidate resume
+                    "bytes": info.size,
                 }
             )
         return parts
+
+    def max_partition_bytes(self, stage: str) -> int | None:
+        """Largest part-file of a completed stage, from the lineage sidecar
+        (no filesystem listing).  None when the stage is missing or was
+        written by a pre-`bytes` sidecar version."""
+        lin = self.lineage(stage)
+        if not lin:
+            return None
+        sizes = [p.get("bytes") for p in lin.get("partitions", [])]
+        if not sizes or any(s is None for s in sizes):
+            return None
+        return int(max(sizes))
 
     def read(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(self._data_dir(stage))

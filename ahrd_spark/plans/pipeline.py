@@ -411,6 +411,16 @@ def run_pipeline(
             short_accessions=mentions.select("short_acc"),
         )
 
+    # grouped fast path: the mention checkpoint is hash-partitioned by
+    # protein_acc with one file per partition, so under a whole-file scan
+    # every protein's rows are already contiguous — the scorer can skip its
+    # own repartition+sort (the job's second shuffle of the widest table).
+    # Requires no GO-preference join (it would re-plan the distribution)
+    # and a sidecar that recorded file sizes (older checkpoints fall back).
+    prefer_go = cfg.prefer_reference_with_go_annos and goa is not None
+    mention_max_bytes = ckpt.max_partition_bytes("mention_detect")
+    grouped = not prefer_go and mention_max_bytes is not None
+
     def build_winners():
         from ahrd_spark.operators.scoring_batch import select_winners_batch
 
@@ -434,18 +444,28 @@ def run_pipeline(
             ),
             top_k=cfg.top_blast_results,
             goa=goa,
-            prefer_go=cfg.prefer_reference_with_go_annos and goa is not None,
+            prefer_go=prefer_go,
             num_partitions=num_partitions,
+            pre_grouped=grouped,
         ).select(
             "protein_acc", "db", "hit_acc", "short_acc", "description",
             "e_value", "bit_score", "overlap", "desc_score", "desc_high_score",
         )
 
-    winners = _timed("link_score", lambda: ckpt.run_stage(
-        "link_score", build_winners, key="protein_acc",
-        inputs=["mention_detect"], num_partitions=num_partitions,
-        sort_keys=["protein_acc"],
-    ))
+    def run_link_stage():
+        run = lambda: ckpt.run_stage(  # noqa: E731
+            "link_score", build_winners, key="protein_acc",
+            inputs=["mention_detect"], num_partitions=num_partitions,
+            sort_keys=["protein_acc"],
+        )
+        if grouped:
+            from ahrd_spark.plans.checkpoint import whole_file_scan
+
+            with whole_file_scan(spark, mention_max_bytes):
+                return run()
+        return run()
+
+    winners = _timed("link_score", run_link_stage)
 
     # -- stage 3: canonicalize ----------------------------------------
     # statically-empty fast path: with no GOA, no InterPro, and no synonym

@@ -125,6 +125,8 @@ def test_no_broadcast_of_stream_derived_frames():
         pkg / "operators" / "skew.py",
         pkg / "operators" / "dedup.py",
         pkg / "plans" / "docs.py",
+        # GOA is a *reference* table but data-sized (10^7..10^9 accessions)
+        pkg / "sources" / "goa.py",
     ]
     offenders = [
         str(m) for m in stream_modules

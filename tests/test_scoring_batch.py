@@ -95,3 +95,59 @@ def test_batch_path_go_preference(spark):
     )
     batch = _batch_winners(hits, cfg, goa=goa, prefer_go=True)
     assert _as_dict(relational) == _as_dict(batch)
+
+
+def test_batch_path_pre_grouped_matches(spark, tmp_path):
+    """pre_grouped=True skips the scorer's repartition+sort, trusting the
+    caller's checkpoint layout (hash-partitioned by protein_acc, one whole
+    file per scan task).  Must be value-identical to the shuffled path."""
+    import glob
+    import os
+
+    from ahrd_spark.plans.checkpoint import whole_file_scan
+    from ahrd_spark.plans.docs import docs_to_hits, synthesize_docs
+    from ahrd_spark.plans.pipeline import gate_candidates_multi
+    from bench import _pipeline_cfg
+
+    cfg = _pipeline_cfg()
+    docs = synthesize_docs(spark, 250, hits_per_doc=9)
+    hits = gate_candidates_multi(docs_to_hits(docs), cfg).cache()
+    relational = select_winners(with_overlap(score_candidates(hits, cfg)))
+
+    # emulate the mention-detect checkpoint layout: hash-repartition by
+    # protein_acc, sort within partitions, one parquet file per partition
+    path = str(tmp_path / "mention_ckpt")
+    hits.repartition(7, "protein_acc").sortWithinPartitions(
+        "protein_acc", "line_no"
+    ).write.parquet(path)
+    max_bytes = max(
+        os.path.getsize(f) for f in glob.glob(os.path.join(path, "*.parquet"))
+    )
+
+    pre = {
+        k: spark.conf.get(k, None)
+        for k in ("spark.sql.files.maxPartitionBytes",
+                  "spark.sql.files.openCostInBytes")
+    }
+    with whole_file_scan(spark, max_bytes):
+        back = spark.read.parquet(path)
+        grouped = _as_dict(_batch_winners(back, cfg, pre_grouped=True))
+    # context manager restores the scan-split confs
+    for k, v in pre.items():
+        assert spark.conf.get(k, None) == v
+    assert _as_dict(relational) == grouped
+    assert len(grouped) == 250
+
+
+def test_batch_path_pre_grouped_rejects_prefer_go(spark):
+    from ahrd_spark.plans.docs import docs_to_hits, synthesize_docs
+    from ahrd_spark.plans.pipeline import gate_candidates_multi
+    from bench import _pipeline_cfg
+
+    cfg = _pipeline_cfg()
+    hits = gate_candidates_multi(
+        docs_to_hits(synthesize_docs(spark, 10, hits_per_doc=3)), cfg
+    )
+    goa = spark.createDataFrame([("X",)], "short_acc string")
+    with pytest.raises(ValueError, match="pre_grouped"):
+        _batch_winners(hits, cfg, goa=goa, prefer_go=True, pre_grouped=True)
