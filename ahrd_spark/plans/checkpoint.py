@@ -169,6 +169,7 @@ class CheckpointManager:
         inputs: list[str] = (),
         num_partitions: int | None = None,
         sort_keys: list[str] | None = None,
+        preserve_partitioning: bool = False,
     ) -> DataFrame:
         """Deterministically materialize a stage: hash-repartition by
         ``key``, sort within partitions by ``sort_keys`` (a per-row-unique
@@ -178,24 +179,44 @@ class CheckpointManager:
         checksumming every column is one extra projection riding the write
         job and makes the fingerprint content-addressed over the full row,
         not just the sort keys).  Returns the re-read DataFrame (so
-        downstream stages read the checkpoint, never the live plan)."""
+        downstream stages read the checkpoint, never the live plan).
+
+        ``preserve_partitioning=True`` drops the repartition+sort entirely
+        and writes the stage's natural (upstream) partitioning — for stages
+        whose plan already guarantees the checkpoint contract that matters
+        downstream: every ``key`` group wholly inside one partition, rows of
+        a group contiguous.  A per-row map/explode over a source whose rows
+        are whole key groups (the docs table: one row per doc_id) satisfies
+        it with NO exchange — the only full shuffle of such a stage is the
+        one this flag removes.  Determinism still holds (scan split planning
+        is deterministic for a fixed file set + scan confs), and the
+        fingerprint stays content-addressed (row counts + order-independent
+        xor checksum).  Partition-count note: the layout follows the scan's
+        split planning (maxPartitionBytes and friends), not
+        ``num_partitions``."""
         from pyspark.sql import Observation
 
         keys = [key] if isinstance(key, str) else list(key)
         sort_keys = sort_keys or keys
-        n = num_partitions or df.sparkSession.conf.get(
-            "spark.sql.shuffle.partitions", "32"
-        )
-        # The sort is prefixed with an 8-byte hash of the leading sort key:
-        # stage keys are accession strings with long common prefixes, so a
-        # plain lexicographic sort pays a multi-byte compare per pair, while
-        # the hash prefix decides almost every comparison on one long
-        # (measured ~40% off the write stage at 80k docs).  Equal keys hash
-        # equal, so key groups stay contiguous in the file and the
-        # (hash, *sort_keys) order is still a deterministic total order.
-        out = df.repartition(int(n), *[F.col(k) for k in keys]).sortWithinPartitions(
-            F.xxhash64(F.col(sort_keys[0])), *sort_keys
-        )
+        if preserve_partitioning:
+            out = df
+        else:
+            n = num_partitions or df.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions", "32"
+            )
+            # The sort is prefixed with an 8-byte hash of the leading sort
+            # key: stage keys are accession strings with long common
+            # prefixes, so a plain lexicographic sort pays a multi-byte
+            # compare per pair, while the hash prefix decides almost every
+            # comparison on one long (measured ~40% off the write stage at
+            # 80k docs).  Equal keys hash equal, so key groups stay
+            # contiguous in the file and the (hash, *sort_keys) order is
+            # still a deterministic total order.
+            out = df.repartition(
+                int(n), *[F.col(k) for k in keys]
+            ).sortWithinPartitions(
+                F.xxhash64(F.col(sort_keys[0])), *sort_keys
+            )
         path = self._data_dir(stage)
         # checksum piggybacks on the write job itself (Observation) — no
         # second full-data pass; xor-fold of xxhash64 over EVERY column is
@@ -288,9 +309,11 @@ class CheckpointManager:
         inputs: list[str] = (),
         num_partitions: int | None = None,
         sort_keys: list[str] | None = None,
+        preserve_partitioning: bool = False,
     ) -> DataFrame:
         """Resume-aware stage execution: reuse the checkpoint when complete
         and consistent with config + upstream lineage, else (re)compute."""
         if self.is_complete(stage, inputs):
             return self.read(stage)
-        return self.write(build(), stage, key, inputs, num_partitions, sort_keys)
+        return self.write(build(), stage, key, inputs, num_partitions,
+                          sort_keys, preserve_partitioning)

