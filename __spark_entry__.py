@@ -869,7 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
         variant = ("goprefer" if prefer_go else "plain") + (
-            "_stream" if mode == "stream" else ""
+            "" if mode == "batch" else f"_{mode}"
         )
         workdir = f"/tmp/ahrd_q_pipeline_{dkey}_{variant}"
         import shutil
@@ -903,6 +903,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     "finish within 600s"
                 )
             triples = spark.read.parquet(sink)
+        elif mode == "arrowshred":
+            # mention stage through the mapInArrow RE2 shred (the dialect
+            # gate must accept the config, or the variant would silently
+            # re-test the expression path)
+            from ahrd_spark.plans.mention_arrow import re2_compatible
+
+            assert re2_compatible(cfg), "arrowshred variant needs RE2 cfg"
+            os.environ["AHRD_ARROW_SHRED"] = "1"
+            try:
+                triples = run_pipeline(spark, docs, cfg, workdir)
+            finally:
+                os.environ.pop("AHRD_ARROW_SHRED", None)
         else:
             triples = run_pipeline(spark, docs, cfg, workdir)
         return triples.select(
@@ -929,9 +941,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _pipeline_triples_impl(spark, sf, prefer_go=False,
                                       mode="stream")
 
+    def pipeline_triples_arrowshred(spark, sf):
+        """Same docs->triples chain with the mention stage running as the
+        vectorized mapInArrow RE2 shred (mention_arrow.py) instead of the
+        native-expression formulation — same SQL oracle, so the driver
+        gate pins the two formulations to identical triples."""
+        return _pipeline_triples_impl(spark, sf, prefer_go=False,
+                                      mode="arrowshred")
+
     q["pipeline_triples"] = pipeline_triples
     q["pipeline_triples_goprefer"] = pipeline_triples_goprefer
     q["pipeline_triples_stream"] = pipeline_triples_stream
+    q["pipeline_triples_arrowshred"] = pipeline_triples_arrowshred
 
     def ann_lsh_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
@@ -2195,6 +2216,9 @@ FROM winner w JOIN goa g ON g.short_acc = w.short_acc
 
     # the streaming micro-batch chain must be EXACTLY the batch chain
     o["pipeline_triples_stream"] = o["pipeline_triples"]
+    # the arrowshred variant runs the same chain with the mapInArrow RE2
+    # mention shred — identical triples, identical oracle
+    o["pipeline_triples_arrowshred"] = o["pipeline_triples"]
 
     o["cc_components"] = """
 WITH edges AS (

@@ -126,7 +126,11 @@ def _shred_factory(cfg: AhrdConfig):
             parent = pc.list_parent_indices(spans)
             # original span position within its doc (= line_no): global
             # flat index minus the doc's first flat index
-            counts = pc.list_value_length(spans).to_numpy(zero_copy_only=False)
+            # fill_null: a null spans row contributes no flat elements but
+            # must still occupy a zero-length slot in the offsets math
+            counts = pc.fill_null(pc.list_value_length(spans), 0).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
             starts = np.repeat(
                 np.concatenate(([0], np.cumsum(counts)[:-1])), counts
             )
@@ -219,12 +223,9 @@ def _shred_factory(cfg: AhrdConfig):
                             pc.match_substring_regex(tflat, tok_bl), True
                         )),
                     ).to_numpy(zero_copy_only=False).astype(np.int8)
-                    tcnt = pc.list_value_length(toks).to_numpy(
-                        zero_copy_only=False
-                    )
-                    tcnt = np.where(np.asarray(
-                        pc.is_valid(toks).to_numpy(zero_copy_only=False)
-                    ), tcnt, 0)
+                    tcnt = pc.fill_null(
+                        pc.list_value_length(toks), 0
+                    ).to_numpy(zero_copy_only=False).astype(np.int64)
                     out = np.zeros(len(db), dtype=np.int8)
                     nz = tcnt > 0
                     if surv.size and nz.any():

@@ -12,10 +12,17 @@ Stages (each checkpointed with lineage + metrics, resumable exactly):
 4. ``materialize``     emit the triples graph table
    (subj, pred, obj, obj_kind, score, src_db, src_hit).
 
-The docs table is hash-partitioned by doc_id; every stage's shuffle is keyed
-by doc_id/protein_acc (+token), so partitioning carries through.  The span
-arrays are never rewritten — ``span_fingerprint`` equality between input and
-every checkpoint proves the per-row invariant.
+Partitioning story (round 3): the hot path is SHUFFLE-FREE end-to-end.
+The docs table's contract is one row per doc_id, so mention_detect (a
+map+explode) emits every protein's rows contiguously and its checkpoint
+preserves the scan partitioning (no repartition+sort); link_score reads
+that checkpoint under a whole-file scan and scores groups in place
+(``pre_grouped``); canonicalize is skipped when statically empty; only
+stages whose semantics require co-location (GO preference's has_go join,
+synonym connected components) introduce exchanges, each keyed by
+doc/protein hash.  The span arrays are never rewritten —
+``span_fingerprint`` equality between input and every checkpoint proves
+the per-row invariant.
 """
 
 from __future__ import annotations
@@ -389,6 +396,23 @@ def run_pipeline(
         # detect_mentions is the fused pre-explode formulation (2-3x the
         # composed gate_candidates_multi(docs_to_hits(...)) plan — see its
         # docstring for the pushdown-duplication story).
+        # AHRD_ARROW_SHRED=1 swaps in the mapInArrow formulation (exact
+        # hash parity pinned in tests).  Not the default: it is ~10-20%
+        # faster absolute (RE2 kernels beat interpreted higher-order
+        # lambdas), but its Python worker adds a second process per core,
+        # so on the oversubscribed bench host it flatters local[1] with
+        # JVM<->worker pipeline parallelism and deflates the measured 1->4
+        # scaling ratio (3.29x -> 2.87x, BASELINE.md round-3) — keep the
+        # all-JVM codegen path as the default, and the Arrow path as the
+        # measured alternative for clusters with headroom per executor.
+        if slim_tokens and _os.environ.get("AHRD_ARROW_SHRED") == "1":
+            from ahrd_spark.plans.mention_arrow import (
+                detect_mentions_arrow,
+                re2_compatible,
+            )
+
+            if re2_compatible(cfg):
+                return detect_mentions_arrow(docs, cfg)
         dropped = ["media_ref"] + (["tokens"] if slim_tokens else [])
         return detect_mentions(docs, cfg).drop(*dropped)
 
