@@ -481,6 +481,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["decontaminate"] = decontaminate
 
+    def dedup_spans(spark, sf):
+        from ahrd_spark.operators.dedup import duplicate_spans
+
+        # cross-doc repeated-passage spans (Lee et al. 2021-style): merged
+        # token spans covered by 8-gram windows shared by >=2 distinct docs
+        return duplicate_spans(_docs(spark, sf), k=8, min_docs=2).select(
+            "doc_id",
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            "n_windows",
+        )
+
+    q["dedup_spans"] = dedup_spans
+
     def doc_repetition(spark, sf):
         from ahrd_spark.operators.textstats import repetition_stats
 
@@ -1613,6 +1627,36 @@ SELECT tot.doc_id, tot.n_ngrams,
        coalesce(m.n_matched, 0) AS n_matched,
        coalesce(m.n_matched, 0) >= 2 AS contaminated
 FROM tot LEFT JOIN m ON tot.doc_id = m.doc_id
+"""
+
+    # duplicate_spans: same positional 8-gram windows; interval merge is
+    # the identical running-max window arithmetic (coalesce(-1) replays the
+    # Spark side's prev_end.isNull() branch)
+    o["dedup_spans"] = f"""
+WITH t AS (SELECT doc_id, {ws_toks} AS toks FROM documents),
+w AS (
+  SELECT doc_id, i AS pos,
+         least(i + 7, len(toks)) AS e,
+         array_to_string(toks[i:i+7], ' ') AS gram
+  FROM t, unnest(range(1, greatest(len(toks) - 7, 1) + 1)) AS u(i)),
+hot AS (
+  SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM w)
+  GROUP BY gram HAVING count(*) >= 2),
+f AS (SELECT w.doc_id, w.pos, w.e FROM w JOIN hot USING (gram)),
+m AS (
+  SELECT doc_id, pos, e,
+    CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+         THEN 1 ELSE 0 END AS ns
+  FROM f),
+g AS (SELECT doc_id, pos, e,
+        sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM m)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(e) AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM g GROUP BY doc_id, grp
 """
 
     o["doc_repetition"] = f"""

@@ -368,3 +368,88 @@ def dedup_canonical(
     return canonical_map(edges, df.select(F.col(id_col).alias("obj"))).select(
         F.col("node").alias(id_col), F.col("canonical").alias("canonical_id")
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """-> (doc_id, span_start, span_end, n_windows): maximal merged token
+    spans (1-based, inclusive) covered by k-gram windows whose gram occurs
+    in at least ``min_docs`` DISTINCT documents.
+
+    Cross-document repeated-passage detection — the span-level complement
+    to whole-doc dedup (exact/minhash above): boilerplate headers, license
+    blocks, and templated paragraphs repeat across otherwise-distinct
+    documents, and removing just those spans keeps the unique remainder.
+    A doc whose passage repeats only WITHIN itself is not flagged (that is
+    ``repetition_stats``'s job).
+
+    Scale shape (100 TB corpus):
+    - windows explode shingle START positions with the token array carried
+      by the Generate and indexed via ``try_element_at`` — all codegen'd
+      builtins, no array-lambda interpretation (see minhash_signature);
+    - gram doc-frequency is a two-phase agg (per-doc distinct map-side,
+      then gram-keyed count) and the hot-gram set is joined back WITHOUT a
+      broadcast hint — boilerplate corpora make it data-sized, AQE decides;
+    - interval merge is a per-doc window function (one doc-keyed shuffle),
+      never a driver-side loop.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks"),
+        F.size(toks).alias("n"),
+    )
+    pos = F.explode(
+        F.sequence(F.lit(1), F.greatest(F.col("n") - (k - 1), F.lit(1)))
+    )
+    with_pos = base.select("doc_id", "toks", "n", pos.alias("pos"))
+    gram = F.concat_ws(
+        " ", *[F.try_element_at("toks", F.col("pos") + i) for i in range(k)]
+    )
+    w = with_pos.select(
+        "doc_id",
+        "pos",
+        F.least(F.col("pos") + F.lit(k - 1), F.col("n")).alias("end"),
+        gram.alias("gram"),
+    )
+
+    hot = (
+        w.select("gram", "doc_id").distinct()
+        .groupBy("gram").agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("gram")
+    )
+    flagged = w.join(hot, "gram").select("doc_id", "pos", "end")
+
+    # merge overlapping-or-adjacent windows into maximal spans: a window
+    # starts a new span iff it begins past (running max end) + 1
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max("end").over(
+        win.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grouped = flagged.withColumn(
+        "new_span",
+        F.when(
+            prev_end.isNull() | (F.col("pos") > prev_end + 1), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "span_grp",
+        F.sum("new_span").over(
+            win.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        grouped.groupBy("doc_id", "span_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("end").alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_windows")
+    )

@@ -119,3 +119,49 @@ def test_incremental_novelty(spark):
         ).collect()
     }
     assert out == {100: False, 101: True}
+
+
+def test_duplicate_spans_golden(spark):
+    """Hand-checked span merge: a 4-gram passage shared by docs 1 and 2
+    yields one merged span per doc covering exactly the shared region;
+    doc 3 (internal repetition only, no cross-doc gram) is not flagged."""
+    from ahrd_spark.operators.dedup import duplicate_spans
+
+    shared = "the quick brown fox jumps"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} over one lazy dog"),       # tokens 1-5 shared
+            (2, f"intro words here {shared} outro"),  # tokens 4-8 shared
+            (3, "solo solo solo solo solo solo"),     # within-doc only
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_windows"])
+        for r in duplicate_spans(docs, k=4, min_docs=2).collect()
+    }
+    # k=4 windows inside the 5-token shared run: starts s and s+1 -> the
+    # merged span covers the full 5 shared tokens, 2 windows each
+    assert rows == {1: (1, 5, 2), 2: (4, 8, 2)}
+
+
+def test_duplicate_spans_merges_adjacent_windows(spark):
+    """Two disjoint shared passages separated by a unique token stay two
+    spans; windows overlapping-or-adjacent collapse into one."""
+    from ahrd_spark.operators.dedup import duplicate_spans
+
+    a = "alpha beta gamma"
+    b = "delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{a} unique1 {b}"),
+            (2, f"{a} unique2 {b}"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(docs, k=3, min_docs=2).collect()
+    )
+    # tokens: a=1-3, unique=4, b=5-7 -> two spans per doc, split at token 4
+    assert out == [(1, 1, 3), (1, 5, 7), (2, 1, 3), (2, 5, 7)]
