@@ -495,6 +495,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_spans"] = dedup_spans
 
+    def dedup_spans_clean(spark, sf):
+        from ahrd_spark.operators.dedup import remove_duplicate_spans
+
+        # curation end product: token stream with the shared spans cut out
+        return remove_duplicate_spans(_docs(spark, sf), k=8, min_docs=2)
+
+    q["dedup_spans_clean"] = dedup_spans_clean
+
     def doc_repetition(spark, sf):
         from ahrd_spark.operators.textstats import repetition_stats
 
@@ -1657,6 +1665,51 @@ SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
        CAST(max(e) AS BIGINT) AS span_end,
        CAST(count(*) AS BIGINT) AS n_windows
 FROM g GROUP BY doc_id, grp
+"""
+
+    # dedup_spans_clean: same span derivation, then cut covered token
+    # positions and re-join the survivors (empty string when a doc is all
+    # boilerplate, mirroring Spark's array_join of an empty array)
+    o["dedup_spans_clean"] = f"""
+WITH t AS (SELECT doc_id, {ws_toks} AS toks FROM documents),
+w AS (
+  SELECT doc_id, i AS pos,
+         least(i + 7, len(toks)) AS e,
+         array_to_string(toks[i:i+7], ' ') AS gram
+  FROM t, unnest(range(1, greatest(len(toks) - 7, 1) + 1)) AS u(i)),
+hot AS (
+  SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM w)
+  GROUP BY gram HAVING count(*) >= 2),
+f AS (SELECT w.doc_id, w.pos, w.e FROM w JOIN hot USING (gram)),
+m AS (
+  SELECT doc_id, pos, e,
+    CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+         THEN 1 ELSE 0 END AS ns
+  FROM f),
+g AS (SELECT doc_id, pos, e,
+        sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM m),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(e) AS e2 FROM g GROUP BY doc_id, grp),
+tok AS (
+  SELECT t.doc_id, i AS pos, toks[i] AS tok
+  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+kept AS (
+  SELECT tok.doc_id, tok.pos, tok.tok
+  FROM tok LEFT JOIN spans sp
+    ON tok.doc_id = sp.doc_id AND tok.pos BETWEEN sp.s AND sp.e2
+  WHERE sp.doc_id IS NULL),
+ka AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(ka.clean_text, '') AS clean_text,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(t.toks) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed
+FROM t LEFT JOIN ka ON t.doc_id = ka.doc_id
 """
 
     o["doc_repetition"] = f"""

@@ -453,3 +453,60 @@ def duplicate_spans(
         )
         .select("doc_id", "span_start", "span_end", "n_windows")
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """-> (doc_id, clean_text, n_tokens, n_removed): documents with the
+    cross-document duplicate spans found by :func:`duplicate_spans` cut
+    out of the token stream — the curation end product of span detection
+    (keep the unique remainder, drop the shared boilerplate).
+
+    ``clean_text`` is the surviving tokens re-joined with single spaces
+    (same whitespace/lowercase normalization as the detector, so offsets
+    line up by construction); ``n_removed`` counts dropped tokens.  Docs
+    with no flagged span pass through with ``n_removed = 0``; a doc that
+    is ALL boilerplate yields ``clean_text = ''``.
+
+    Scale shape: spans per doc are few and disjoint (maximal merged
+    intervals), so they are collect_list'd into a per-doc array and
+    joined back doc-keyed (AQE decides the strategy — the span table is
+    data-sized, no broadcast hint).  Token filtering is a codegen'd
+    array ``filter`` with the positional lambda probing that tiny span
+    array — no explode of the token stream, no second shuffle past the
+    doc-keyed join.
+    """
+    spans = (
+        duplicate_spans(docs, text_col, id_col, k, min_docs)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"), F.col("span_end").alias("e")
+                )
+            ).alias("spans")
+        )
+    )
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    joined = base.join(spans, "doc_id", "left")
+    # 1-based token position i+1 survives iff no span covers it
+    kept = F.filter(
+        F.col("toks"),
+        lambda x, i: ~F.exists(
+            F.col("spans"),
+            lambda sp: (i + 1 >= sp["s"]) & (i + 1 <= sp["e"]),
+        ),
+    )
+    kept = F.when(F.col("spans").isNull(), F.col("toks")).otherwise(kept)
+    return joined.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
+    )

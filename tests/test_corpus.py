@@ -165,3 +165,28 @@ def test_duplicate_spans_merges_adjacent_windows(spark):
     )
     # tokens: a=1-3, unique=4, b=5-7 -> two spans per doc, split at token 4
     assert out == [(1, 1, 3), (1, 5, 7), (2, 1, 3), (2, 5, 7)]
+
+
+def test_remove_duplicate_spans_golden(spark):
+    """Cleaned text drops exactly the shared passage; untouched docs keep
+    their (normalized) token stream; an all-boilerplate doc empties."""
+    from ahrd_spark.operators.dedup import remove_duplicate_spans
+
+    shared = "the quick brown fox"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} went home today"),
+            (2, f"{shared}"),                    # all boilerplate
+            (3, "совершенно unique content here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in remove_duplicate_spans(docs, k=4, min_docs=2).collect()
+    }
+    assert rows == {
+        1: ("went home today", 7, 4),
+        2: ("", 4, 4),
+        3: ("совершенно unique content here", 4, 0),
+    }
