@@ -392,6 +392,11 @@ def duplicate_spans(
     - windows explode shingle START positions with the token array carried
       by the Generate and indexed via ``try_element_at`` — all codegen'd
       builtins, no array-lambda interpretation (see minhash_signature);
+    - the gram key is ``xxhash64`` over the k token slots, never the
+      concatenated string: the doc-frequency shuffle and the hot-gram join
+      move 8 bytes per window instead of ~k tokens of text (the usual
+      fingerprint-not-payload trade, same as MinHash: a 2^-64 per-pair
+      collision chance can over-flag a span, never miss one);
     - gram doc-frequency is a two-phase agg (per-doc distinct map-side,
       then gram-keyed count) and the hot-gram set is joined back WITHOUT a
       broadcast hint — boilerplate corpora make it data-sized, AQE decides;
@@ -409,8 +414,8 @@ def duplicate_spans(
         F.sequence(F.lit(1), F.greatest(F.col("n") - (k - 1), F.lit(1)))
     )
     with_pos = base.select("doc_id", "toks", "n", pos.alias("pos"))
-    gram = F.concat_ws(
-        " ", *[F.try_element_at("toks", F.col("pos") + i) for i in range(k)]
+    gram = F.xxhash64(
+        *[F.try_element_at("toks", F.col("pos") + i) for i in range(k)]
     )
     w = with_pos.select(
         "doc_id",
