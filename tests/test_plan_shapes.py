@@ -160,3 +160,29 @@ def test_kmeans_assignment_shuffle_free_corpus_side(spark):
     # centroid subtree: one single-partition agg exchange + one broadcast
     # exchange; corpus side contributes none
     assert plan.count("Exchange") <= 2, plan[:2000]
+
+
+def test_duplicate_spans_hashes_gram_shuffle(spark):
+    """The duplicate-span gram shuffles must move the 8-byte xxhash64 key,
+    never the concatenated gram text (k-fold shuffle-byte cut, BASELINE.md),
+    and the whole operator stays JVM-side with exactly one per-doc window."""
+    from pyspark.sql import functions as F
+
+    from ahrd_spark.operators.dedup import duplicate_spans
+
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma delta epsilon zeta eta theta iota").alias("text"),
+    )
+    plan = _plan(duplicate_spans(df, k=4))
+    assert "xxhash64" in plan, plan[:2000]
+    assert "concat_ws" not in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan
+    # two chained Window nodes (running-max prev_end, then running-sum of
+    # span starts) ride ONE doc-keyed exchange -- the count that matters
+    # for scale is the exchange budget below
+    assert plan.count("Window") == 2, plan[:2000]
+    # doc-frequency distinct+agg, hot-gram join, interval-merge window,
+    # span groupBy -- bounded exchange budget, no cartesian anywhere
+    assert plan.count("Exchange") <= 6, plan[:2000]
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
