@@ -976,6 +976,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pipeline_triples_stream"] = pipeline_triples_stream
     q["pipeline_triples_arrowshred"] = pipeline_triples_arrowshred
 
+    def curation_pipeline(spark, sf):
+        """The data-curation mirror of pipeline_triples: the staged
+        fingerprint -> dedup_decide -> quality_gate -> materialize corpus
+        pipeline end-to-end through the checkpoint manager.  Benchmark =
+        every 29th doc (same stand-in as `decontaminate`); thresholds
+        chosen so every drop reason fires at sf0.01.  The workdir is
+        deterministic but WIPED at call start — cold correctness gate,
+        resume has its own kill-and-resume test."""
+        import shutil
+
+        from ahrd_spark.plans.curation import CurationConfig, run_curation
+
+        docs = _docs(spark, sf)
+        bench = docs.filter(F.col("doc_id") % 29 == 0).select(
+            "doc_id", "text"
+        )
+        workdir = f"/tmp/ahrd_q_curation_{_dataset_key(sf)}"
+        shutil.rmtree(workdir, ignore_errors=True)
+        cfg = CurationConfig(
+            min_tokens=5,
+            max_tokens=20000,
+            min_quality_r=0.9355,
+            langs=("en", "de", "es", "fr"),
+            decontam_k=5,
+            decontam_min_matches=2,
+        )
+        out = run_curation(spark, docs, workdir, cfg=cfg, benchmark=bench)
+        return out.select(
+            "doc_id", "text", "source", "ws_tokens", "quality_r",
+            "lang_guess",
+        )
+
+    q["curation_pipeline"] = curation_pipeline
+
     def ann_lsh_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -1488,18 +1522,9 @@ FROM t GROUP BY doc_id
 """
 
     en_sw = "['the','of','and','to','in','is','a','that','for','with']"
-    o["text_stats"] = f"""
-SELECT doc_id,
-       CAST(CASE WHEN trim(text) = '' THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
-         AS ws_tokens,
-       CAST(len(list_filter(regexp_split_to_array(text, '\\W+'), x -> x <> ''))
-            + length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS BIGINT)
-         AS bpe_tokens,
-       round(CASE WHEN len({tok}) > 0
-             THEN CAST(len(list_intersect({tok}, {en_sw})) AS DOUBLE) / len({tok})
-             ELSE CAST(0.0 AS DOUBLE) END, 6) AS en_stopword_ratio,
-       round(
+    # composite quality score (unrounded) — shared by text_stats and the
+    # curation pipeline oracle; single braces are literal here (plain str)
+    qual_sql = """(
          0.25 * (CASE WHEN length(text) BETWEEN 50 AND 20000
                       THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.25 AS DOUBLE) END)
        + 0.35 * (CASE WHEN length(text) > 0
@@ -1508,7 +1533,7 @@ SELECT doc_id,
                       ELSE CAST(0.0 AS DOUBLE) END)
        + 0.25 * (CAST(1.0 AS DOUBLE) - least(
              (CASE WHEN length(text) > 0
-                   THEN CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))
+                   THEN CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))
                         AS DOUBLE) / length(text)
                    ELSE CAST(0.0 AS DOUBLE) END) * 4, CAST(1.0 AS DOUBLE)))
        + 0.15 * (CASE WHEN (CASE WHEN (CASE WHEN trim(text) = '' THEN 0
@@ -1518,7 +1543,19 @@ SELECT doc_id,
                               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
                       ELSE CAST(0.0 AS DOUBLE) END) BETWEEN 3.0 AND 12.0
                       THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END)
-       , 6) AS quality_r
+    )"""
+    ws_tok_sql = """CAST(CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)"""
+    o["text_stats"] = f"""
+SELECT doc_id,
+       {ws_tok_sql} AS ws_tokens,
+       CAST(len(list_filter(regexp_split_to_array(text, '\\W+'), x -> x <> ''))
+            + length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS BIGINT)
+         AS bpe_tokens,
+       round(CASE WHEN len({tok}) > 0
+             THEN CAST(len(list_intersect({tok}, {en_sw})) AS DOUBLE) / len({tok})
+             ELSE CAST(0.0 AS DOUBLE) END, 6) AS en_stopword_ratio,
+       round({qual_sql}, 6) AS quality_r
 FROM documents
 """
 
@@ -1532,17 +1569,18 @@ FROM documents
         f"len(list_intersect(toks, {sw})) AS s_{code}" for code, sw in langs.items()
     )
     # mirror the Spark fold: iterate alphabetically, strictly-greater wins
-    o["lang_id"] = f"""
-WITH t AS (SELECT doc_id, {tok} AS toks FROM documents),
-s AS (SELECT doc_id, {lang_score} FROM t)
-SELECT doc_id,
-  CASE
+    # (shared by lang_id and the curation pipeline oracle)
+    lang_case_sql = """CASE
     WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
     WHEN s_es > greatest(s_de, s_en) THEN 'es'
     WHEN s_en > s_de THEN 'en'
     WHEN s_de > 0 THEN 'de'
     ELSE 'und'
-  END AS lang_guess
+  END"""
+    o["lang_id"] = f"""
+WITH t AS (SELECT doc_id, {tok} AS toks FROM documents),
+s AS (SELECT doc_id, {lang_score} FROM t)
+SELECT doc_id, {lang_case_sql} AS lang_guess
 FROM s
 """
 
@@ -1710,6 +1748,62 @@ SELECT t.doc_id,
        CAST(len(t.toks) AS BIGINT) AS n_tokens,
        CAST(len(t.toks) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed
 FROM t LEFT JOIN ka ON t.doc_id = ka.doc_id
+"""
+
+    # curation_pipeline: full replay of the staged curation chain — exact
+    # keeper (min doc per md5) AND LSH->CC canonical keeper (the
+    # dedup_canonical recursion), then the round-6 quality / token /
+    # language / decontamination gates, then the kept rows of documents
+    o["curation_pipeline"] = (
+        "WITH RECURSIVE " + minhash_cte.split("WITH ", 1)[1]
+    ) + f"""
+, banded AS (
+  SELECT doc_id, 0 AS band,
+         md5(h0::VARCHAR || '|' || h1::VARCHAR) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band,
+         md5(h2::VARCHAR || '|' || h3::VARCHAR) AS bucket FROM sig),
+prs AS (
+  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+sym AS (SELECT u, v FROM prs UNION SELECT v AS u, u AS v FROM prs),
+reach AS (
+  SELECT u AS node, u AS r FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT reach.node, sym.v AS r FROM reach JOIN sym ON sym.u = reach.r),
+comp AS (SELECT node, min(r) AS c FROM reach GROUP BY node),
+exact AS (SELECT md5(text) AS ch, min(doc_id) AS keeper
+          FROM documents GROUP BY md5(text)),
+keepdd AS (
+  SELECT d.doc_id FROM documents d
+  JOIN exact ON md5(d.text) = exact.ch
+  LEFT JOIN comp ON comp.node = d.doc_id
+  WHERE d.doc_id = exact.keeper
+    AND d.doc_id = coalesce(comp.c, d.doc_id)),
+sigs AS (SELECT doc_id, {ws_tok_sql} AS ws_tokens,
+                round({qual_sql}, 6) AS quality_r
+         FROM documents),
+lg AS (SELECT doc_id, {lang_case_sql} AS lang_guess
+       FROM (SELECT doc_id, {lang_score}
+             FROM (SELECT doc_id, {tok} AS toks FROM documents))),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS gram
+  FROM t, unnest(range(1, greatest(len(toks) - 4, 1) + 1)) AS u(i)),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 29 = 0),
+contam AS (SELECT grams.doc_id, count(*) AS nm
+           FROM grams JOIN bench USING (gram) GROUP BY grams.doc_id)
+SELECT d.doc_id, d.text, d.source,
+       sigs.ws_tokens, sigs.quality_r, lg.lang_guess
+FROM documents d
+JOIN keepdd USING (doc_id)
+JOIN sigs USING (doc_id)
+JOIN lg USING (doc_id)
+LEFT JOIN contam USING (doc_id)
+WHERE sigs.ws_tokens BETWEEN 5 AND 20000
+  AND sigs.quality_r >= 0.9355
+  AND lg.lang_guess IN ('en', 'de', 'es', 'fr')
+  AND coalesce(contam.nm, 0) < 2
 """
 
     o["doc_repetition"] = f"""

@@ -1,0 +1,218 @@
+"""The staged training-data curation pipeline: raw corpus -> curated corpus.
+
+The docs->triples pipeline (plans/pipeline.py) is the KG half of the
+engine; this is the data-curation half, run with the SAME checkpoint
+manager, so a 100 TB curation run is resumable stage-by-stage with
+per-partition lineage, exactly like the triples run.
+
+Stages (each checkpointed, resumable exactly):
+
+1. ``fingerprint``   one pass over the corpus computing every per-doc
+                     signal the later stages need: content hash (exact
+                     dedup key), MinHash signature (near-dup key), token
+                     count, composite quality score, language guess.
+                     All codegen'd builtins; the stage's only exchange is
+                     the signature agg's one-row-per-doc shuffle.
+2. ``dedup_decide``  keeper decisions: exact (min doc id per content
+                     hash) AND near-dup (LSH banded candidate pairs ->
+                     connected-components cluster collapse -> min-id
+                     canonical).  A doc survives iff it is its own exact
+                     keeper and its own cluster canonical.
+3. ``quality_gate``  threshold gate over the dedup survivors: token
+                     bounds, minimum quality, language allowlist, and
+                     benchmark decontamination (k-gram overlap vs a
+                     held-out benchmark table).  Emits EVERY doc with a
+                     keep flag and the first failing reason — the audit
+                     trail a curation run needs.
+4. ``materialize``   the curated corpus: original rows of the kept docs
+                     joined back by doc_id, carrying the fingerprint
+                     signals.
+
+All float gates compare the ROUND-6 value (quality_r), matching the
+driver oracle digit-for-digit: comparing raw doubles at a threshold can
+flip on the last ulp between engines.
+
+Scale notes: every stage keys its checkpoint by doc_id (uniform hash);
+the only non-doc-keyed shuffles are the exact-dedup content-hash agg
+(uniform by construction), the LSH bucket agg (AQE skew-join territory,
+see lsh_candidate_pairs), and the decontamination gram join (two-phase
+distinct agg).  Nothing broadcasts a corpus-derived frame.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ahrd_spark.operators.dedup import (
+    dedup_canonical,
+    lsh_candidate_pairs,
+    minhash_signature,
+)
+from ahrd_spark.operators.decontam import contamination_flags
+from ahrd_spark.operators.textstats import (
+    lang_id_expr,
+    quality_score_expr,
+    ws_token_count_expr,
+)
+from ahrd_spark.plans.checkpoint import CheckpointManager
+
+
+@dataclass(frozen=True)
+class CurationConfig:
+    """Gate thresholds + dedup parameters.  Part of the checkpoint config
+    hash: changing any knob invalidates downstream stages on resume."""
+
+    min_tokens: int = 5
+    max_tokens: int = 1_000_000
+    min_quality_r: float = 0.0  # compared against round(quality, 6)
+    langs: tuple = ()  # allowlist of lang_guess codes; empty = allow all
+    num_hashes: int = 4
+    shingle_k: int = 3
+    bands: int = 2
+    rows_per_band: int = 2
+    decontam_k: int = 4
+    decontam_min_matches: int = 2
+
+
+def run_curation(
+    spark: SparkSession,
+    docs: DataFrame,
+    workdir: str,
+    cfg: CurationConfig = CurationConfig(),
+    benchmark: DataFrame | None = None,
+    num_partitions: int | None = None,
+    stage_timings: dict | None = None,
+) -> DataFrame:
+    """Execute (or resume) the 4-stage curation pipeline; returns the
+    curated corpus (the kept rows of ``docs`` + fingerprint signals).
+
+    ``docs`` must carry (doc_id, text); extra columns pass through to the
+    curated output.  ``benchmark`` (optional) is the decontamination
+    reference set — any table with a text column; omit to skip that gate.
+    Pass ``stage_timings={}`` to collect per-stage wall seconds.
+    """
+    import time as _time
+
+    def _timed(name, fn):
+        t0 = _time.time()
+        out = fn()
+        if stage_timings is not None:
+            stage_timings[name] = round(_time.time() - t0, 3)
+        return out
+
+    from ahrd_spark import __version__ as _engine_version
+
+    ckpt = CheckpointManager(
+        spark,
+        workdir,
+        config_obj={
+            "engine": _engine_version,
+            "curation": cfg.__dict__,
+            "has_benchmark": benchmark is not None,
+        },
+    )
+
+    # -- stage 1: fingerprint ------------------------------------------
+    def build_fingerprint():
+        sig = minhash_signature(
+            docs, num_hashes=cfg.num_hashes, shingle_k=cfg.shingle_k
+        )
+        signals = docs.select(
+            "doc_id",
+            F.md5("text").alias("content_hash"),
+            ws_token_count_expr(F.col("text")).cast("long").alias("ws_tokens"),
+            F.round(quality_score_expr(F.col("text")), 6).alias("quality_r"),
+            lang_id_expr(F.col("text")).alias("lang_guess"),
+        )
+        # both sides are doc-keyed; the signature agg's output partitioning
+        # is reusable, so AQE plans this join without a second docs shuffle
+        return signals.join(sig, "doc_id")
+
+    fp = _timed("fingerprint", lambda: ckpt.run_stage(
+        "fingerprint", build_fingerprint, key="doc_id",
+        num_partitions=num_partitions,
+    ))
+
+    # -- stage 2: dedup keeper decisions --------------------------------
+    def build_dedup():
+        exact = fp.groupBy("content_hash").agg(
+            F.min("doc_id").alias("exact_keeper")
+        )
+        pairs = lsh_candidate_pairs(
+            fp.select("doc_id", "sig"),
+            bands=cfg.bands,
+            rows_per_band=cfg.rows_per_band,
+        )
+        canon = dedup_canonical(fp.select("doc_id"), pairs)
+        return (
+            fp.select("doc_id", "content_hash")
+            .join(exact, "content_hash")
+            .join(canon, "doc_id")
+            .select(
+                "doc_id",
+                "canonical_id",
+                (
+                    (F.col("doc_id") == F.col("exact_keeper"))
+                    & (F.col("doc_id") == F.col("canonical_id"))
+                ).alias("keep_dedup"),
+            )
+        )
+
+    dedup = _timed("dedup_decide", lambda: ckpt.run_stage(
+        "dedup_decide", build_dedup, key="doc_id",
+        inputs=["fingerprint"], num_partitions=num_partitions,
+    ))
+
+    # -- stage 3: quality gate ------------------------------------------
+    def build_gate():
+        base = fp.join(dedup.select("doc_id", "keep_dedup"), "doc_id")
+        if benchmark is not None:
+            contam = contamination_flags(
+                docs, benchmark,
+                k=cfg.decontam_k, min_matches=cfg.decontam_min_matches,
+            ).select("doc_id", "contaminated")
+            base = base.join(contam, "doc_id", "left")
+        else:
+            base = base.withColumn("contaminated", F.lit(False))
+        lang_ok = (
+            F.col("lang_guess").isin(*cfg.langs) if cfg.langs else F.lit(True)
+        )
+        reason = (
+            F.when(~F.col("keep_dedup"), F.lit("duplicate"))
+            .when(F.col("ws_tokens") < cfg.min_tokens, F.lit("too_short"))
+            .when(F.col("ws_tokens") > cfg.max_tokens, F.lit("too_long"))
+            .when(
+                F.col("quality_r") < cfg.min_quality_r, F.lit("low_quality")
+            )
+            .when(~lang_ok, F.lit("lang"))
+            .when(
+                F.coalesce("contaminated", F.lit(False)),
+                F.lit("contaminated"),
+            )
+        )
+        return base.select(
+            "doc_id",
+            reason.isNull().alias("keep"),
+            reason.alias("drop_reason"),
+        )
+
+    gate = _timed("quality_gate", lambda: ckpt.run_stage(
+        "quality_gate", build_gate, key="doc_id",
+        inputs=["fingerprint", "dedup_decide"], num_partitions=num_partitions,
+    ))
+
+    # -- stage 4: materialize -------------------------------------------
+    def build_curated():
+        kept = gate.filter(F.col("keep")).select("doc_id")
+        return docs.join(kept, "doc_id").join(
+            fp.select("doc_id", "ws_tokens", "quality_r", "lang_guess"),
+            "doc_id",
+        )
+
+    return _timed("materialize", lambda: ckpt.run_stage(
+        "materialize", build_curated, key="doc_id",
+        inputs=["quality_gate"], num_partitions=num_partitions,
+    ))
