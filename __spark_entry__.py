@@ -411,6 +411,108 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lang_id"] = lang_id
 
+    def normalize_text(spark, sf):
+        # deterministic dirt: a decomposed é, controls on even docs, messy
+        # whitespace — exercises strip -> collapse -> trim -> NFC end-to-end
+        from ahrd_spark.operators.normalize import clean_text_expr, nfc_normalize
+
+        d = F.col("doc_id")
+        dirty = _docs(spark, sf).select(
+            "doc_id",
+            F.concat(
+                F.substring("text", 1, 40),
+                F.lit(" Café "),
+                F.when(d % 2 == 0, F.lit("")).otherwise(F.lit("")),
+                F.lit("  tail   end"),
+            ).alias("text"),
+        )
+        cleaned = dirty.select(
+            "doc_id", clean_text_expr(F.col("text")).alias("text")
+        )
+        return nfc_normalize(cleaned, ["text"]).select(
+            "doc_id", F.col("text").alias("norm_text")
+        )
+
+    q["normalize_text"] = normalize_text
+
+    def c4_lines(spark, sf):
+        # synthesize multi-line docs (the corpus text is single-line): two
+        # keepable sentences, a too-short line, a no-punct line, a
+        # javascript boilerplate line on doc%11, lorem-ipsum doc reject on
+        # doc%13 — every C4 rule fires somewhere in the corpus
+        from ahrd_spark.operators.normalize import c4_line_filter
+
+        d = F.col("doc_id")
+        dirty = _docs(spark, sf).select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.concat(F.substring("text", 1, 30), F.lit(" sentence one.")),
+                F.lit("too short."),
+                F.concat(F.substring("text", 31, 20), F.lit(" no punct")),
+                F.when(
+                    d % 11 == 0, F.lit("Please enable javascript now.")
+                ).otherwise(F.lit("A second proper sentence here.")),
+                F.when(d % 13 == 0, F.lit("lorem ipsum dolor")).otherwise(
+                    F.lit("ok final line ends.")
+                ),
+            ).alias("text"),
+        )
+        return c4_line_filter(dirty)
+
+    q["c4_lines"] = c4_lines
+
+    def quality_classifier(spark, sf):
+        # fastText-style hashed linear gate; weights are a deterministic
+        # formula over the bucket id so the oracle can inline them
+        from ahrd_spark.operators.classifier import hashed_linear_scores
+
+        B = 64
+        weights = spark.range(B).select(
+            F.col("id").alias("bucket"),
+            ((((F.col("id") * 37) % 21) - 10).cast("double") / 10.0).alias(
+                "weight"
+            ),
+        )
+        return hashed_linear_scores(
+            _docs(spark, sf), weights, B, bias=-0.25
+        ).select(
+            "doc_id",
+            "n_tokens",
+            F.round("score", 6).alias("score_r"),
+            F.round("prob", 6).alias("prob_r"),
+            "keep",
+        )
+
+    q["quality_classifier"] = quality_classifier
+
+    def kg_ntriples(spark, sf):
+        # RDF export of a derived triple set: IRI objects on even docs,
+        # literal objects with every ECHAR escape (quote, backslash,
+        # newline, tab) on odd docs; subjects carry a space (%20 path)
+        from ahrd_spark.plans.graph_export import to_ntriples
+
+        d = F.col("doc_id")
+        triples = _docs(spark, sf).select(
+            F.concat(F.lit("P "), (d % 50).cast("string")).alias("subj"),
+            F.when(d % 2 == 0, F.lit("hasGOTerm"))
+            .otherwise(F.lit("hasDescription"))
+            .alias("pred"),
+            F.when(
+                d % 2 == 0, F.concat(F.lit("GO:"), (d % 13).cast("string"))
+            )
+            .otherwise(
+                F.concat(F.substring("text", 1, 25), F.lit(' "q\\b"\n\tend'))
+            )
+            .alias("obj"),
+            F.when(d % 2 == 0, F.lit("go_term"))
+            .otherwise(F.lit("description"))
+            .alias("obj_kind"),
+        )
+        return to_ntriples(triples)
+
+    q["kg_ntriples"] = kg_ntriples
+
     def token_doc_freq(spark, sf):
         from ahrd_spark.operators.skew import token_document_frequency
 
@@ -1589,6 +1691,128 @@ SELECT u.token, CAST(count(*) AS BIGINT) AS doc_freq
 FROM (SELECT doc_id, {tok} AS toks FROM documents) d,
      unnest(d.toks) AS u(token)
 GROUP BY u.token
+"""
+
+    # normalize_text: replay the dirt synthesis, control strip, explicit-
+    # class whitespace collapse, trim, then DuckDB's utf8proc NFC (same
+    # standard as Python's unicodedata on the Spark side)
+    o["normalize_text"] = r"""
+WITH dirty AS (
+  SELECT doc_id,
+         substr(text, 1, 40) || ' Cafe' || chr(769) || ' '
+         || (CASE WHEN doc_id % 2 = 0 THEN chr(1) || chr(2) ELSE '' END)
+         || '  tail   end' AS text
+  FROM documents)
+SELECT doc_id,
+       nfc_normalize(trim(regexp_replace(
+         regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+         '[ \t\n\f\r]+', ' ', 'g'))) AS norm_text
+FROM dirty
+"""
+
+    # c4_lines: replay the multi-line synthesis and every line rule
+    # (>=3 words, terminal punctuation, 4-phrase blocklist) plus the
+    # doc-level '{' / 'lorem ipsum' reject
+    _c4_ok = (
+        "(CASE WHEN trim(l) = '' THEN 0"
+        " ELSE len(regexp_split_to_array(trim(l), '[ \\t\\n\\f\\r]+')) END) >= 3"
+        " AND regexp_matches(trim(l), '[.!?\"'']$')"
+        " AND NOT contains(lower(trim(l)), 'javascript')"
+        " AND NOT contains(lower(trim(l)), 'cookie')"
+        " AND NOT contains(lower(trim(l)), 'terms of use')"
+        " AND NOT contains(lower(trim(l)), 'privacy policy')"
+    )
+    o["c4_lines"] = f"""
+WITH dirty AS (
+  SELECT doc_id,
+         substr(text, 1, 30) || ' sentence one.' || chr(10)
+         || 'too short.' || chr(10)
+         || substr(text, 31, 20) || ' no punct' || chr(10)
+         || (CASE WHEN doc_id % 11 = 0 THEN 'Please enable javascript now.'
+                  ELSE 'A second proper sentence here.' END) || chr(10)
+         || (CASE WHEN doc_id % 13 = 0 THEN 'lorem ipsum dolor'
+                  ELSE 'ok final line ends.' END) AS text
+  FROM documents),
+split AS (
+  SELECT doc_id, text,
+         string_split(text, chr(10)) AS lines,
+         (contains(lower(text), '{{')
+          OR contains(lower(text), 'lorem ipsum')) AS rej
+  FROM dirty),
+kept AS (
+  SELECT doc_id, lines, rej,
+         list_filter(lines, l -> {_c4_ok}) AS keep_lines
+  FROM split)
+SELECT doc_id,
+       CASE WHEN rej THEN ''
+            ELSE array_to_string(list_transform(keep_lines, l -> trim(l)),
+                                 chr(10)) END AS clean_text,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(CASE WHEN rej THEN 0 ELSE len(keep_lines) END AS BIGINT)
+         AS n_lines_kept,
+       rej AS doc_rejected
+FROM kept
+"""
+
+    # quality_classifier: portable md5 bucket (same construction as
+    # minhash), formula weights inlined, sigmoid replayed
+    _clf_z = "(-0.25 + coalesce(s.wsum, 0.0))"
+    o["quality_classifier"] = f"""
+WITH t AS (SELECT doc_id, lower(trim(text)) AS lt FROM documents),
+toks AS (
+  SELECT doc_id, u.tok
+  FROM t, unnest(regexp_split_to_array(lt, '\\s+')) AS u(tok)
+  WHERE lt <> ''),
+b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS bucket
+  FROM toks),
+s AS (
+  SELECT doc_id,
+         sum((((bucket * 37) % 21) - 10) / 10.0) AS wsum
+  FROM b GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(CASE WHEN trim(d.text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(d.text), '\\s+')) END
+            AS BIGINT) AS n_tokens,
+       round({_clf_z}, 6) AS score_r,
+       round(1.0 / (1.0 + exp(-{_clf_z})), 6) AS prob_r,
+       (1.0 / (1.0 + exp(-{_clf_z})) >= 0.5) AS keep
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+"""
+
+    # kg_ntriples: replay triple derivation + N-Triples rendering (ECHAR
+    # literal escapes in order — backslash first — and the %-encoded IRI
+    # local names; chr(92) = backslash, kept out of SQL string literals)
+    _iri = (
+        "replace(replace(replace(replace(replace(replace("
+        "{col}, '%', '%25'), ' ', '%20'), '<', '%3C'), '>', '%3E'),"
+        " '\"', '%22'), chr(92), '%5C')"
+    )
+    _lit = (
+        "replace(replace(replace(replace(replace("
+        "{col}, chr(92), chr(92) || chr(92)), '\"', chr(92) || '\"'),"
+        " chr(10), chr(92) || 'n'), chr(13), chr(92) || 'r'),"
+        " chr(9), chr(92) || 't')"
+    )
+    o["kg_ntriples"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         'P ' || (doc_id % 50)::VARCHAR AS subj,
+         CASE WHEN doc_id % 2 = 0 THEN 'hasGOTerm'
+              ELSE 'hasDescription' END AS pred,
+         CASE WHEN doc_id % 2 = 0 THEN 'GO:' || (doc_id % 13)::VARCHAR
+              ELSE substr(text, 1, 25) || ' "q' || chr(92) || 'b"'
+                   || chr(10) || chr(9) || 'end' END AS obj,
+         (doc_id % 2 = 0) AS is_iri
+  FROM documents)
+SELECT '<urn:ahrd:protein:' || {_iri.format(col="subj")} || '>'
+       || ' <urn:ahrd:pred:' || {_iri.format(col="pred")} || '>'
+       || ' ' || (CASE WHEN is_iri
+                  THEN '<urn:ahrd:entity:' || {_iri.format(col="obj")} || '>'
+                  ELSE '"' || {_lit.format(col="obj")} || '"' END)
+       || ' .' AS line
+FROM t
 """
 
     # TF-IDF: whitespace tokens with duplicates (tf), distinct-per-doc terms
