@@ -1112,6 +1112,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curation_pipeline"] = curation_pipeline
 
+    def curation_pipeline_full(spark, sf):
+        """curation_pipeline with the round-3 optional stages on: dirty
+        input (decomposed é, control chars, whitespace mess) -> stage-0
+        normalize (clean + NFC) -> fingerprint with the hashed-linear
+        classifier probability -> dedup -> gate (incl. the classifier
+        reason) -> curated rows.  The whole chain replays in SQL."""
+        import shutil
+
+        from ahrd_spark.plans.curation import CurationConfig, run_curation
+
+        d = F.col("doc_id")
+        # chr() keeps the non-ASCII dirt explicit: decomposed e+COMBINING
+        # ACUTE (the NFC work item) and two C0 controls on even docs
+        dirty = _docs(spark, sf).select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" Cafe" + chr(0x301)),
+                F.when(d % 2 == 0, F.lit(chr(1) + chr(2))).otherwise(
+                    F.lit("")
+                ),
+                F.lit("  tail   end"),
+            ).alias("text"),
+            "source",
+        )
+        bench = dirty.filter(d % 29 == 0).select("doc_id", "text")
+        weights = spark.range(64).select(
+            F.col("id").alias("bucket"),
+            ((((F.col("id") * 37) % 21) - 10).cast("double") / 10.0).alias(
+                "weight"
+            ),
+        )
+        workdir = f"/tmp/ahrd_q_curation_full_{_dataset_key(sf)}"
+        shutil.rmtree(workdir, ignore_errors=True)
+        cfg = CurationConfig(
+            min_tokens=5,
+            max_tokens=20000,
+            min_quality_r=0.93,
+            langs=("en", "de", "es", "fr"),
+            decontam_k=5,
+            decontam_min_matches=2,
+            normalize=True,
+            classifier_threshold=0.5,
+            classifier_bias=-0.25,
+            classifier_buckets=64,
+        )
+        out = run_curation(
+            spark, dirty, workdir, cfg=cfg, benchmark=bench,
+            classifier_weights=weights,
+        )
+        return out.select(
+            "doc_id", "text", "source", "ws_tokens", "quality_r",
+            "lang_guess",
+        )
+
+    q["curation_pipeline_full"] = curation_pipeline_full
+
     def ann_lsh_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -2026,6 +2083,111 @@ JOIN lg USING (doc_id)
 LEFT JOIN contam USING (doc_id)
 WHERE sigs.ws_tokens BETWEEN 5 AND 20000
   AND sigs.quality_r >= 0.9355
+  AND lg.lang_guess IN ('en', 'de', 'es', 'fr')
+  AND coalesce(contam.nm, 0) < 2
+"""
+
+    # curation_pipeline_full: the same staged replay over a stage-0-
+    # normalized corpus (dirt synthesis -> control strip -> ws collapse ->
+    # NFC), plus the hashed-linear classifier gate.  Benchmark grams come
+    # from the DIRTY %29 docs (what the Spark query passes); every other
+    # signal reads the normalized text.
+    _norm_txt = (
+        "nfc_normalize(trim(regexp_replace(regexp_replace(text,"
+        " '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),"
+        " '[ \\t\\n\\f\\r]+', ' ', 'g')))"
+    )
+    _clf_prob = (
+        "round(1.0 / (1.0 + exp(-(-0.25 + coalesce(wsum, 0.0)))), 6)"
+    )
+    o["curation_pipeline_full"] = f"""
+WITH RECURSIVE
+dirty AS (
+  SELECT doc_id,
+         text || ' Cafe' || chr(769)
+           || (CASE WHEN doc_id % 2 = 0 THEN chr(1) || chr(2) ELSE '' END)
+           || '  tail   end' AS text,
+         source
+  FROM documents),
+norm AS (
+  SELECT doc_id, {_norm_txt} AS text, source FROM dirty),
+t AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM norm),
+sh AS (SELECT doc_id, {sql_shingles} AS shingles FROM t),
+vv AS (
+  SELECT doc_id,
+         [('0x' || substr(md5(s), 1, 15))::BIGINT % {_P} for s in shingles]
+           AS vs
+  FROM sh),
+sig AS (
+  SELECT doc_id,
+         {_hmins}
+  FROM vv),
+banded AS (
+  SELECT doc_id, 0 AS band,
+         md5(h0::VARCHAR || '|' || h1::VARCHAR) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band,
+         md5(h2::VARCHAR || '|' || h3::VARCHAR) AS bucket FROM sig),
+prs AS (
+  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+sym AS (SELECT u, v FROM prs UNION SELECT v AS u, u AS v FROM prs),
+reach AS (
+  SELECT u AS node, u AS r FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT reach.node, sym.v AS r FROM reach JOIN sym ON sym.u = reach.r),
+comp AS (SELECT node, min(r) AS c FROM reach GROUP BY node),
+exact AS (SELECT md5(text) AS ch, min(doc_id) AS keeper
+          FROM norm GROUP BY md5(text)),
+keepdd AS (
+  SELECT n.doc_id FROM norm n
+  JOIN exact ON md5(n.text) = exact.ch
+  LEFT JOIN comp ON comp.node = n.doc_id
+  WHERE n.doc_id = exact.keeper
+    AND n.doc_id = coalesce(comp.c, n.doc_id)),
+sigs AS (SELECT doc_id, {ws_tok_sql} AS ws_tokens,
+                round({qual_sql}, 6) AS quality_r
+         FROM norm),
+lg AS (SELECT doc_id, {lang_case_sql} AS lang_guess
+       FROM (SELECT doc_id, {lang_score}
+             FROM (SELECT doc_id, {tok} AS toks FROM norm))),
+clfb AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(u.tok), 1, 15))::BIGINT % 64 AS bucket
+  FROM (SELECT doc_id, lower(trim(text)) AS lt FROM norm) x,
+       unnest(regexp_split_to_array(lt, '\\s+')) AS u(tok)
+  WHERE lt <> ''),
+clf AS (
+  SELECT doc_id,
+         sum((((bucket * 37) % 21) - 10) / 10.0) AS wsum
+  FROM clfb GROUP BY doc_id),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS gram
+  FROM t, unnest(range(1, greatest(len(toks) - 4, 1) + 1)) AS u(i)),
+bt AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM dirty WHERE doc_id % 29 = 0),
+bgrams AS (
+  SELECT DISTINCT array_to_string(toks[i:i+4], ' ') AS gram
+  FROM bt, unnest(range(1, greatest(len(toks) - 4, 1) + 1)) AS u(i)),
+contam AS (SELECT grams.doc_id, count(*) AS nm
+           FROM grams JOIN bgrams USING (gram) GROUP BY grams.doc_id)
+SELECT n.doc_id, n.text, n.source,
+       sigs.ws_tokens, sigs.quality_r, lg.lang_guess
+FROM norm n
+JOIN keepdd USING (doc_id)
+JOIN sigs USING (doc_id)
+JOIN lg USING (doc_id)
+JOIN clf USING (doc_id)
+LEFT JOIN contam USING (doc_id)
+WHERE sigs.ws_tokens BETWEEN 5 AND 20000
+  AND sigs.quality_r >= 0.93
+  AND {_clf_prob} >= 0.5
   AND lg.lang_guess IN ('en', 'de', 'es', 'fr')
   AND coalesce(contam.nm, 0) < 2
 """

@@ -86,6 +86,11 @@ def main(argv: list[str] | None = None) -> int:
         "--partitions", type=int, default=None,
         help="stage repartition width (default: spark.sql.shuffle.partitions)",
     )
+    ap.add_argument(
+        "--export-nt", default=None, metavar="PATH",
+        help="also export the graph as gzip N-Triples text at PATH "
+             "(one .nt part per triples partition)",
+    )
     args = ap.parse_args(argv)
 
     from ahrd_spark.config import load_config
@@ -119,6 +124,12 @@ def main(argv: list[str] | None = None) -> int:
         triples.observe(obs, F.count(F.lit(1)).alias("rows")), args.out
     )
     n = int(obs.get["rows"])
+    if args.export_nt:
+        # a second cheap job over the materialize checkpoint (triples is
+        # the re-read checkpoint frame, not the live plan)
+        from ahrd_spark.plans.graph_export import write_ntriples
+
+        write_ntriples(triples, args.export_nt)
     print(json.dumps({
         "triples": n,
         "out": args.out,

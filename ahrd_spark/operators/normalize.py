@@ -116,6 +116,7 @@ def c4_line_filter(
     min_line_words: int = 3,
     line_blocklist: tuple[str, ...] = C4_LINE_BLOCKLIST,
     doc_reject_substrings: tuple[str, ...] = C4_DOC_REJECT_SUBSTRINGS,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """C4-style line-level cleaning, one row per document:
 
@@ -126,6 +127,9 @@ def c4_line_filter(
     ``doc_rejected``  TRUE when the document contains any of
                     ``doc_reject_substrings`` (case-insensitive) — C4 drops
                     these documents outright rather than line-filtering.
+
+    ``keep_cols`` pass extra input columns through unchanged (so pipeline
+    callers don't need a re-join to recover them).
 
     Pure per-row map work (split -> filter -> rejoin), no shuffle, no UDF.
     """
@@ -146,4 +150,5 @@ def c4_line_filter(
         F.when(rejected, F.lit(0)).otherwise(F.size(kept))
         .cast("bigint").alias("n_lines_kept"),
         rejected.alias("doc_rejected"),
+        *[F.col(c) for c in keep_cols],
     )

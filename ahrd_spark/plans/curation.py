@@ -7,6 +7,13 @@ per-partition lineage, exactly like the triples run.
 
 Stages (each checkpointed, resumable exactly):
 
+0. ``normalize``     (optional) canonical bytes before anything hashes
+                     them: C4-style line-level boilerplate filtering
+                     (``c4_filter``) and/or control-strip + whitespace
+                     collapse + Unicode NFC (``normalize``).  Runs FIRST
+                     so exact/near-dup keys see normalized text — two
+                     docs differing only in combining-character form or
+                     boilerplate lines dedup together.
 1. ``fingerprint``   one pass over the corpus computing every per-doc
                      signal the later stages need: content hash (exact
                      dedup key), MinHash signature (near-dup key), token
@@ -19,11 +26,15 @@ Stages (each checkpointed, resumable exactly):
                      canonical).  A doc survives iff it is its own exact
                      keeper and its own cluster canonical.
 3. ``quality_gate``  threshold gate over the dedup survivors: token
-                     bounds, minimum quality, language allowlist, and
-                     benchmark decontamination (k-gram overlap vs a
+                     bounds, minimum quality, optional hashed-linear
+                     classifier probability (``classifier_threshold`` +
+                     a caller-trained weight table), language allowlist,
+                     and benchmark decontamination (k-gram overlap vs a
                      held-out benchmark table).  Emits EVERY doc with a
                      keep flag and the first failing reason — the audit
-                     trail a curation run needs.
+                     trail a curation run needs.  C4-rejected docs read
+                     ``boilerplate`` (highest precedence: the reject
+                     emptied their text, every later signal is vacuous).
 4. ``materialize``   the curated corpus: original rows of the kept docs
                      joined back by doc_id, carrying the fingerprint
                      signals.
@@ -75,6 +86,14 @@ class CurationConfig:
     rows_per_band: int = 2
     decontam_k: int = 4
     decontam_min_matches: int = 2
+    # optional stage-0 normalization (see module docstring)
+    normalize: bool = False  # control strip + ws collapse + Unicode NFC
+    c4_filter: bool = False  # C4-style line-level boilerplate filter
+    # optional hashed-linear classifier gate: set the threshold AND pass
+    # classifier_weights to run_curation; compared against round(prob, 6)
+    classifier_threshold: float | None = None
+    classifier_bias: float = 0.0
+    classifier_buckets: int = 64
 
 
 def run_curation(
@@ -83,18 +102,27 @@ def run_curation(
     workdir: str,
     cfg: CurationConfig = CurationConfig(),
     benchmark: DataFrame | None = None,
+    classifier_weights: DataFrame | None = None,
     num_partitions: int | None = None,
     stage_timings: dict | None = None,
 ) -> DataFrame:
-    """Execute (or resume) the 4-stage curation pipeline; returns the
+    """Execute (or resume) the staged curation pipeline; returns the
     curated corpus (the kept rows of ``docs`` + fingerprint signals).
 
     ``docs`` must carry (doc_id, text); extra columns pass through to the
     curated output.  ``benchmark`` (optional) is the decontamination
     reference set — any table with a text column; omit to skip that gate.
+    ``classifier_weights`` (bucket, weight) enables the hashed-linear
+    classifier gate; ``cfg.classifier_threshold`` must be set with it.
     Pass ``stage_timings={}`` to collect per-stage wall seconds.
     """
     import time as _time
+
+    if (classifier_weights is None) != (cfg.classifier_threshold is None):
+        raise ValueError(
+            "classifier gate needs BOTH cfg.classifier_threshold and "
+            "classifier_weights (got exactly one)"
+        )
 
     def _timed(name, fn):
         t0 = _time.time()
@@ -112,8 +140,43 @@ def run_curation(
             "engine": _engine_version,
             "curation": cfg.__dict__,
             "has_benchmark": benchmark is not None,
+            "has_classifier": classifier_weights is not None,
         },
     )
+
+    # -- stage 0: normalize (optional) -----------------------------------
+    pre_stages: list[str] = []
+    if cfg.normalize or cfg.c4_filter:
+        from ahrd_spark.operators.normalize import (
+            c4_line_filter,
+            clean_text_expr,
+            nfc_normalize,
+        )
+
+        def build_normalize():
+            base = docs
+            if cfg.c4_filter:
+                extras = tuple(
+                    c for c in docs.columns if c not in ("doc_id", "text")
+                )
+                base = c4_line_filter(base, keep_cols=extras).select(
+                    "doc_id",
+                    F.col("clean_text").alias("text"),
+                    F.col("doc_rejected").alias("c4_rejected"),
+                    *extras,
+                )
+            else:
+                base = base.withColumn("c4_rejected", F.lit(False))
+            if cfg.normalize:
+                base = base.withColumn("text", clean_text_expr(F.col("text")))
+                base = nfc_normalize(base, ["text"])
+            return base
+
+        docs = _timed("normalize", lambda: ckpt.run_stage(
+            "normalize", build_normalize, key="doc_id",
+            num_partitions=num_partitions,
+        ))
+        pre_stages = ["normalize"]
 
     # -- stage 1: fingerprint ------------------------------------------
     def build_fingerprint():
@@ -126,14 +189,30 @@ def run_curation(
             ws_token_count_expr(F.col("text")).cast("long").alias("ws_tokens"),
             F.round(quality_score_expr(F.col("text")), 6).alias("quality_r"),
             lang_id_expr(F.col("text")).alias("lang_guess"),
+            (
+                F.col("c4_rejected") if "c4_rejected" in docs.columns
+                else F.lit(False)
+            ).alias("c4_rejected"),
         )
-        # both sides are doc-keyed; the signature agg's output partitioning
-        # is reusable, so AQE plans this join without a second docs shuffle
+        if classifier_weights is not None:
+            from ahrd_spark.operators.classifier import hashed_linear_scores
+
+            clf = hashed_linear_scores(
+                docs, classifier_weights, cfg.classifier_buckets,
+                bias=cfg.classifier_bias,
+            ).select("doc_id", F.round("prob", 6).alias("clf_prob_r"))
+            signals = signals.join(clf, "doc_id")
+        else:
+            signals = signals.withColumn(
+                "clf_prob_r", F.lit(None).cast("double")
+            )
+        # all sides are doc-keyed; the signature agg's output partitioning
+        # is reusable, so AQE plans these joins without a second docs shuffle
         return signals.join(sig, "doc_id")
 
     fp = _timed("fingerprint", lambda: ckpt.run_stage(
         "fingerprint", build_fingerprint, key="doc_id",
-        num_partitions=num_partitions,
+        inputs=pre_stages, num_partitions=num_partitions,
     ))
 
     # -- stage 2: dedup keeper decisions --------------------------------
@@ -181,17 +260,22 @@ def run_curation(
             F.col("lang_guess").isin(*cfg.langs) if cfg.langs else F.lit(True)
         )
         reason = (
-            F.when(~F.col("keep_dedup"), F.lit("duplicate"))
+            F.when(F.col("c4_rejected"), F.lit("boilerplate"))
+            .when(~F.col("keep_dedup"), F.lit("duplicate"))
             .when(F.col("ws_tokens") < cfg.min_tokens, F.lit("too_short"))
             .when(F.col("ws_tokens") > cfg.max_tokens, F.lit("too_long"))
             .when(
                 F.col("quality_r") < cfg.min_quality_r, F.lit("low_quality")
             )
-            .when(~lang_ok, F.lit("lang"))
-            .when(
-                F.coalesce("contaminated", F.lit(False)),
-                F.lit("contaminated"),
+        )
+        if cfg.classifier_threshold is not None:
+            reason = reason.when(
+                F.col("clf_prob_r") < cfg.classifier_threshold,
+                F.lit("classifier"),
             )
+        reason = reason.when(~lang_ok, F.lit("lang")).when(
+            F.coalesce("contaminated", F.lit(False)),
+            F.lit("contaminated"),
         )
         return base.select(
             "doc_id",

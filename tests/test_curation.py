@@ -75,6 +75,7 @@ def test_curation_resume_reuses_stages(spark, tmp_path):
         spark, wd,
         config_obj={
             "engine": v, "curation": CFG.__dict__, "has_benchmark": False,
+            "has_classifier": False,
         },
     )
     for stage in ("fingerprint", "dedup_decide", "quality_gate"):
@@ -93,3 +94,87 @@ def test_curation_resume_reuses_stages(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in third.select("doc_id").collect()
     ) == [1, 4, 5]  # de now allowed; no benchmark -> doc 5 not contaminated
+
+
+def _gate_reasons(spark, wd):
+    from ahrd_spark.plans.checkpoint import CheckpointManager
+
+    gate = CheckpointManager(spark, wd, config_obj={}).read("quality_gate")
+    return {r["doc_id"]: r["drop_reason"] for r in gate.collect()}
+
+
+def test_curation_normalize_stage_dedups_nfc_variants(spark, tmp_path):
+    # docs 1 and 2 differ only in NFC form and whitespace mess; with the
+    # normalize stage on they MUST exact-dedup (canonical bytes first)
+    docs = spark.createDataFrame(
+        [
+            (1, "café time for the brown fox", "a"),
+            (2, "café  time for  the brown fox", "a"),
+            (3, "another english sentence about dogs", "b"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    cfg = CurationConfig(min_tokens=3, normalize=True)
+    wd = str(tmp_path / "wd")
+    timings: dict = {}
+    out = run_curation(spark, docs, wd, cfg=cfg, stage_timings=timings)
+    assert "normalize" in timings
+    assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) == [1, 3]
+    assert _gate_reasons(spark, wd)[2] == "duplicate"
+    # curated text is the normalized form
+    texts = {r["doc_id"]: r["text"] for r in out.select("doc_id", "text").collect()}
+    assert texts[1] == "café time for the brown fox"
+
+
+def test_curation_c4_filter_rejects_boilerplate_docs(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (1, "A proper english sentence about the dog.", "a"),
+            (2, "function f() { return 1; }", "a"),  # C4 doc reject
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    cfg = CurationConfig(min_tokens=3, c4_filter=True)
+    wd = str(tmp_path / "wd")
+    out = run_curation(spark, docs, wd, cfg=cfg)
+    assert [r["doc_id"] for r in out.select("doc_id").collect()] == [1]
+    assert _gate_reasons(spark, wd)[2] == "boilerplate"
+    # the source passthrough column survived the normalize stage
+    assert out.select("source").collect()[0]["source"] == "a"
+
+
+def test_curation_classifier_gate(spark, tmp_path):
+    import hashlib
+
+    def bucket(tok, n=64):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % n
+
+    docs = spark.createDataFrame(
+        [
+            (1, "good good english sentence for the gate", "a"),
+            (2, "bad bad bad junk junk junk spam spam", "a"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    weights = spark.createDataFrame(
+        [(bucket("good"), 2.0), (bucket("bad"), -2.0), (bucket("junk"), -2.0)],
+        "bucket bigint, weight double",
+    )
+    cfg = CurationConfig(min_tokens=3, classifier_threshold=0.5)
+    wd = str(tmp_path / "wd")
+    out = run_curation(
+        spark, docs, wd, cfg=cfg, classifier_weights=weights
+    )
+    assert [r["doc_id"] for r in out.select("doc_id").collect()] == [1]
+    assert _gate_reasons(spark, wd)[2] == "classifier"
+
+    # threshold without weights (or vice versa) is a loud config error
+    import pytest
+
+    with pytest.raises(ValueError):
+        run_curation(spark, docs, str(tmp_path / "wd2"), cfg=cfg)
+    with pytest.raises(ValueError):
+        run_curation(
+            spark, docs, str(tmp_path / "wd3"),
+            cfg=CurationConfig(min_tokens=3), classifier_weights=weights,
+        )
