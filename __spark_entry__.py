@@ -513,6 +513,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_ntriples"] = kg_ntriples
 
+    # shared deterministic triple derivation for the KG-maintenance queries
+    # (subj/pred/obj congruences are coprime past the corpus size, so each
+    # doc yields a distinct triple; overlapping doc filters yield shared
+    # triples across snapshots)
+    def _kg_triples(spark, sf, snapshot, score_mod, doc_mod=None):
+        d = F.col("doc_id")
+        base = _docs(spark, sf)
+        if doc_mod is not None:
+            base = base.where(d % doc_mod == 0)
+        return base.select(
+            F.concat(F.lit("P"), (d % 40).cast("string")).alias("subj"),
+            F.when(d % 3 == 0, F.lit("hasDescription"))
+            .otherwise(F.lit("hasGOTerm"))
+            .alias("pred"),
+            F.when(d % 3 == 0, F.substring("text", 1, 12))
+            .otherwise(F.concat(F.lit("GO:"), (d % 17).cast("string")))
+            .alias("obj"),
+            ((d % score_mod).cast("double") / 10.0).alias("score"),
+            F.lit(snapshot).cast("bigint").alias("snapshot"),
+        )
+
+    def kg_predicate_stats(spark, sf):
+        from ahrd_spark.operators.graph import predicate_stats
+
+        return predicate_stats(_kg_triples(spark, sf, 1, 10))
+
+    q["kg_predicate_stats"] = kg_predicate_stats
+
+    def kg_entity_degree(spark, sf):
+        from ahrd_spark.operators.graph import entity_degree
+
+        return entity_degree(_kg_triples(spark, sf, 1, 10))
+
+    q["kg_entity_degree"] = kg_entity_degree
+
+    def kg_merge(spark, sf):
+        from ahrd_spark.operators.graph import merge_triples
+
+        existing = _kg_triples(spark, sf, 1, 10, doc_mod=2)
+        incoming = _kg_triples(spark, sf, 2, 7, doc_mod=3)
+        return merge_triples(existing, incoming)
+
+    q["kg_merge"] = kg_merge
+
+    def kg_delta(spark, sf):
+        from ahrd_spark.operators.graph import new_triples
+
+        existing = _kg_triples(spark, sf, 1, 10, doc_mod=2)
+        incoming = _kg_triples(spark, sf, 2, 7, doc_mod=3)
+        return new_triples(existing, incoming)
+
+    q["kg_delta"] = kg_delta
+
     def token_doc_freq(spark, sf):
         from ahrd_spark.operators.skew import token_document_frequency
 
@@ -1870,6 +1923,59 @@ SELECT '<urn:ahrd:protein:' || {_iri.format(col="subj")} || '>'
                   ELSE '"' || {_lit.format(col="obj")} || '"' END)
        || ' .' AS line
 FROM t
+"""
+
+    # KG maintenance: shared derived-triples CTE body (parameterized by the
+    # doc filter, snapshot constant, and score modulus)
+    def _kg_cte(doc_mod, snapshot, score_mod):
+        flt = f"WHERE doc_id % {doc_mod} = 0" if doc_mod else ""
+        return f"""
+  SELECT 'P' || (doc_id % 40)::VARCHAR AS subj,
+         CASE WHEN doc_id % 3 = 0 THEN 'hasDescription'
+              ELSE 'hasGOTerm' END AS pred,
+         CASE WHEN doc_id % 3 = 0 THEN substr(text, 1, 12)
+              ELSE 'GO:' || (doc_id % 17)::VARCHAR END AS obj,
+         (doc_id % {score_mod}) / 10.0 AS score,
+         CAST({snapshot} AS BIGINT) AS snapshot
+  FROM documents {flt}"""
+
+    o["kg_predicate_stats"] = f"""
+WITH t AS ({_kg_cte(None, 1, 10)})
+SELECT pred, count(*) AS n_triples,
+       count(DISTINCT subj) AS n_subjects,
+       count(DISTINCT obj) AS n_objects
+FROM t GROUP BY pred
+"""
+
+    o["kg_entity_degree"] = f"""
+WITH t AS ({_kg_cte(None, 1, 10)}),
+od AS (SELECT subj AS entity, count(*) AS out_degree FROM t GROUP BY subj),
+id_ AS (SELECT obj AS entity, count(*) AS in_degree FROM t GROUP BY obj)
+SELECT entity,
+       coalesce(out_degree, 0) AS out_degree,
+       coalesce(in_degree, 0) AS in_degree,
+       coalesce(out_degree, 0) + coalesce(in_degree, 0) AS degree
+FROM od FULL OUTER JOIN id_ USING (entity)
+"""
+
+    o["kg_merge"] = f"""
+WITH te AS ({_kg_cte(2, 1, 10)}),
+ti AS ({_kg_cte(3, 2, 7)}),
+b AS (SELECT * FROM te UNION ALL SELECT * FROM ti)
+SELECT subj, pred, obj,
+       count(*) AS n_evidence,
+       max(score) AS best_score,
+       min(snapshot) AS first_snapshot,
+       max(snapshot) AS last_snapshot
+FROM b GROUP BY subj, pred, obj
+"""
+
+    o["kg_delta"] = f"""
+WITH te AS ({_kg_cte(2, 1, 10)}),
+ti AS ({_kg_cte(3, 2, 7)})
+SELECT DISTINCT subj, pred, obj FROM ti
+ANTI JOIN (SELECT DISTINCT subj, pred, obj FROM te) te2
+  USING (subj, pred, obj)
 """
 
     # TF-IDF: whitespace tokens with duplicates (tf), distinct-per-doc terms

@@ -113,3 +113,106 @@ def pagerank(
     finally:
         weighted.unpersist()
     return ranks
+
+
+# ---------------------------------------------------------------------------
+# KG maintenance: summary statistics and incremental snapshot merge.
+# ---------------------------------------------------------------------------
+
+def predicate_stats(
+    triples: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Per-predicate graph summary: (pred, n_triples, n_subjects,
+    n_objects).  One hash aggregation keyed by predicate; the distinct
+    counts are Spark's two-phase distinct-aggregate expansion (partials
+    map-side), so a predicate appearing in 10^11 triples never funnels raw
+    rows to one reducer.  Predicates are low-cardinality by construction
+    (an ontology's relation set), so the final agg is tiny."""
+    return triples.groupBy(F.col(pred_col).alias("pred")).agg(
+        F.count("*").alias("n_triples"),
+        F.countDistinct(subj_col).alias("n_subjects"),
+        F.countDistinct(obj_col).alias("n_objects"),
+    )
+
+
+def entity_degree(
+    triples: DataFrame,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Per-entity degree summary: (entity, out_degree, in_degree, degree).
+    Subjects contribute out-edges, objects in-edges; a node missing on one
+    side counts 0 there.  Two entity-keyed hash aggs + one outer merge —
+    all shuffles keyed by entity hash.  Hot entities (a GO term every
+    protein links) are safe: count aggs combine map-side, so the reducer
+    sees one partial per upstream partition, not one row per triple."""
+    out_d = triples.groupBy(F.col(subj_col).alias("entity")).agg(
+        F.count("*").alias("out_degree")
+    )
+    in_d = triples.groupBy(F.col(obj_col).alias("entity")).agg(
+        F.count("*").alias("in_degree")
+    )
+    return (
+        out_d.join(in_d, "entity", "full_outer")
+        .select(
+            "entity",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            (
+                F.coalesce("out_degree", F.lit(0))
+                + F.coalesce("in_degree", F.lit(0))
+            ).alias("degree"),
+        )
+    )
+
+
+def merge_triples(
+    existing: DataFrame,
+    incoming: DataFrame,
+    score_col: str = "score",
+    snapshot_col: str = "snapshot",
+) -> DataFrame:
+    """Incremental KG upsert: union an existing graph table with a new
+    extraction snapshot and collapse per (subj, pred, obj):
+
+        (subj, pred, obj, n_evidence, best_score, first_snapshot,
+         last_snapshot)
+
+    ``n_evidence``  total supporting rows across both inputs,
+    ``best_score``  max score seen,
+    ``first/last_snapshot``  min/max of ``snapshot_col``.
+
+    Both inputs must carry (subj, pred, obj, score, snapshot).  Scale
+    shape: ONE hash aggregation keyed by the (s,p,o) hash — uniform by
+    construction — with map-side partial aggregation; re-merging an
+    already-merged table is idempotent in the keeper columns (evidence
+    counts add, as they should)."""
+    cols = ["subj", "pred", "obj",
+            F.col(score_col).alias("_score"),
+            F.col(snapshot_col).alias("_snap")]
+    both = existing.select(*cols).unionByName(incoming.select(*cols))
+    return both.groupBy("subj", "pred", "obj").agg(
+        F.count("*").alias("n_evidence"),
+        F.max("_score").alias("best_score"),
+        F.min("_snap").alias("first_snapshot"),
+        F.max("_snap").alias("last_snapshot"),
+    )
+
+
+def new_triples(
+    existing: DataFrame,
+    incoming: DataFrame,
+) -> DataFrame:
+    """The snapshot delta: DISTINCT (subj, pred, obj) of ``incoming`` that
+    the existing graph does not contain — what an incremental run actually
+    adds.  A left-anti hash join on the triple key; both sides dedupe
+    before the join (map-side partials), so the join is keeper-vs-keeper,
+    never row-vs-row."""
+    key = ["subj", "pred", "obj"]
+    return (
+        incoming.select(*key).distinct()
+        .join(existing.select(*key).distinct(), key, "left_anti")
+    )

@@ -74,3 +74,69 @@ def test_pagerank_validates_iters(spark):
     edges = spark.createDataFrame([("a", "b")], "src STRING, dst STRING")
     with pytest.raises(ValueError):
         pagerank(edges, iters=0)
+
+
+# ------------------------------------------------------------- KG maintenance
+def _triples(spark, rows):
+    return spark.createDataFrame(
+        rows, "subj STRING, pred STRING, obj STRING, score DOUBLE, "
+              "snapshot BIGINT"
+    )
+
+
+def test_predicate_stats_and_entity_degree(spark):
+    from ahrd_spark.operators.graph import entity_degree, predicate_stats
+
+    t = _triples(spark, [
+        ("p1", "hasGOTerm", "GO:1", 0.9, 1),
+        ("p1", "hasGOTerm", "GO:2", 0.8, 1),
+        ("p2", "hasGOTerm", "GO:1", 0.7, 1),
+        ("p2", "hasDescription", "kinase", 0.6, 1),
+    ])
+    ps = {r["pred"]: r.asDict() for r in predicate_stats(t).collect()}
+    assert ps["hasGOTerm"] == {
+        "pred": "hasGOTerm", "n_triples": 3, "n_subjects": 2, "n_objects": 2,
+    }
+    assert ps["hasDescription"]["n_triples"] == 1
+
+    deg = {r["entity"]: r.asDict() for r in entity_degree(t).collect()}
+    assert deg["p1"]["out_degree"] == 2 and deg["p1"]["in_degree"] == 0
+    assert deg["GO:1"]["in_degree"] == 2 and deg["GO:1"]["degree"] == 2
+    assert deg["kinase"]["degree"] == 1
+
+
+def test_merge_triples_upsert_semantics(spark):
+    from ahrd_spark.operators.graph import merge_triples
+
+    existing = _triples(spark, [
+        ("p1", "hasGOTerm", "GO:1", 0.5, 1),
+        ("p1", "hasGOTerm", "GO:1", 0.7, 2),   # same triple, 2 evidences
+        ("p2", "hasGOTerm", "GO:2", 0.9, 1),
+    ])
+    incoming = _triples(spark, [
+        ("p1", "hasGOTerm", "GO:1", 0.6, 3),   # strengthens existing
+        ("p3", "hasGOTerm", "GO:3", 0.4, 3),   # brand new
+    ])
+    merged = {
+        (r["subj"], r["pred"], r["obj"]): r.asDict()
+        for r in merge_triples(existing, incoming).collect()
+    }
+    m = merged[("p1", "hasGOTerm", "GO:1")]
+    assert m["n_evidence"] == 3
+    assert m["best_score"] == 0.7
+    assert (m["first_snapshot"], m["last_snapshot"]) == (1, 3)
+    assert merged[("p3", "hasGOTerm", "GO:3")]["n_evidence"] == 1
+    assert len(merged) == 3
+
+
+def test_new_triples_delta(spark):
+    from ahrd_spark.operators.graph import new_triples
+
+    existing = _triples(spark, [("p1", "hasGOTerm", "GO:1", 0.5, 1)])
+    incoming = _triples(spark, [
+        ("p1", "hasGOTerm", "GO:1", 0.9, 2),   # known -> excluded
+        ("p1", "hasGOTerm", "GO:2", 0.9, 2),
+        ("p1", "hasGOTerm", "GO:2", 0.8, 2),   # dup in snapshot -> once
+    ])
+    delta = [tuple(r) for r in new_triples(existing, incoming).collect()]
+    assert delta == [("p1", "hasGOTerm", "GO:2")]
