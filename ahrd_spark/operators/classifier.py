@@ -36,11 +36,10 @@ from pyspark.sql import functions as F
 
 def token_bucket_expr(token: Column, n_buckets: int) -> Column:
     """Stable feature bucket: first 60 bits of md5(token) mod n_buckets
-    (portable across engines; same construction as dedup.minhash)."""
-    return (
-        F.conv(F.substring(F.md5(token), 1, 15), 16, 10).cast("bigint")
-        % F.lit(n_buckets)
-    )
+    (the shared portable hash — see functions/hashing.py)."""
+    from ahrd_spark.functions.hashing import md5_prefix60
+
+    return md5_prefix60(token) % F.lit(n_buckets)
 
 
 def hashed_linear_scores(

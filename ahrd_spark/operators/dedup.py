@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ahrd_spark.functions.hashing import md5_prefix60
 from ahrd_spark.functions.text import tokenize_expr
 
 
@@ -107,10 +108,7 @@ def minhash_signature(
             for i in range(shingle_k)
         ],
     )
-    v = (
-        F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("bigint")
-        % MINHASH_P
-    )
+    v = md5_prefix60(shingle) % MINHASH_P
     sh = sh.select("doc_id", v.alias("v"))
     mins = []
     for h in range(num_hashes):

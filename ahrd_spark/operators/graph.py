@@ -185,20 +185,35 @@ def merge_triples(
     ``best_score``  max score seen,
     ``first/last_snapshot``  min/max of ``snapshot_col``.
 
-    Both inputs must carry (subj, pred, obj, score, snapshot).  Scale
-    shape: ONE hash aggregation keyed by the (s,p,o) hash — uniform by
-    construction — with map-side partial aggregation; re-merging an
-    already-merged table is idempotent in the keeper columns (evidence
-    counts add, as they should)."""
-    cols = ["subj", "pred", "obj",
-            F.col(score_col).alias("_score"),
-            F.col(snapshot_col).alias("_snap")]
-    both = existing.select(*cols).unionByName(incoming.select(*cols))
+    Each input is either RAW extraction rows (subj, pred, obj, score,
+    snapshot — every row counts 1 evidence) or an ALREADY-MERGED table
+    (this function's own output shape, detected by its ``n_evidence``
+    column) — so snapshot 3 merges into the merged graph of snapshots
+    1-2 and evidence counts ADD across merges instead of resetting.
+
+    Scale shape: ONE hash aggregation keyed by the (s,p,o) hash — uniform
+    by construction — with map-side partial aggregation."""
+
+    def _as_evidence(df: DataFrame) -> DataFrame:
+        if "n_evidence" in df.columns:  # already-merged shape: pass through
+            return df.select(
+                "subj", "pred", "obj", "n_evidence", "best_score",
+                "first_snapshot", "last_snapshot",
+            )
+        return df.select(
+            "subj", "pred", "obj",
+            F.lit(1).cast("bigint").alias("n_evidence"),
+            F.col(score_col).alias("best_score"),
+            F.col(snapshot_col).alias("first_snapshot"),
+            F.col(snapshot_col).alias("last_snapshot"),
+        )
+
+    both = _as_evidence(existing).unionByName(_as_evidence(incoming))
     return both.groupBy("subj", "pred", "obj").agg(
-        F.count("*").alias("n_evidence"),
-        F.max("_score").alias("best_score"),
-        F.min("_snap").alias("first_snapshot"),
-        F.max("_snap").alias("last_snapshot"),
+        F.sum("n_evidence").alias("n_evidence"),
+        F.max("best_score").alias("best_score"),
+        F.min("first_snapshot").alias("first_snapshot"),
+        F.max("last_snapshot").alias("last_snapshot"),
     )
 
 

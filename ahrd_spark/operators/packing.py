@@ -37,10 +37,10 @@ def pack_sequences(
 ) -> DataFrame:
     """-> input columns + (bucket, pack_id): pack_id unique within bucket;
     (bucket, pack_id) is the global pack key."""
-    h = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt)))
-    bucket = (
-        F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % buckets
-    ).alias("bucket")
+    from ahrd_spark.functions.hashing import md5_prefix60
+
+    h = F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))
+    bucket = (md5_prefix60(h) % buckets).alias("bucket")
     w = (
         Window.partitionBy("bucket")
         .orderBy(id_col)

@@ -19,8 +19,10 @@ SAMPLE_BUCKETS = 10_000
 def _hash_bucket(id_col: Column, salt: str) -> Column:
     """Uniform bucket in [0, SAMPLE_BUCKETS) from the first 60 bits of
     md5(id ':' salt) — md5 (not xxhash64) so any engine can replay it."""
-    h = F.md5(F.concat_ws(":", id_col.cast("string"), F.lit(salt)))
-    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % SAMPLE_BUCKETS
+    from ahrd_spark.functions.hashing import md5_prefix60
+
+    h = F.concat_ws(":", id_col.cast("string"), F.lit(salt))
+    return md5_prefix60(h) % SAMPLE_BUCKETS
 
 
 def hash_sample(

@@ -133,6 +133,16 @@ def run_curation(
 
     from ahrd_spark import __version__ as _engine_version
 
+    # the weight table's CONTENT belongs in the config hash: a resume with
+    # retrained weights must invalidate the fingerprint checkpoint, not
+    # silently reuse stale clf_prob_r.  The table is model-constant-sized
+    # (<= classifier_buckets rows), so one tiny driver job is fine here.
+    classifier_fp = None
+    if classifier_weights is not None:
+        classifier_fp = classifier_weights.select(
+            F.bit_xor(F.xxhash64("bucket", "weight")).alias("s")
+        ).first()["s"]
+
     ckpt = CheckpointManager(
         spark,
         workdir,
@@ -140,7 +150,7 @@ def run_curation(
             "engine": _engine_version,
             "curation": cfg.__dict__,
             "has_benchmark": benchmark is not None,
-            "has_classifier": classifier_weights is not None,
+            "classifier_fp": classifier_fp,
         },
     )
 
@@ -220,8 +230,14 @@ def run_curation(
         exact = fp.groupBy("content_hash").agg(
             F.min("doc_id").alias("exact_keeper")
         )
+        # C4-rejected docs are gated out downstream ('boilerplate' precedes
+        # every dedup reason) and their text is '' — ONE shared minhash
+        # signature that would flood a single LSH bucket with the entire
+        # rejected set (O(N^2) pair expansion at web scale).  Keep them out
+        # of the pairing; the node universe below still includes them, so
+        # the canonical join stays total.
         pairs = lsh_candidate_pairs(
-            fp.select("doc_id", "sig"),
+            fp.filter(~F.col("c4_rejected")).select("doc_id", "sig"),
             bands=cfg.bands,
             rows_per_band=cfg.rows_per_band,
         )

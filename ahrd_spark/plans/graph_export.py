@@ -68,14 +68,25 @@ def ntriple_line_expr(
     pred_base: str,
     obj_base: str,
 ) -> Column:
-    """One N-Triples line: ``<s> <p> o .`` with ``o`` an IRI or literal."""
+    """One N-Triples line: ``<s> <p> o .`` with ``o`` an IRI or literal.
+
+    A NULL term fails the job loudly (``raise_error``) rather than letting
+    a silently-shortened line corrupt the export — strict RDF parsers
+    reject a whole ``.nt`` file on one malformed triple, so the bad row
+    must surface at write time, not load time."""
     s = F.concat(F.lit("<" + subj_base), escape_iri_local_expr(subj), F.lit(">"))
     p = F.concat(F.lit("<" + pred_base), escape_iri_local_expr(pred), F.lit(">"))
     o = F.when(
         obj_is_iri,
         F.concat(F.lit("<" + obj_base), escape_iri_local_expr(obj), F.lit(">")),
     ).otherwise(F.concat(F.lit('"'), escape_literal_expr(obj), F.lit('"')))
-    return F.concat_ws(" ", s, p, o, F.lit("."))
+    any_null = (
+        subj.isNull() | pred.isNull() | obj.isNull() | obj_is_iri.isNull()
+    )
+    return F.when(
+        any_null,
+        F.raise_error(F.lit("ntriples export: NULL term in triple row")),
+    ).otherwise(F.concat_ws(" ", s, p, o, F.lit(".")))
 
 
 def to_ntriples(
@@ -87,13 +98,15 @@ def to_ntriples(
     pred_col: str = "pred",
     obj_col: str = "obj",
     obj_kind_col: str = "obj_kind",
-    iri_kinds: tuple[str, ...] = ("go_term", "domain", "entity"),
+    iri_kinds: tuple[str, ...] = ("go_term", "interpro", "domain", "entity"),
 ) -> DataFrame:
     """Render a triples table to one ``line: string`` column.
 
     ``obj_kind`` decides the object form: kinds in ``iri_kinds`` become
     IRIs under ``obj_base``; everything else (descriptions) becomes an
-    escaped literal.
+    escaped literal.  The default covers every kind the pipeline emits
+    (plans/pipeline.py:330-590: ``description`` literal, ``go_term`` /
+    ``interpro`` IRIs).
     """
     is_iri = F.col(obj_kind_col).isin(*iri_kinds)
     return triples.select(

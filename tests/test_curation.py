@@ -75,7 +75,7 @@ def test_curation_resume_reuses_stages(spark, tmp_path):
         spark, wd,
         config_obj={
             "engine": v, "curation": CFG.__dict__, "has_benchmark": False,
-            "has_classifier": False,
+            "classifier_fp": None,
         },
     )
     for stage in ("fingerprint", "dedup_decide", "quality_gate"):
@@ -167,6 +167,20 @@ def test_curation_classifier_gate(spark, tmp_path):
     )
     assert [r["doc_id"] for r in out.select("doc_id").collect()] == [1]
     assert _gate_reasons(spark, wd)[2] == "classifier"
+
+    # retrained weights on the SAME workdir must invalidate the
+    # fingerprint checkpoint (weight content is in the config hash) —
+    # doc 1 flips from kept to classifier-dropped
+    flipped = spark.createDataFrame(
+        [(bucket("good"), -2.0)], "bucket bigint, weight double"
+    )
+    # doc 1 flips to classifier-dropped; doc 2 (no weighted tokens left)
+    # sits exactly at sigmoid(0) = 0.5 and passes the >= gate
+    rerun = run_curation(
+        spark, docs, wd, cfg=cfg, classifier_weights=flipped
+    )
+    assert [r["doc_id"] for r in rerun.select("doc_id").collect()] == [2]
+    assert _gate_reasons(spark, wd)[1] == "classifier"
 
     # threshold without weights (or vice versa) is a loud config error
     import pytest

@@ -128,6 +128,19 @@ def test_merge_triples_upsert_semantics(spark):
     assert merged[("p3", "hasGOTerm", "GO:3")]["n_evidence"] == 1
     assert len(merged) == 3
 
+    # re-merge: snapshot 3 into the ALREADY-MERGED table — evidence adds
+    merged_df = merge_triples(existing, incoming)
+    snap3 = _triples(spark, [("p1", "hasGOTerm", "GO:1", 0.95, 4)])
+    again = {
+        (r["subj"], r["pred"], r["obj"]): r.asDict()
+        for r in merge_triples(merged_df, snap3).collect()
+    }
+    m2 = again[("p1", "hasGOTerm", "GO:1")]
+    assert m2["n_evidence"] == 4          # 3 prior + 1 new, NOT reset
+    assert m2["best_score"] == 0.95
+    assert (m2["first_snapshot"], m2["last_snapshot"]) == (1, 4)
+    assert len(again) == 3
+
 
 def test_new_triples_delta(spark):
     from ahrd_spark.operators.graph import new_triples

@@ -155,6 +155,26 @@ def test_ntriples_escaping_and_object_forms(spark):
     )
 
 
+def test_ntriples_interpro_kind_is_iri_and_null_term_fails(spark):
+    triples = spark.createDataFrame(
+        [("P1", "hasDomain", "IPR000123", "interpro")],
+        "subj string, pred string, obj string, obj_kind string",
+    )
+    # the pipeline's 'interpro' obj_kind must render as an IRI by default
+    assert to_ntriples(triples).collect()[0]["line"] == (
+        "<urn:ahrd:protein:P1> <urn:ahrd:pred:hasDomain> "
+        "<urn:ahrd:entity:IPR000123> ."
+    )
+
+    bad = spark.createDataFrame(
+        [("P1", "hasGOTerm", None, "go_term")],
+        "subj string, pred string, obj string, obj_kind string",
+    )
+    with pytest.raises(Exception) as ei:
+        to_ntriples(bad).collect()
+    assert "NULL term" in str(ei.value)
+
+
 def test_write_ntriples_roundtrip(spark, tmp_path):
     triples = spark.createDataFrame(
         [("P1", "hasGOTerm", f"GO:{i:07d}", "go_term") for i in range(10)],
