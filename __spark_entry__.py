@@ -1222,6 +1222,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curation_pipeline_full"] = curation_pipeline_full
 
+    def stream_dedup(spark, sf):
+        """Streaming incremental exact dedup: the corpus lands as multiple
+        files, each trigger suppresses content already in the cross-batch
+        state, and the kept HASH SET must equal batch exact dedup's
+        (exactly one keeper per distinct content, no matter how the
+        arrival order slices the duplicates across triggers)."""
+        import os
+        import shutil
+
+        from ahrd_spark.streaming.pipeline import stream_dedup_exact
+
+        workdir = f"/tmp/ahrd_q_streamdedup_{_dataset_key(sf)}"
+        shutil.rmtree(workdir, ignore_errors=True)
+        src = os.path.join(workdir, "src")
+        _docs(spark, sf).select("doc_id", "text", "source").repartition(
+            4
+        ).write.mode("overwrite").parquet(src)
+        sq = stream_dedup_exact(
+            spark, src,
+            os.path.join(workdir, "sink"),
+            os.path.join(workdir, "state"),
+            os.path.join(workdir, "ckpt"),
+            max_files_per_trigger=2,
+        )
+        if not sq.awaitTermination(300):
+            sq.stop()
+            raise TimeoutError("stream_dedup: query did not finish in 300s")
+        return spark.read.parquet(os.path.join(workdir, "sink")).select(
+            "content_hash"
+        )
+
+    q["stream_dedup"] = stream_dedup
+
     def ann_lsh_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -1923,6 +1956,13 @@ SELECT '<urn:ahrd:protein:' || {_iri.format(col="subj")} || '>'
                   ELSE '"' || {_lit.format(col="obj")} || '"' END)
        || ' .' AS line
 FROM t
+"""
+
+    # stream_dedup: the sink holds exactly one keeper row per distinct
+    # content hash (which doc won depends on arrival order; the hash set
+    # does not)
+    o["stream_dedup"] = """
+SELECT DISTINCT md5(text) AS content_hash FROM documents
 """
 
     # KG maintenance: shared derived-triples CTE body (parameterized by the

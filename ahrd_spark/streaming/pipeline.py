@@ -289,3 +289,99 @@ def stream_triples(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup_exact(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    schema: str = "doc_id bigint, text string, source string",
+    trigger_once: bool = True,
+    max_files_per_trigger: int = 8,
+):
+    """Incremental exact dedup over a docs landing zone: only
+    never-seen-before content reaches the sink, across ALL triggers of all
+    runs (the continuously-arriving-crawl shape of `dedup_incremental`).
+
+    Per micro-batch (foreachBatch):
+
+    1. hash the batch (md5 over ``text_col``),
+    2. keep one in-batch keeper per hash (min ``id_col``),
+    3. anti-join the keepers against the accumulated STATE hash table,
+       EXCLUDING rows this same batch id wrote — so a retried batch
+       ignores its own partial writes instead of suppressing itself,
+    4. overwrite ``sink_dir/batch_id=N`` with the surviving rows and
+       ``state_dir/batch_id=N`` with their hashes (overwrite-by-batch-dir
+       keeps retries idempotent, exactly like ``stream_triples``).
+
+    Semantics: FIRST-SEEN WINS across triggers — the streaming-natural
+    dedup contract; it coincides with batch ``exact_dedup``'s min-id
+    keeper whenever files land in id order, and the kept HASH SET equals
+    the batch result under any arrival order.
+
+    Scale: the per-trigger cost is one hash-shuffled anti-join of the
+    batch's keys against the state keys plus the batch-sized writes.  At
+    10^12-doc state, compact the per-batch state dirs periodically and
+    partition the compacted table by a hash prefix so the anti-join
+    prunes to matching buckets; the trigger-time work stays bounded by
+    the batch, never by history size.
+    """
+    from pyspark.errors import AnalysisException
+
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def handle(batch_docs: DataFrame, batch_id: int) -> None:
+        hashed = batch_docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("text"),
+            F.md5(F.col(text_col)).alias("content_hash"),
+        )
+        keep = (
+            hashed.groupBy("content_hash")
+            .agg(
+                F.min_by(
+                    F.struct("doc_id", "text"), F.col("doc_id")
+                ).alias("k")
+            )
+            .select(
+                "content_hash",
+                F.col("k.doc_id").alias("doc_id"),
+                F.col("k.text").alias("text"),
+            )
+        )
+        try:
+            seen = (
+                spark.read.parquet(state_dir)
+                .filter(F.col("batch_id") != batch_id)
+                .select("content_hash")
+            )
+            keep = keep.join(seen, "content_hash", "left_anti")
+        except AnalysisException:
+            pass  # cold start: no state yet
+        # referenced by two write actions — persist so the anti-join runs
+        # once, not once per sink
+        keep = keep.persist()
+        try:
+            keep.write.mode("overwrite").parquet(
+                f"{sink_dir}/batch_id={batch_id}"
+            )
+            keep.select("content_hash").write.mode("overwrite").parquet(
+                f"{state_dir}/batch_id={batch_id}"
+            )
+        finally:
+            keep.unpersist()
+
+    writer = docs.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -133,11 +133,13 @@ def test_no_broadcast_hint_on_data_sized_frames():
     # vocabulary size) — scalar at any input scale.
     # _centroid_array(cents) packs the k centroids into ONE row (bounded by
     # the k parameter); n_count and dangling (operators/graph.py) are 1-row
-    # global aggregates — scalar at any input scale.
+    # global aggregates — scalar at any input scale.  weights
+    # (operators/classifier.py) is the hashed-linear model's weight table,
+    # bounded by the n_buckets model constant, never by input size.
     allowed = re.compile(
         r"F\.broadcast\(\s*(q\b|centroids|cents|closure|ipr_db|cmap"
         r"|corpus\.orderBy|n_docs\b|vocab\b|_centroid_array\(|n_count\b"
-        r"|dangling\b)"
+        r"|dangling\b|weights\b)"
     )
     offenders = []
     for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
