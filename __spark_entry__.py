@@ -366,6 +366,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_lsh_pairs"] = dedup_lsh_pairs
 
+    def dedup_editdist(spark, sf):
+        from ahrd_spark.operators.dedup import edit_distance_pairs
+
+        docs = _docs(spark, sf)
+        sig = minhash_signature(docs, num_hashes=4)
+        pairs = lsh_candidate_pairs(sig, bands=2, rows_per_band=2)
+        return edit_distance_pairs(docs, pairs, max_distance=40)
+
+    q["dedup_editdist"] = dedup_editdist
+
     def dedup_jaccard(spark, sf):
         docs = _docs(spark, sf)
         pairs = docs.select(
@@ -1665,6 +1675,26 @@ sig AS (
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+    # edit-distance verification over the SAME banded candidate pairs
+    o["dedup_editdist"] = minhash_cte + """
+, banded AS (
+  SELECT doc_id, 0 AS band,
+         md5(h0::VARCHAR || '|' || h1::VARCHAR) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band,
+         md5(h2::VARCHAR || '|' || h3::VARCHAR) AS bucket FROM sig),
+prs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance,
+       levenshtein(da.text, db.text) <= 40 AS within
+FROM prs
+JOIN documents da ON da.doc_id = prs.doc_a
+JOIN documents db ON db.doc_id = prs.doc_b
 """
 
     # cluster collapse: recursive min-label closure over the SAME banded

@@ -299,6 +299,42 @@ def jaccard_pairs(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame, pairs: DataFrame, max_distance: int,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Character-level verification for (doc_a, doc_b) candidate pairs:
+
+        (doc_a, doc_b, edit_distance, within)
+
+    ``edit_distance`` is Levenshtein over the raw text (the JVM builtin —
+    codegen, no UDF), ``within`` = distance <= ``max_distance``.  The
+    character-level companion to ``jaccard_pairs``: small in-word edits
+    (typos, inflections) barely move token-set Jaccard but show up as a
+    tiny edit distance.
+
+    Scale: same join shape as jaccard_pairs (two doc-keyed joins fetch the
+    texts), but the distance itself is O(len_a * len_b) per pair — run it
+    on LSH-pruned candidates only, never all-pairs, and cap document
+    length upstream (chunk first for book-sized docs)."""
+    texts = df.select(F.col(id_col).alias("doc_id"),
+                      F.col(text_col).alias("t"))
+    dist = F.levenshtein("t_a", "t_b")
+    return (
+        pairs.join(
+            texts.withColumnRenamed("doc_id", "doc_a")
+            .withColumnRenamed("t", "t_a"), "doc_a")
+        .join(
+            texts.withColumnRenamed("doc_id", "doc_b")
+            .withColumnRenamed("t", "t_b"), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            dist.cast("bigint").alias("edit_distance"),
+            (dist <= F.lit(max_distance)).alias("within"),
+        )
+    )
+
+
 def embedding_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.25,

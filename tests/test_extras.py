@@ -779,3 +779,19 @@ def test_pii_redaction(spark):
     r4 = out[4]
     assert r4["redacted"] == "<EMAIL> and <IP> and <PHONE>"
     assert (r4["n_email"], r4["n_ip"], r4["n_phone"]) == (1, 1, 1)
+
+
+def test_edit_distance_pairs(spark, docs):
+    from ahrd_spark.operators.dedup import edit_distance_pairs
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 4)], "doc_a bigint, doc_b bigint"
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): r.asDict()
+        for r in edit_distance_pairs(docs, pairs, max_distance=10).collect()
+    }
+    assert out[(0, 1)]["edit_distance"] == 0 and out[(0, 1)]["within"]
+    # doc 2 appends ' today' and swaps 'the'->'a ' vs doc 0: small distance
+    assert 0 < out[(0, 2)]["edit_distance"] <= 10
+    assert not out[(0, 4)]["within"]  # unrelated content

@@ -95,7 +95,8 @@ def test_no_rowwise_python_udfs_in_driver_queries(spark):
     skip = {
         "pipeline_triples", "pipeline_triples_goprefer",
         "pipeline_triples_stream", "pipeline_triples_arrowshred",
-        "curation_pipeline", "events_stateful_sessions",
+        "curation_pipeline", "curation_pipeline_full",
+        "events_stateful_sessions", "stream_dedup",
     }
     sf = "/root/testdata/sf0.001"
     offenders = []
