@@ -154,12 +154,20 @@ def banded_buckets(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signatures and emit candidate duplicate pairs (a < b) that
     share at least one band bucket.  The join is keyed by (band, bucket
     hash) — bucket sizes are the only skew surface; near-duplicate floods
     (e.g. boilerplate) surface as big buckets, which AQE skew-join splits.
+
+    ``max_bucket_size`` (opt-in) drops buckets with more members than the
+    cap before pair expansion — the standard web-scale guard against a
+    degenerate flood (identical boilerplate, empty documents) whose
+    O(members^2) pairs would dwarf the real near-dup signal.  Default None
+    keeps exact semantics (and oracle parity); set it on corpora where a
+    single content class can dominate a bucket.
     """
     banded = banded_buckets(signatures, bands, rows_per_band)
     # Aggregate bucket members first (ONE shuffle materializes the upstream
@@ -170,6 +178,8 @@ def lsh_candidate_pairs(
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     return (
         buckets.select(F.explode("ids").alias("doc_a"), F.col("ids"))
         .select("doc_a", F.explode("ids").alias("doc_b"))

@@ -795,3 +795,19 @@ def test_edit_distance_pairs(spark, docs):
     # doc 2 appends ' today' and swaps 'the'->'a ' vs doc 0: small distance
     assert 0 < out[(0, 2)]["edit_distance"] <= 10
     assert not out[(0, 4)]["within"]  # unrelated content
+
+
+def test_lsh_max_bucket_size_guard(spark):
+    from ahrd_spark.operators.dedup import lsh_candidate_pairs, minhash_signature
+
+    # 4 identical docs -> one flooded bucket -> 6 pairs uncapped, 0 capped
+    flood = spark.createDataFrame(
+        [(i, "same text repeated for the flood case") for i in range(4)]
+        + [(10, "some other unique document body here")],
+        "doc_id bigint, text string",
+    )
+    sig = minhash_signature(flood, num_hashes=4)
+    assert lsh_candidate_pairs(sig, bands=2, rows_per_band=2).count() == 6
+    assert lsh_candidate_pairs(
+        sig, bands=2, rows_per_band=2, max_bucket_size=3
+    ).count() == 0
