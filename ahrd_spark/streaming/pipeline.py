@@ -339,23 +339,21 @@ def stream_dedup_exact(
     )
 
     def handle(batch_docs: DataFrame, batch_id: int) -> None:
-        hashed = batch_docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.col(text_col).alias("text"),
-            F.md5(F.col(text_col)).alias("content_hash"),
+        # keepers carry EVERY input column (the sink IS the deduped corpus
+        # — a narrowed schema would force a re-join against the landing
+        # zone to recover dropped columns like `source`)
+        doc_cols = list(batch_docs.columns)
+        hashed = batch_docs.withColumn(
+            "content_hash", F.md5(F.col(text_col))
         )
         keep = (
             hashed.groupBy("content_hash")
             .agg(
                 F.min_by(
-                    F.struct("doc_id", "text"), F.col("doc_id")
+                    F.struct(*[F.col(c) for c in doc_cols]), F.col(id_col)
                 ).alias("k")
             )
-            .select(
-                "content_hash",
-                F.col("k.doc_id").alias("doc_id"),
-                F.col("k.text").alias("text"),
-            )
+            .select("content_hash", "k.*")
         )
         try:
             seen = (
@@ -363,9 +361,25 @@ def stream_dedup_exact(
                 .filter(F.col("batch_id") != batch_id)
                 .select("content_hash")
             )
-            keep = keep.join(seen, "content_hash", "left_anti")
-        except AnalysisException:
-            pass  # cold start: no state yet
+            # null-safe anti-join: md5(NULL) is NULL, and a plain key
+            # anti-join would re-emit a NULL-content keeper every batch
+            # (NULL = NULL never matches) — eqNullSafe keeps the
+            # one-keeper-per-content contract for the NULL group too
+            keep = keep.alias("k").join(
+                seen.alias("s"),
+                F.col("k.content_hash").eqNullSafe(F.col("s.content_hash")),
+                "left_anti",
+            )
+        except AnalysisException as e:
+            # cold start (no state yet) is the ONLY condition this may
+            # swallow; anything else — e.g. a compacted state table whose
+            # layout lost the batch_id column — must fail the batch loudly
+            # instead of silently disabling cross-trigger dedup
+            klass = getattr(e, "errorClass", None) or (
+                e.getErrorClass() if hasattr(e, "getErrorClass") else None
+            )
+            if klass != "PATH_NOT_FOUND":
+                raise
         # referenced by two write actions — persist so the anti-join runs
         # once, not once per sink
         keep = keep.persist()

@@ -56,6 +56,8 @@ def test_stream_dedup_first_seen_wins_across_triggers(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "sink"))
     kept = {r["text"]: r["doc_id"] for r in out.collect()}
     assert kept == {"alpha text": 1, "beta text": 3, "gamma text": 5}
+    # the sink is the deduped corpus: passthrough columns survive
+    assert all(r["source"] == "s" for r in out.collect())
 
     # restart on NEW arrivals: known content suppressed, new content kept
     _land(spark, tmp_path, "c", [
@@ -89,3 +91,41 @@ def test_stream_dedup_batch_retry_is_idempotent(spark, tmp_path):
     assert [(r["doc_id"], r["text"]) for r in out.collect()] == [
         (1, "alpha text")
     ]
+
+
+def test_stream_dedup_null_text_one_keeper(spark, tmp_path):
+    """md5(NULL) is NULL; the null-safe anti-join must keep exactly one
+    NULL-content keeper across triggers (matching batch exact dedup)."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _land(spark, tmp_path, "a", [(1, None, "s")])
+    _land(spark, tmp_path, "b", [(2, None, "s"), (3, "real text here", "s")])
+    _run(spark, tmp_path, src)
+    out = spark.read.parquet(str(tmp_path / "sink")).collect()
+    assert sorted((r["doc_id"], r["text"]) for r in out) == [
+        (1, None), (3, "real text here"),
+    ]
+
+
+def test_stream_dedup_bad_state_layout_fails_loudly(spark, tmp_path):
+    """A state table without the batch_id layout (e.g. a botched
+    compaction) must FAIL the batch, not silently disable dedup."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _land(spark, tmp_path, "a", [(1, "alpha text", "s")])
+    # flat state parquet with no batch_id partition dirs
+    spark.createDataFrame(
+        [("deadbeef",)], "content_hash string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "state"))
+    sq = stream_dedup_exact(
+        spark, src,
+        str(tmp_path / "sink"),
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    with pytest.raises(StreamingQueryException):
+        sq.awaitTermination(300)
