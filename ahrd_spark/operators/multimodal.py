@@ -6,10 +6,12 @@ The Spark-side machinery — schema, batch iteration, partition sizing,
 metadata propagation — is real and tested.  The codec layer is REAL for
 the public formats a NumPy-only environment can handle:
 
-- **image**: Netpbm P6 PPM (binary RGB, maxval<=255) — full header parse,
-  pixel decode to an (h, w, 3) array, encode back, nearest-neighbor resize.
-- **video**: concatenated P6 frames — exactly what ``ffmpeg -f image2pipe
-  -vcodec ppm`` emits — frame counting and true frame extraction.
+- **image**: binary Netpbm — P6 PPM (RGB) and P5 PGM (grayscale),
+  maxval<=255 — full header parse, pixel decode to an (h, w, 3) / (h, w)
+  array, encode back, nearest-neighbor resize.
+- **video**: concatenated P6/P5 frames — exactly what ``ffmpeg -f
+  image2pipe -vcodec ppm`` (or ``-pix_fmt gray``) emits — frame counting
+  and true frame extraction.
 - **audio**: RIFF/WAVE header parse (PCM frame count from the data chunk
   and block-align).
 
@@ -40,13 +42,18 @@ from pyspark.sql.types import (
 # ---------------------------------------------------------------------------
 # real codecs (pure NumPy, public formats)
 # ---------------------------------------------------------------------------
+_NETPBM_CHANNELS = {b"P5": 1, b"P6": 3}  # binary PGM grayscale / PPM RGB
+
+
 def _ppm_header(b: bytes, offset: int = 0) -> tuple[int, int, int, int]:
-    """Parse a P6 header starting at ``offset`` -> (width, height, maxval,
-    raster_start).  Follows the Netpbm spec: tokens separated by whitespace,
-    ``#`` comments run to end-of-line, exactly ONE whitespace byte after
-    maxval before the raster."""
-    if b[offset:offset + 2] != b"P6":
-        raise ValueError("not a P6 PPM payload")
+    """Parse a binary netpbm (P5 PGM / P6 PPM) header starting at
+    ``offset`` -> (width, height, maxval, raster_start).  Follows the
+    Netpbm spec: tokens separated by whitespace, ``#`` comments run to
+    end-of-line, exactly ONE whitespace byte after maxval before the
+    raster.  Channel count comes from the magic
+    (``_NETPBM_CHANNELS[b[offset:offset+2]]``)."""
+    if b[offset:offset + 2] not in _NETPBM_CHANNELS:
+        raise ValueError("not a binary netpbm (P5/P6) payload")
     pos = offset + 2
     vals: list[int] = []
     while len(vals) < 3:
@@ -61,27 +68,30 @@ def _ppm_header(b: bytes, offset: int = 0) -> tuple[int, int, int, int]:
         while pos < len(b) and b[pos:pos + 1].isdigit():
             pos += 1
         if pos == start:
-            raise ValueError("malformed P6 header")
+            raise ValueError("malformed netpbm header")
         vals.append(int(b[start:pos]))
     pos += 1  # the single whitespace byte after maxval
     w, h, maxval = vals
     if maxval > 255:
-        raise ValueError("16-bit PPM not supported")
+        raise ValueError("16-bit netpbm not supported")
     return w, h, maxval, pos
 
 
 def ppm_decode(b: bytes) -> np.ndarray:
-    """P6 PPM bytes -> (h, w, 3) uint8 array."""
+    """Binary netpbm bytes -> uint8 array: (h, w, 3) for P6 RGB,
+    (h, w) for P5 grayscale."""
     w, h, _maxval, pos = _ppm_header(b)
-    need = w * h * 3
-    raster = np.frombuffer(b, dtype=np.uint8, count=need, offset=pos)
-    return raster.reshape(h, w, 3)
+    ch = _NETPBM_CHANNELS[b[:2]]
+    raster = np.frombuffer(b, dtype=np.uint8, count=w * h * ch, offset=pos)
+    return raster.reshape(h, w, ch) if ch == 3 else raster.reshape(h, w)
 
 
 def ppm_encode(arr: np.ndarray) -> bytes:
-    """(h, w, 3) uint8 array -> P6 PPM bytes (maxval 255)."""
+    """uint8 array -> binary netpbm bytes (maxval 255): (h, w, 3) -> P6,
+    (h, w) -> P5."""
     h, w = arr.shape[:2]
-    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+    magic = b"P6" if arr.ndim == 3 else b"P5"
+    return magic + b"\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
         arr, dtype=np.uint8
     ).tobytes()
 
@@ -96,15 +106,16 @@ def ppm_resize_nn(arr: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
 
 
 def ppm_stream_frames(b: bytes) -> list[tuple[int, int]]:
-    """Concatenated-P6 stream (``ffmpeg -f image2pipe -vcodec ppm``) ->
-    [(offset, length)] per frame."""
+    """Concatenated binary-netpbm stream (``ffmpeg -f image2pipe -vcodec
+    ppm`` / ``-pix_fmt gray``) -> [(offset, length)] per frame.  Frames
+    may mix P5/P6 (each frame's magic decides its raster size)."""
     frames = []
     pos = 0
     while pos < len(b):
         w, h, _maxval, raster = _ppm_header(b, pos)
-        end = raster + w * h * 3
+        end = raster + w * h * _NETPBM_CHANNELS[b[pos:pos + 2]]
         if end > len(b):
-            raise ValueError("truncated P6 frame in stream")
+            raise ValueError("truncated netpbm frame in stream")
         frames.append((pos, end - pos))
         pos = end
     return frames
@@ -179,11 +190,11 @@ def _decode_payload(kind: str, payload: bytes | None) -> dict:
     h = hashlib.md5(b).hexdigest()
     feats = {"n_bytes": len(b), "fingerprint": h, "width": None, "height": None,
              "frames": None}
-    if kind == "image" and b[:2] == b"P6":
+    if kind == "image" and b[:2] in _NETPBM_CHANNELS:
         w, hh, _maxval, _pos = _ppm_header(b)
         feats["width"], feats["height"] = w, hh
         return feats
-    if kind == "video" and b[:2] == b"P6":
+    if kind == "video" and b[:2] in _NETPBM_CHANNELS:
         frames = ppm_stream_frames(b)
         w, hh, _maxval, _pos = _ppm_header(b, frames[0][0])
         feats["width"], feats["height"] = w, hh
@@ -271,7 +282,7 @@ def resize_images(
 
     def _resize_one(p: bytes | None) -> bytes:
         b = p or b""
-        if b[:2] == b"P6":
+        if b[:2] in _NETPBM_CHANNELS:
             return ppm_encode(ppm_resize_nn(ppm_decode(b), target_w, target_h))
         return hashlib.md5(b + f"|{target_w}x{target_h}".encode()).digest()
 
@@ -319,7 +330,7 @@ def sample_frames(media: DataFrame, every_n: int = 30, max_frames: int = 8
             ids, nos, payloads = [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 b = p or b""
-                if b[:2] == b"P6":
+                if b[:2] in _NETPBM_CHANNELS:
                     spans = ppm_stream_frames(b)
                     for i, fno in enumerate(range(0, len(spans), every_n)):
                         if i >= max_frames:

@@ -707,8 +707,11 @@ def test_ppm_codec_roundtrip_and_header_quirks():
     info = wav_info(wav)
     assert info == {"channels": 2, "sample_rate": 8000, "frames": 25}
 
+    # grayscale P5 PGM is a supported sibling format (see the P5 test);
+    # P4 bitmaps and plain-text P1-P3 stay rejected
+    assert ppm_decode(b"P5\n2 2\n255\n" + bytes(4)).shape == (2, 2)
     with pytest.raises(ValueError):
-        ppm_decode(b"P5\n2 2\n255\n" + bytes(4))  # grayscale PGM rejected
+        ppm_decode(b"P4\n2 2\n" + bytes(1))
 
 
 def test_multimodal_real_codecs_through_spark(spark):
@@ -811,3 +814,41 @@ def test_lsh_max_bucket_size_guard(spark):
     assert lsh_candidate_pairs(
         sig, bands=2, rows_per_band=2, max_bucket_size=3
     ).count() == 0
+
+
+def test_pgm_p5_codec_roundtrip_resize_and_stream():
+    import numpy as np
+
+    from ahrd_spark.operators.multimodal import (
+        _decode_payload,
+        ppm_decode,
+        ppm_encode,
+        ppm_resize_nn,
+        ppm_stream_frames,
+    )
+
+    gray = (np.arange(6 * 4, dtype=np.uint8)).reshape(6, 4)
+    b = ppm_encode(gray)
+    assert b.startswith(b"P5\n4 6\n255\n")
+    assert np.array_equal(ppm_decode(b), gray)
+
+    small = ppm_resize_nn(ppm_decode(b), 2, 3)
+    assert small.shape == (3, 2)
+    # naive-loop golden: src = floor(dst * extent / target)
+    for y in range(3):
+        for x in range(2):
+            assert small[y, x] == gray[(y * 6) // 3, (x * 4) // 2]
+
+    # the real decode path reports true dims for P5 images
+    feats = _decode_payload("image", b)
+    assert (feats["width"], feats["height"]) == (4, 6)
+
+    # a mixed P5/P6 frame stream slices byte-exactly per frame magic
+    rgb = np.zeros((6, 4, 3), dtype=np.uint8)
+    stream = b + ppm_encode(rgb) + b
+    spans = ppm_stream_frames(stream)
+    assert len(spans) == 3
+    off, ln = spans[1]
+    assert stream[off:off + ln] == ppm_encode(rgb)
+    v = _decode_payload("video", stream)
+    assert v["frames"] == 3 and (v["width"], v["height"]) == (4, 6)
