@@ -68,6 +68,14 @@ TOPK = 5
 # mixture-plan demo: rebalance four named sources, drop the rest
 MIXTURE_WEIGHTS = {"src0": 0.3, "src1": 0.2, "src2": 0.1, "src3": 0.05}
 MIXTURE_BUDGET = 50_000
+# fixed BM25 probe panel over the synthetic documents vocabulary; query 4
+# mixes a present and an absent term (partial-match scoring path)
+BM25_QUERIES = {
+    1: "hash join order",
+    2: "window sort merge stream",
+    3: "scan filter fast table",
+    4: "customer zzznotaterm",
+}
 DB_WEIGHTS = {"db0": 100, "db1": 50, "db2": 10}
 DSBSW = {"db0": 0.2, "db1": 0.4, "db2": 0.4}
 TOKEN_W = (0.5, 0.3, 0.2)
@@ -595,6 +603,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["tfidf_terms"] = tfidf_terms
+
+    def bm25_search(spark, sf):
+        from ahrd_spark.operators.retrieval import bm25_topk
+
+        queries = spark.createDataFrame(
+            list(BM25_QUERIES.items()), "query_id bigint, query string"
+        )
+        return bm25_topk(
+            _docs(spark, sf), queries, k=5, salt_buckets=16
+        ).select(
+            "query_id",
+            "doc_id",
+            "n_hit_terms",
+            F.round("score", 6).alias("score_r"),
+        )
+
+    q["bm25_search"] = bm25_search
 
     def bigram_lm_quality(spark, sf):
         from ahrd_spark.operators.corpus import bigram_lm_scores
@@ -2067,6 +2092,43 @@ r AS (SELECT *, row_number() OVER (
         PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk FROM s)
 SELECT doc_id, term, tf, doc_freq, round(tfidf, 6) AS tfidf_r
 FROM r WHERE rk <= 3
+"""
+
+    qt_rows = sorted(
+        {
+            (qid, term)
+            for qid, qtext in BM25_QUERIES.items()
+            for term in qtext.lower().split()
+            if term
+        }
+    )
+    qt_values = ", ".join(f"({qid}, '{t}')" for qid, t in qt_rows)
+    o["bm25_search"] = f"""
+WITH t AS (SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\\s+') AS toks
+           FROM documents),
+tf AS (SELECT doc_id, u.term, CAST(count(*) AS DOUBLE) AS tf
+       FROM t, unnest(t.toks) AS u(term)
+       WHERE u.term <> '' GROUP BY doc_id, u.term),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+dfc AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n_docs,
+                 (SELECT avg(coalesce(dl.dl, 0))
+                  FROM documents d LEFT JOIN dl USING (doc_id)) AS avgdl),
+qt AS (SELECT * FROM (VALUES {qt_values}) AS v(query_id, term)),
+c AS (SELECT qt.query_id, tf.doc_id,
+             ln(1 + (stats.n_docs - dfc.df + 0.5) / (dfc.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS contrib
+      FROM tf JOIN qt USING (term) JOIN dfc USING (term)
+              JOIN dl USING (doc_id) CROSS JOIN stats),
+s AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
+             sum(contrib) AS score
+      FROM c GROUP BY query_id, doc_id),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rk FROM s)
+SELECT query_id, doc_id, n_hit_terms, round(score, 6) AS score_r
+FROM r WHERE rk <= 5
 """
 
     # corpus-trained add-k bigram LM: P(w2|w1) = (c12+k)/(c1+k*V), k=0.5

@@ -1,0 +1,130 @@
+"""Full-text retrieval over the corpus: BM25 ranked search.
+
+The keyword-search counterpart to the embedding ANN family in
+``similarity.py`` — a training-data pipeline needs both (e.g. targeted
+corpus probes, "find documents about X" curation passes, retrieval-based
+decontamination).  Like the rest of the corpus layer this is pure
+relational Spark: the posting-list build is the same (doc, term) tf
+aggregate TF-IDF uses, document frequency is the salted two-phase
+aggregate from ``skew.py``, and the query side is dictionary-sized and
+broadcast.  No Python UDFs; DuckDB replays the whole formula.
+
+Reference framing: the reference engine (groupschoof/AHRD) ranks
+candidate descriptions per protein with a lexical token-overlap score
+(DescriptionScoreCalculator.java); BM25 is the corpus-level
+generalization of that idea — rank *documents* for a *query* by shared
+informative tokens — so it slots naturally beside the AHRD scoring core.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ahrd_spark.operators.corpus import _ws_tokens
+from ahrd_spark.operators.skew import salted_agg
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Top-``k`` documents per query under BM25:
+
+        (query_id, doc_id, n_hit_terms, score)
+
+    score(q, d) = sum over DISTINCT query terms t present in d of
+
+        idf(t) * tf(t,d) * (k1 + 1)
+        ------------------------------------------
+        tf(t,d) + k1 * (1 - b + b * dl(d) / avgdl)
+
+    with idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)) — the Lucene
+    "plus one" variant, strictly positive so a stopword can never
+    subtract relevance.  Ties rank deterministically by (score DESC,
+    doc_id ASC).  Documents matching no query term are absent (score 0).
+
+    Scale shape (100 TB corpus, dictionary-sized query set): tf is keyed
+    by (doc, term) — a hot term never concentrates; df is the salted
+    two-phase aggregate; N and avgdl ride in as a broadcast 1-row
+    aggregate (no driver collect); the query-terms frame is tiny and
+    broadcast into the posting join, so the only full shuffles are the
+    tf groupBy and the final per-(query, doc) sum — both uniformly keyed.
+    The top-k window partitions by query over an already score-reduced
+    frame (rows <= matched docs x queries, not postings).
+    """
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_ws_tokens(text_col)).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("double").alias("dl"))
+    df_counts = salted_agg(
+        tf.select("term", "doc_id"),
+        key="term",
+        aggs=[F.count("*").alias("partial")],
+        merge_aggs=[F.sum("partial").cast("double").alias("df")],
+        salt_buckets=salt_buckets,
+        salt_source="doc_id",
+    )
+    # N over ALL docs (token-less docs still count toward idf), avgdl over
+    # tokenized length — one broadcast row, no driver round-trip
+    stats = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(dl, "doc_id", "left")
+        .agg(
+            F.count("*").cast("double").alias("n_docs"),
+            F.avg(F.coalesce("dl", F.lit(0.0))).alias("avgdl"),
+        )
+    )
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(_ws_tokens(query_text_col)).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    # query side is dictionary-sized by contract, and df restricted to
+    # query terms inherits that bound -> explicit broadcast is safe
+    # (see test_no_broadcast_hint_on_data_sized_frames allowance)
+    q_df = df_counts.join(qterms.select("term").distinct(), "term")
+    matched = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(q_df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    contrib = matched.withColumn(
+        "contrib",
+        F.log1p((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (F.col("tf") * (k1 + 1.0))
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        ),
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.count("*").cast("bigint").alias("n_hit_terms"),
+        F.sum("contrib").alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "doc_id", "n_hit_terms", "score")
+    )

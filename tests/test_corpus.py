@@ -190,3 +190,57 @@ def test_remove_duplicate_spans_golden(spark):
         2: ("", 4, 4),
         3: ("совершенно unique content here", 4, 0),
     }
+
+
+def test_bm25_golden(spark):
+    from ahrd_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "apple cherry"),
+            (3, "banana banana banana date"),
+            (4, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    queries = spark.createDataFrame(
+        [(10, "apple banana"), (11, "cherry"), (12, "missing")],
+        "query_id bigint, query string",
+    )
+    rows = bm25_topk(docs, queries, k=10, k1=1.2, b=0.75, salt_buckets=4).collect()
+    got = {(r["query_id"], r["doc_id"]): (r["n_hit_terms"], r["score"]) for r in rows}
+
+    # hand math: N=4 (empty doc counts), avgdl = (3+2+4+0)/4 = 2.25
+    def idf(df_):
+        return math.log(1.0 + (4.0 - df_ + 0.5) / (df_ + 0.5))
+
+    def part(tf, df_, dl):
+        return idf(df_) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 2.25))
+
+    assert got[(10, 1)][0] == 2
+    assert abs(got[(10, 1)][1] - (part(2, 2, 3) + part(1, 2, 3))) < 1e-12
+    assert got[(10, 3)] == (1, got[(10, 3)][1])
+    assert abs(got[(10, 3)][1] - part(3, 2, 4)) < 1e-12
+    assert got[(11, 2)][0] == 1
+    assert abs(got[(11, 2)][1] - part(1, 1, 2)) < 1e-12
+    # unmatched query yields no rows; empty doc never appears
+    assert not [k for k in got if k[0] == 12]
+    assert not [k for k in got if k[1] == 4]
+    # doc 1 (tf=2 apple + banana hit, shorter) outranks docs 2 and 3 for q10
+    q10 = sorted([(d, s) for (q, d), (_, s) in got.items() if q == 10],
+                 key=lambda x: -x[1])
+    assert q10[0][0] == 1
+
+
+def test_bm25_topk_cap_and_tie_determinism(spark):
+    from ahrd_spark.operators.retrieval import bm25_topk
+
+    # 5 identical docs -> identical scores; k=3 must keep lowest doc_ids
+    docs = spark.createDataFrame(
+        [(i, "alpha beta") for i in range(5)], "doc_id bigint, text string"
+    )
+    queries = spark.createDataFrame([(1, "alpha")], "query_id bigint, query string")
+    rows = bm25_topk(docs, queries, k=3, salt_buckets=4).collect()
+    assert sorted(r["doc_id"] for r in rows) == [0, 1, 2]
+    assert len({round(r["score"], 12) for r in rows}) == 1

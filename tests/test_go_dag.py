@@ -136,10 +136,13 @@ def test_no_broadcast_hint_on_data_sized_frames():
     # global aggregates — scalar at any input scale.  weights
     # (operators/classifier.py) is the hashed-linear model's weight table,
     # bounded by the n_buckets model constant, never by input size.
+    # qterms / q_df / stats (operators/retrieval.py) are the BM25 query
+    # panel (dictionary-sized by contract), its per-query-term df slice
+    # (bounded by the panel), and a 1-row N/avgdl aggregate.
     allowed = re.compile(
         r"F\.broadcast\(\s*(q\b|centroids|cents|closure|ipr_db|cmap"
         r"|corpus\.orderBy|n_docs\b|vocab\b|_centroid_array\(|n_count\b"
-        r"|dangling\b|weights\b)"
+        r"|dangling\b|weights\b|qterms\b|q_df\b|stats\b)"
     )
     offenders = []
     for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
