@@ -794,6 +794,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pagerank"] = pagerank_q
 
+    def khop_q(spark, sf):
+        from ahrd_spark.operators.graph import khop_nodes
+
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        edges = li.select(
+            F.concat(F.lit("o"), F.col("l_orderkey")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+        )
+        seeds = (
+            li.filter(F.col("l_orderkey") % 97 == 1)
+            .select(F.concat(F.lit("o"), F.col("l_orderkey")).alias("node"))
+        )
+        return khop_nodes(edges, seeds, k=2)
+
+    q["khop_subgraph"] = khop_q
+
     def semantic_dedup_q(spark, sf):
         from ahrd_spark.operators.clustering import semantic_dedup
 
@@ -2756,6 +2772,25 @@ r0 AS (SELECT node, 1.0 / nc.n AS rank FROM nodes, nc),
 {_pr_iter(1)},
 {_pr_iter(2)}
 SELECT node, round(rank, 6) AS rank_r FROM r3
+"""
+
+    # khop_nodes replay: unrolled 2-hop BFS over the symmetrized distinct
+    # bipartite edge set, min-hop semantics via NOT IN the visited levels
+    o["khop_subgraph"] = """
+WITH base AS (SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS src,
+                     'p' || CAST(l_partkey AS VARCHAR) AS dst
+              FROM lineitem),
+e AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+h0 AS (SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS node
+       FROM lineitem WHERE l_orderkey % 97 = 1),
+h1 AS (SELECT DISTINCT e.dst AS node FROM e JOIN h0 ON e.src = h0.node
+       WHERE e.dst NOT IN (SELECT node FROM h0)),
+h2 AS (SELECT DISTINCT e.dst AS node FROM e JOIN h1 ON e.src = h1.node
+       WHERE e.dst NOT IN (SELECT node FROM h0)
+         AND e.dst NOT IN (SELECT node FROM h1))
+SELECT node, CAST(0 AS INT) AS hop FROM h0
+UNION ALL SELECT node, CAST(1 AS INT) FROM h1
+UNION ALL SELECT node, CAST(2 AS INT) FROM h2
 """
 
     # sliding-window chunking replay: same token split, start-offset

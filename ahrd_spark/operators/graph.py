@@ -231,3 +231,98 @@ def new_triples(
         incoming.select(*key).distinct()
         .join(existing.select(*key).distinct(), key, "left_anti")
     )
+
+
+def khop_nodes(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int = 2,
+    directed: bool = False,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """BFS neighborhood expansion: -> (node, hop) where hop is the minimum
+    edge distance (<= ``k``) from any seed.  Seeds are hop 0 whether or not
+    they appear in the edge table; ``directed=False`` (default) symmetrizes
+    the edge set first.  The standard KG workflow this serves: carve the
+    k-hop induced subgraph around a query entity set (see
+    ``khop_edges``) for local inference / visualization / negative
+    sampling without touching the full graph.
+
+    Scale shape: each hop is ONE frontier(node) ⋈ edges(src) join plus one
+    anti-join against the visited set — all keyed by node hash; hub nodes
+    (a GO term linked by millions of proteins) are exactly the AQE
+    skew-join case.  The visited set is re-checkpointed per hop (reliable
+    ``checkpoint_dir`` or localCheckpoint fallback — same contract as
+    ``pagerank``) so the plan stays flat at any k.  No driver collect; the
+    frontier lives distributed end to end.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    spark = edges.sparkSession
+    if checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if not directed:
+        e = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.distinct()
+
+    visited = seeds.select(
+        F.col(seed_col).alias("node"), F.lit(0).alias("hop")
+    ).distinct()
+    visited = (
+        visited.checkpoint(eager=True)
+        if checkpoint_dir
+        else visited.localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for hop in range(1, k + 1):
+        reached = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        fresh = reached.join(visited, "node", "left_anti").withColumn(
+            "hop", F.lit(hop)
+        )
+        visited = visited.union(fresh)
+        visited = (
+            visited.checkpoint(eager=True)
+            if checkpoint_dir
+            else visited.localCheckpoint(eager=True)
+        )
+        frontier = visited.filter(F.col("hop") == hop)
+    return visited
+
+
+def khop_edges(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int = 2,
+    directed: bool = False,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Induced subgraph of the k-hop neighborhood: the original
+    (directed) edges whose BOTH endpoints sit within ``k`` hops of the
+    seed set under ``khop_nodes`` semantics -> (src, dst, src_hop,
+    dst_hop).  Two semi-ish joins of the edge table against the
+    (small-relative-to-graph) hop frame — both endpoint-keyed; the full
+    edge scan happens once."""
+    hops = khop_nodes(
+        edges, seeds, k=k, directed=directed, src_col=src_col,
+        dst_col=dst_col, seed_col=seed_col, checkpoint_dir=checkpoint_dir,
+    )
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    return (
+        e.join(hops.withColumnRenamed("node", "src").withColumnRenamed("hop", "src_hop"), "src")
+        .join(hops.withColumnRenamed("node", "dst").withColumnRenamed("hop", "dst_hop"), "dst")
+        .select("src", "dst", "src_hop", "dst_hop")
+    )

@@ -153,3 +153,51 @@ def test_new_triples_delta(spark):
     ])
     delta = [tuple(r) for r in new_triples(existing, incoming).collect()]
     assert delta == [("p1", "hasGOTerm", "GO:2")]
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def _seeds(spark, nodes):
+    return spark.createDataFrame([(n,) for n in nodes], "node string")
+
+
+def test_khop_nodes_bfs_min_hop(spark):
+    from ahrd_spark.operators.graph import khop_nodes
+
+    # diamond a->b, a->c, b->d, c->d plus a detached edge e->f
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
+                       ("e", "f")])
+    got = {r["node"]: r["hop"]
+           for r in khop_nodes(e, _seeds(spark, ["a"]), k=2).collect()}
+    # d reachable via two length-2 paths -> ONE row at min hop
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+    # k caps expansion; absent seed still reports hop 0
+    got1 = {r["node"]: r["hop"]
+            for r in khop_nodes(e, _seeds(spark, ["a", "zz"]), k=1).collect()}
+    assert got1 == {"a": 0, "zz": 0, "b": 1, "c": 1}
+
+
+def test_khop_directed_vs_undirected(spark):
+    from ahrd_spark.operators.graph import khop_nodes
+
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    undirected = {r["node"]: r["hop"]
+                  for r in khop_nodes(e, _seeds(spark, ["c"]), k=2).collect()}
+    assert undirected == {"c": 0, "b": 1, "d": 1, "a": 2}
+    directed = {r["node"]: r["hop"]
+                for r in khop_nodes(e, _seeds(spark, ["c"]), k=2,
+                                    directed=True).collect()}
+    assert directed == {"c": 0, "d": 1}
+
+
+def test_khop_edges_induced_subgraph(spark):
+    from ahrd_spark.operators.graph import khop_edges
+
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")])
+    got = {(r["src"], r["dst"]): (r["src_hop"], r["dst_hop"])
+           for r in khop_edges(e, _seeds(spark, ["a"]), k=2).collect()}
+    # c is hop 2 but d is hop 3 -> edge (c,d) excluded; (x,y) unreachable
+    assert got == {("a", "b"): (0, 1), ("b", "c"): (1, 2)}
