@@ -621,6 +621,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_search"] = bm25_search
 
+    def bpe_merges_q(spark, sf):
+        from ahrd_spark.operators.bpe import learn_bpe_merges, merges_df
+
+        return merges_df(spark, learn_bpe_merges(_docs(spark, sf), n_merges=6))
+
+    q["bpe_merges"] = bpe_merges_q
+
+    def bpe_segment_q(spark, sf):
+        from ahrd_spark.operators.bpe import learn_bpe_merges, segment_vocab
+
+        docs = _docs(spark, sf)
+        return segment_vocab(docs, learn_bpe_merges(docs, n_merges=6)).select(
+            "word", "cnt", "n_pieces", "pieces"
+        )
+
+    q["bpe_segment"] = bpe_segment_q
+
     def bigram_lm_quality(spark, sf):
         from ahrd_spark.operators.corpus import bigram_lm_scores
 
@@ -2146,6 +2163,67 @@ r AS (SELECT *, row_number() OVER (
 SELECT query_id, doc_id, n_hit_terms, round(score, 6) AS score_r
 FROM r WHERE rk <= 5
 """
+
+    # BPE learning replay: unrolled Sennrich iterations over the
+    # double-space symbol encoding (operators/bpe.py module docstring);
+    # replace() is leftmost non-overlapping in both engines, so the merge
+    # application is byte-identical by construction
+    def _bpe_iter(i: int) -> str:
+        return f"""p{i} AS (
+  SELECT t.toks[u.i] AS l, t.toks[u.i + 1] AS r,
+         CAST(sum(t.cnt) AS BIGINT) AS pc
+  FROM (SELECT string_split(trim(syms), '  ') AS toks, cnt FROM v{i}) t,
+       unnest(range(1, greatest(len(t.toks) - 1, 1) + 1)) AS u(i)
+  WHERE len(t.toks) >= 2 GROUP BY 1, 2),
+b{i} AS (SELECT l, r, pc FROM p{i} ORDER BY pc DESC, l ASC, r ASC LIMIT 1),
+v{i + 1} AS (SELECT replace(v{i}.syms,
+                            ' ' || b{i}.l || '  ' || b{i}.r || ' ',
+                            ' ' || b{i}.l || b{i}.r || ' ') AS syms, v{i}.cnt
+             FROM v{i} CROSS JOIN b{i})"""
+
+    _bpe_v0 = """v0 AS (
+  SELECT ' ' || trim(regexp_replace(word, '(.)', '\\1  ', 'g')) || ' '
+           AS syms,
+         cnt
+  FROM (SELECT u.word, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT string_split_regex(lower(trim(text)), '\\s+') AS toks
+              FROM documents) t,
+             unnest(t.toks) AS u(word)
+        WHERE u.word <> '' GROUP BY u.word))"""
+    _bpe_chain = ",\n".join([_bpe_v0] + [_bpe_iter(i) for i in range(6)])
+    o["bpe_merges"] = (
+        "WITH " + _bpe_chain + "\n"
+        + "\nUNION ALL ".join(
+            f'SELECT CAST({i + 1} AS INT) AS rank, l AS "left", r AS "right",'
+            f" pc AS pair_count FROM b{i}"
+            for i in range(6)
+        )
+    )
+    o["bpe_segment"] = (
+        "WITH " + _bpe_chain + ",\n"
+        + """w0 AS (
+  SELECT u.word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents) t,
+       unnest(t.toks) AS u(word)
+  WHERE u.word <> '' GROUP BY u.word),
+seg AS (SELECT w0.word, w0.cnt,
+               trim(replace(replace(replace(replace(replace(replace(
+                 ' ' || trim(regexp_replace(w0.word, '(.)', '\\1  ', 'g'))
+                     || ' ',
+                 ' ' || b0.l || '  ' || b0.r || ' ', ' ' || b0.l || b0.r || ' '),
+                 ' ' || b1.l || '  ' || b1.r || ' ', ' ' || b1.l || b1.r || ' '),
+                 ' ' || b2.l || '  ' || b2.r || ' ', ' ' || b2.l || b2.r || ' '),
+                 ' ' || b3.l || '  ' || b3.r || ' ', ' ' || b3.l || b3.r || ' '),
+                 ' ' || b4.l || '  ' || b4.r || ' ', ' ' || b4.l || b4.r || ' '),
+                 ' ' || b5.l || '  ' || b5.r || ' ', ' ' || b5.l || b5.r || ' '))
+                 AS pieces
+        FROM w0 CROSS JOIN b0 CROSS JOIN b1 CROSS JOIN b2
+                CROSS JOIN b3 CROSS JOIN b4 CROSS JOIN b5)
+SELECT word, cnt, CAST(len(string_split(pieces, '  ')) AS INT) AS n_pieces,
+       pieces
+FROM seg"""
+    )
 
     # corpus-trained add-k bigram LM: P(w2|w1) = (c12+k)/(c1+k*V), k=0.5
     o["bigram_lm_quality"] = """

@@ -244,3 +244,72 @@ def test_bm25_topk_cap_and_tie_determinism(spark):
     rows = bm25_topk(docs, queries, k=3, salt_buckets=4).collect()
     assert sorted(r["doc_id"] for r in rows) == [0, 1, 2]
     assert len({round(r["score"], 12) for r in rows}) == 1
+
+
+def _ref_bpe(word_counts, n_merges):
+    """Pure-Python Sennrich BPE reference: returns (merges, final_vocab)."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = {}
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        (l, r), pc = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, pc))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges, vocab
+
+
+def test_bpe_matches_reference_sennrich(spark):
+    from ahrd_spark.operators.bpe import learn_bpe_merges, segment_vocab
+
+    # the classic example corpus (no end-of-word sentinel) plus a
+    # same-char-run word to pin the greedy-run merge semantics
+    counts = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "aaaa": 4}
+    text = " ".join(w for w, c in sorted(counts.items()) for _ in range(c))
+    docs = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+
+    got = learn_bpe_merges(docs, n_merges=6)
+    want, ref_vocab = _ref_bpe(counts, 6)
+    assert got == want
+
+    seg = {r["word"]: (r["n_pieces"], r["pieces"])
+           for r in segment_vocab(docs, got).collect()}
+    ref_seg = {"".join(s): s for s in ref_vocab}
+    for w, (n, pieces) in seg.items():
+        assert tuple(pieces.split("  ")) == ref_seg[w], w
+        assert n == len(ref_seg[w])
+    # the run word merged greedily: aaaa -> (aa, aa), never (aa, a, a)
+    assert seg["aaaa"][1] == "aa  aa"
+
+
+def test_bpe_matches_reference_random_corpora(spark):
+    import random
+
+    from ahrd_spark.operators.bpe import learn_bpe_merges
+
+    rng = random.Random(7)
+    for trial in range(3):
+        words = {}
+        for _ in range(30):
+            w = "".join(rng.choice("abc") for _ in range(rng.randint(1, 7)))
+            words[w] = words.get(w, 0) + rng.randint(1, 9)
+        text = " ".join(w for w, c in sorted(words.items()) for _ in range(c))
+        docs = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+        got = learn_bpe_merges(docs, n_merges=5)
+        want, _ = _ref_bpe(words, 5)
+        assert got == want, (trial, got, want)
