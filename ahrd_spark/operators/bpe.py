@@ -100,6 +100,7 @@ def learn_bpe_merges(
     docs: DataFrame,
     n_merges: int = 8,
     text_col: str = "text",
+    batch_k: int = 1,
     checkpoint_dir: str | None = None,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` BPE merge operations from the corpus ->
@@ -107,11 +108,27 @@ def learn_bpe_merges(
     order.  Ties break deterministically by (pair_count DESC, left ASC,
     right ASC).  Stops early if no adjacent pair remains.
 
+    ``batch_k=1`` (default) is EXACT sequential Sennrich BPE — one count
+    pass per merge.  ``batch_k>1`` is the scale path for real vocabularies
+    (a 32k-merge model at one Spark job pair per merge is 64k jobs): per
+    count pass, accept up to ``batch_k`` top pairs that are pairwise
+    SYMBOL-DISJOINT (greedy scan down the ranked list, skipping any pair
+    sharing a left/right symbol with an already-accepted one), then apply
+    them in one chained-replace pass.  Disjointness makes the chained
+    application order-independent and keeps every accepted pair's count
+    exact (a merge only perturbs pairs sharing one of its symbols); the
+    only divergence vs sequential BPE is that a pair CREATED by a merge
+    (e.g. ('ab','c') after ('a','b')) can first be picked next round, not
+    within the same round — the standard parallel-BPE trade (fastBPE-style),
+    cutting rounds by ~batch_k while keeping ranks deterministic.
+
     The returned list is the model (driver-sized by construction).  Use
     ``segment_vocab`` / ``merges_df`` to take it back distributed.
     """
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
+    if batch_k < 1:
+        raise ValueError("batch_k must be >= 1")
     spark = docs.sparkSession
     if checkpoint_dir:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -123,31 +140,41 @@ def learn_bpe_merges(
         else vocab.localCheckpoint(eager=True)
     )
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(1, n_merges + 1):
-        best = (
+    while len(merges) < n_merges:
+        # over-fetch so the disjointness filter can still fill the batch
+        ranked = (
             _pair_counts(vocab)
             .orderBy(
                 F.col("pair_count").desc(),
                 F.col("left").asc(),
                 F.col("right").asc(),
             )
-            .limit(1)
+            .limit(batch_k * 4)
             .collect()
         )
-        if not best:
+        if not ranked:
             break
-        left, right, pc = best[0]["left"], best[0]["right"], best[0]["pair_count"]
-        merges.append((rank, left, right, int(pc)))
-        vocab = vocab.withColumn(
-            "syms",
-            F.replace(
-                F.col("syms"),
-                F.lit(f" {left}  {right} "),
-                F.lit(f" {left}{right} "),
-            ),
-        )
-        # re-anchor per iteration: keeps the replace chain out of the plan
-        # so iteration N's two jobs never re-run iterations 1..N-1
+        accepted: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        for row in ranked:
+            if len(accepted) == batch_k or len(merges) + len(accepted) == n_merges:
+                break
+            left, right = row["left"], row["right"]
+            if left in used or right in used:
+                continue
+            accepted.append((left, right, int(row["pair_count"])))
+            used.update((left, right, left + right))
+        if not accepted:
+            break
+        syms = F.col("syms")
+        for left, right, pc in accepted:
+            merges.append((len(merges) + 1, left, right, pc))
+            syms = F.replace(
+                syms, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} ")
+            )
+        vocab = vocab.withColumn("syms", syms)
+        # re-anchor per round: keeps the replace chain out of the plan so
+        # round N's two jobs never re-run rounds 1..N-1
         vocab = (
             vocab.checkpoint(eager=True)
             if checkpoint_dir

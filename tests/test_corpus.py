@@ -313,3 +313,24 @@ def test_bpe_matches_reference_random_corpora(spark):
         got = learn_bpe_merges(docs, n_merges=5)
         want, _ = _ref_bpe(words, 5)
         assert got == want, (trial, got, want)
+
+
+def test_bpe_batched_rounds(spark):
+    from ahrd_spark.operators.bpe import learn_bpe_merges
+
+    # disjoint top pairs: one batched round == three sequential rounds,
+    # counts included
+    text = " ".join(["ab"] * 9 + ["cd"] * 8 + ["ef"] * 7)
+    docs = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    seq = learn_bpe_merges(docs, n_merges=3, batch_k=1)
+    bat = learn_bpe_merges(docs, n_merges=3, batch_k=3)
+    assert seq == bat == [(1, "a", "b", 9), (2, "c", "d", 8), (3, "e", "f", 7)]
+
+    # documented divergence: a pair CREATED by a round-1 merge can only be
+    # picked next round, so a disjoint lower-count pair jumps ahead of it
+    text2 = " ".join(["abc"] * 10 + ["de"] * 9)
+    docs2 = spark.createDataFrame([(1, text2)], "doc_id bigint, text string")
+    assert learn_bpe_merges(docs2, n_merges=3, batch_k=1) == [
+        (1, "a", "b", 10), (2, "ab", "c", 10), (3, "d", "e", 9)]
+    assert learn_bpe_merges(docs2, n_merges=3, batch_k=2) == [
+        (1, "a", "b", 10), (2, "d", "e", 9), (3, "ab", "c", 10)]
