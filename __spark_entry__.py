@@ -1372,6 +1372,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sample_stratified"] = sample_stratified
 
+    def group_split_q(spark, sf):
+        from ahrd_spark.operators.sampling import group_split
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return group_split(
+            docs, {"train": 0.8, "val": 0.1, "test": 0.1},
+            group_col="source", salt="sp1",
+        ).select("doc_id", "source", "split")
+
+    q["group_split"] = group_split_q
+
     def pack_sequences_q(spark, sf):
         from ahrd_spark.operators.packing import pack_sequences
         from ahrd_spark.operators.textstats import ws_token_count_expr
@@ -1811,6 +1822,19 @@ SELECT doc_id, source FROM documents
 WHERE {_bucket.format(salt="mix1")} <
       CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
                   WHEN 'src2' THEN 1000 ELSE 0 END
+"""
+
+    # group_split replay: bucket by the GROUP hash (source), cumulative
+    # thresholds in sorted split-name order (test 0.1, train 0.8, val 0.1)
+    o["group_split"] = """
+SELECT doc_id, source,
+       CASE WHEN b < 1000 THEN 'test'
+            WHEN b < 9000 THEN 'train'
+            ELSE 'val' END AS split
+FROM (SELECT doc_id, source,
+             (('0x' || substr(md5(coalesce(source, '') || ':' || 'sp1'),
+                             1, 15))::BIGINT % 10000) AS b
+      FROM documents)
 """
 
     o["pack_sequences"] = """

@@ -59,3 +59,48 @@ def stratified_sample(
     return df.filter(
         bucket < F.coalesce(thr[F.col(strata_col)], F.lit(0))
     )
+
+
+def group_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: adds a ``split`` column
+    decided by the hash bucket of the GROUP value (canonical dedup group,
+    domain, URL host...), so every row of a group lands in the SAME split
+    — near-duplicates can never straddle train and test, the standard
+    contamination bug a row-hashed split silently commits.
+
+    ``weights`` maps split name -> probability mass; they must sum to ~1.
+    Bucket ranges are assigned in sorted-name order, so the layout is a
+    pure function of (group, salt, weights) — stable across runs, engines,
+    and cluster sizes.  NULL groups get the ``split`` of the empty-string
+    group (hash of ':salt') rather than a NULL split — silent row loss in
+    a later ``split = 'train'`` filter is an incident.
+
+    Pure narrow projection: no shuffle, no UDF; the DuckDB oracle replays
+    the exact md5 arithmetic.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    bucket = _hash_bucket(F.coalesce(F.col(group_col), F.lit("")), salt)
+    expr = None
+    cum = 0.0
+    names = sorted(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        thr = int(round(cum * SAMPLE_BUCKETS))
+        case = F.when(bucket < F.lit(thr), F.lit(name))
+        expr = case if expr is None else expr.when(bucket < F.lit(thr), F.lit(name))
+    # last split takes the remainder so rounding never drops a bucket
+    expr = (
+        F.lit(names[-1])
+        if expr is None
+        else expr.otherwise(F.lit(names[-1]))
+    )
+    return df.withColumn("split", expr)

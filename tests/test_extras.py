@@ -852,3 +852,36 @@ def test_pgm_p5_codec_roundtrip_resize_and_stream():
     assert stream[off:off + ln] == ppm_encode(rgb)
     v = _decode_payload("video", stream)
     assert v["frames"] == 3 and (v["width"], v["height"]) == (4, 6)
+
+
+def test_group_split_leakage_safe(spark):
+    import pytest
+
+    from ahrd_spark.operators.sampling import group_split
+
+    docs = spark.createDataFrame(
+        [(i, f"g{i % 7}" if i % 11 else None) for i in range(200)],
+        "doc_id bigint, grp string",
+    )
+    out = group_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, group_col="grp",
+        salt="s1",
+    ).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["grp"], set()).add(r["split"])
+    # every group (including the NULL group) lands entirely in ONE split
+    assert all(len(v) == 1 for v in by_group.values()), by_group
+    assert {r["split"] for r in out} <= {"train", "val", "test"}
+    assert len(out) == 200  # no rows lost, NULL group included
+
+    # determinism across partition layouts
+    out2 = group_split(
+        docs.repartition(13), {"train": 0.8, "val": 0.1, "test": 0.1},
+        group_col="grp", salt="s1",
+    ).collect()
+    assert {(r["doc_id"], r["split"]) for r in out} == \
+           {(r["doc_id"], r["split"]) for r in out2}
+
+    with pytest.raises(ValueError):
+        group_split(docs, {"train": 0.8, "val": 0.1}, group_col="grp")
