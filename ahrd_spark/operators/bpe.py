@@ -194,20 +194,31 @@ def segment_vocab(
     docs: DataFrame,
     merges: list[tuple[int, str, str, int]],
     text_col: str = "text",
+    exprs_per_stage: int = 256,
 ) -> DataFrame:
     """Apply a learned merge list to the corpus vocabulary ->
     (word, cnt, n_pieces, pieces) with ``pieces`` the '  '-joined subword
-    segmentation.  One job: the replace chain (one ``replace`` per merge,
-    in rank order — BPE application order IS learning order) is a pure
-    column expression over the vocab frame; no shuffle beyond the vocab
-    aggregate itself."""
+    segmentation (one ``replace`` per merge, in rank order — BPE
+    application order IS learning order).  No shuffle beyond the vocab
+    aggregate itself.
+
+    A real model is 32k merges: one projection with 32k nested replace
+    calls would blow Catalyst's expression-tree recursion, so the chain is
+    cut into ``exprs_per_stage``-sized projections re-anchored with a
+    localCheckpoint between them (the vocab frame is small; the model is
+    applied once, not per-document)."""
     vocab = word_vocab(docs, text_col=text_col)
-    syms = F.col("syms")
-    for _rank, left, right, _pc in sorted(merges):
-        syms = F.replace(
-            syms, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} ")
-        )
-    pieces = F.trim(syms)
+    ordered = sorted(merges)
+    for start in range(0, len(ordered), exprs_per_stage):
+        syms = F.col("syms")
+        for _rank, left, right, _pc in ordered[start:start + exprs_per_stage]:
+            syms = F.replace(
+                syms, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} ")
+            )
+        vocab = vocab.withColumn("syms", syms)
+        if start + exprs_per_stage < len(ordered):
+            vocab = vocab.localCheckpoint(eager=True)
+    pieces = F.trim(F.col("syms"))
     return vocab.select(
         "word",
         "cnt",

@@ -297,6 +297,10 @@ def khop_nodes(
             else visited.localCheckpoint(eager=True)
         )
         frontier = visited.filter(F.col("hop") == hop)
+        # frontier exhausted -> remaining rounds are no-ops; the count is a
+        # scan of the just-materialized checkpoint, not a plan re-run
+        if frontier.count() == 0:
+            break
     return visited
 
 

@@ -88,7 +88,12 @@ def ppm_decode(b: bytes) -> np.ndarray:
 
 def ppm_encode(arr: np.ndarray) -> bytes:
     """uint8 array -> binary netpbm bytes (maxval 255): (h, w, 3) -> P6,
-    (h, w) -> P5."""
+    (h, w) -> P5.  Any other shape (RGBA, (h, w, 1), 1-D) is rejected
+    loudly — a mislabeled magic would silently corrupt the raster."""
+    if not (arr.ndim == 2 or (arr.ndim == 3 and arr.shape[2] == 3)):
+        raise ValueError(
+            f"expected (h, w) grayscale or (h, w, 3) RGB, got {arr.shape}"
+        )
     h, w = arr.shape[:2]
     magic = b"P6" if arr.ndim == 3 else b"P5"
     return magic + b"\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(

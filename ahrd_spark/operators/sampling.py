@@ -83,11 +83,14 @@ def group_split(
     Pure narrow projection: no shuffle, no UDF; the DuckDB oracle replays
     the exact md5 arithmetic.
     """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    bad = {k: v for k, v in weights.items() if not 0.0 < v <= 1.0}
+    if bad:
+        raise ValueError(f"each split weight must be in (0, 1], got {bad}")
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {total}")
-    if not weights:
-        raise ValueError("weights must be non-empty")
     bucket = _hash_bucket(F.coalesce(F.col(group_col), F.lit("")), salt)
     expr = None
     cum = 0.0

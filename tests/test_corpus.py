@@ -334,3 +334,15 @@ def test_bpe_batched_rounds(spark):
         (1, "a", "b", 10), (2, "ab", "c", 10), (3, "d", "e", 9)]
     assert learn_bpe_merges(docs2, n_merges=3, batch_k=2) == [
         (1, "a", "b", 10), (2, "d", "e", 9), (3, "ab", "c", 10)]
+
+
+def test_bpe_segment_staged_chain_matches_unbatched(spark):
+    from ahrd_spark.operators.bpe import learn_bpe_merges, segment_vocab
+
+    text = " ".join(["newest"] * 6 + ["widest"] * 3 + ["low"] * 5)
+    docs = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    merges = learn_bpe_merges(docs, n_merges=5)
+    one = {tuple(r) for r in segment_vocab(docs, merges).collect()}
+    staged = {tuple(r)
+              for r in segment_vocab(docs, merges, exprs_per_stage=2).collect()}
+    assert one == staged

@@ -885,3 +885,26 @@ def test_group_split_leakage_safe(spark):
 
     with pytest.raises(ValueError):
         group_split(docs, {"train": 0.8, "val": 0.1}, group_col="grp")
+
+
+def test_group_split_rejects_out_of_range_weights(spark):
+    import pytest
+
+    from ahrd_spark.operators.sampling import group_split
+
+    docs = spark.createDataFrame([(1, "g")], "doc_id bigint, grp string")
+    with pytest.raises(ValueError, match="in \\(0, 1\\]"):
+        group_split(docs, {"train": 1.2, "test": -0.2}, group_col="grp")
+    with pytest.raises(ValueError, match="non-empty"):
+        group_split(docs, {}, group_col="grp")
+
+
+def test_ppm_encode_rejects_bad_shapes():
+    import numpy as np
+    import pytest
+
+    from ahrd_spark.operators.multimodal import ppm_encode
+
+    for shape in [(2, 2, 4), (2, 2, 1), (4,)]:
+        with pytest.raises(ValueError, match="expected"):
+            ppm_encode(np.zeros(shape, dtype=np.uint8))

@@ -201,3 +201,12 @@ def test_khop_edges_induced_subgraph(spark):
            for r in khop_edges(e, _seeds(spark, ["a"]), k=2).collect()}
     # c is hop 2 but d is hop 3 -> edge (c,d) excluded; (x,y) unreachable
     assert got == {("a", "b"): (0, 1), ("b", "c"): (1, 2)}
+
+
+def test_khop_early_exit_beyond_diameter(spark):
+    from ahrd_spark.operators.graph import khop_nodes
+
+    e = _edges(spark, [("a", "b"), ("b", "c")])
+    got = {r["node"]: r["hop"]
+           for r in khop_nodes(e, _seeds(spark, ["a"]), k=10).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}
