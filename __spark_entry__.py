@@ -761,6 +761,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf_topk"] = ann_ivf_topk
 
+    def pca_loadings_q(spark, sf):
+        from ahrd_spark.operators.pca import dominant_component
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        return dominant_component(emb, iters=3).select(
+            "dim",
+            F.round("mu", 6).alias("mu_r"),
+            F.round("loading", 6).alias("loading_r"),
+        )
+
+    q["pca_loadings"] = pca_loadings_q
+
+    def pca_project_q(spark, sf):
+        from ahrd_spark.operators.pca import project_dominant
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        return project_dominant(emb, iters=3).select(
+            F.col("id").alias("vec_id"),
+            F.round("proj", 6).alias("proj_r"),
+        )
+
+    q["pca_project"] = pca_project_q
+
     def ann_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -2749,6 +2772,49 @@ SELECT hx AS media_id, CAST(fno AS INTEGER) AS frame_no,
          AS frame_hex
 FROM f
 """
+
+    # power-iteration PCA replay: same unrolled C*v identity as
+    # operators/pca.py (Cv = avg_rows cx * (cx . v)), uniform unit start
+    def _pca_iter(i: int) -> str:
+        return f"""s{i} AS (SELECT c.cx,
+         list_sum(list_transform(range(1, len(c.cx) + 1),
+                                 j -> c.cx[j] * v{i}.v[j])) AS s
+  FROM c CROSS JOIN v{i}),
+w{i} AS (SELECT u.j AS dim, avg(s.cx[u.j] * s.s) AS w
+  FROM s{i} s, unnest(range(1, len(s.cx) + 1)) AS u(j) GROUP BY u.j),
+v{i + 1} AS (SELECT list(w.w / n.nrm ORDER BY w.dim) AS v
+  FROM w{i} w CROSS JOIN (SELECT sqrt(sum(w * w)) AS nrm FROM w{i}) n)"""
+
+    _pca_base = """x AS (
+  SELECT vec_id, list_transform(embedding, e -> e::DOUBLE) AS x
+  FROM embeddings WHERE embedding IS NOT NULL),
+mu AS (SELECT u.j AS dim, avg(x.x[u.j]) AS mu
+       FROM x, unnest(range(1, len(x.x) + 1)) AS u(j) GROUP BY u.j),
+mu_arr AS (SELECT list(mu ORDER BY dim) AS m FROM mu),
+c AS (SELECT x.vec_id,
+             list_transform(range(1, len(x.x) + 1), j -> x.x[j] - m.m[j])
+               AS cx
+      FROM x CROSS JOIN mu_arr m),
+v0 AS (SELECT list_transform(m.m, e -> 1.0 / sqrt(len(m.m))) AS v
+       FROM mu_arr m)"""
+    _pca_chain = ",\n".join(
+        [_pca_base] + [_pca_iter(i) for i in range(3)]
+    )
+    o["pca_loadings"] = (
+        "WITH " + _pca_chain + """,
+ld AS (SELECT u.j AS dim, v3.v[u.j] AS loading
+       FROM v3, unnest(range(1, len(v3.v) + 1)) AS u(j))
+SELECT CAST(mu.dim AS INT) AS dim, round(mu.mu, 6) AS mu_r,
+       round(ld.loading, 6) AS loading_r
+FROM mu JOIN ld USING (dim)"""
+    )
+    o["pca_project"] = (
+        "WITH " + _pca_chain + """
+SELECT c.vec_id,
+       round(list_sum(list_transform(range(1, len(c.cx) + 1),
+                                     j -> c.cx[j] * v3.v[j])), 6) AS proj_r
+FROM c CROSS JOIN v3"""
+    )
 
     o["ann_ivf_topk"] = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -175,3 +175,48 @@ def test_kmeans_matches_duckdb_replay(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_pca_dominant_component_rank1_exact(spark):
+    from ahrd_spark.operators.pca import dominant_component, project_dominant
+
+    # rank-1 data along (0.6, 0.8): one power step recovers the direction
+    # exactly (covariance is an outer product), sign fixed by the uniform
+    # positive start vector
+    rows = [(i, [t * 0.6, t * 0.8]) for i, t in enumerate([-2.0, -1.0, 1.0, 2.0])]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    comp = {r["dim"]: (r["mu"], r["loading"])
+            for r in dominant_component(emb, iters=2).collect()}
+    assert abs(comp[1][0]) < 1e-12 and abs(comp[2][0]) < 1e-12
+    assert abs(comp[1][1] - 0.6) < 1e-12
+    assert abs(comp[2][1] - 0.8) < 1e-12
+
+    proj = {r["id"]: r["proj"] for r in project_dominant(emb, iters=2).collect()}
+    for i, t in enumerate([-2.0, -1.0, 1.0, 2.0]):
+        assert abs(proj[i] - t) < 1e-12
+
+
+def test_pca_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from ahrd_spark.operators.pca import dominant_component
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(40, 6)) @ np.diag([3.0, 2.0, 1.0, 0.5, 0.3, 0.1])
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(40)],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {r["dim"]: r["loading"]
+           for r in dominant_component(emb, iters=3).collect()}
+
+    # identical math in NumPy: centered C*v identity, 3 iterations,
+    # uniform unit start
+    mu = X.mean(axis=0)
+    C = (X - mu).T @ (X - mu) / X.shape[0]
+    v = np.ones(6) / np.sqrt(6)
+    for _ in range(3):
+        w = C @ v
+        v = w / np.linalg.norm(w)
+    for j in range(6):
+        assert abs(got[j + 1] - v[j]) < 1e-9, (j, got[j + 1], v[j])
