@@ -784,6 +784,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pca_project"] = pca_project_q
 
+    # deterministic GO-ish fixture shared by the two semsim queries: a
+    # 7-level binary-tree DAG g2..g127 -> g(t//2) (root g1) and leaf
+    # annotations synthesized from customer
+    def _semsim_inputs(spark, sf):
+        dag = spark.range(2, 128).select(
+            F.concat(F.lit("g"), F.col("id").cast("string")).alias("child"),
+            F.concat(F.lit("g"), (F.col("id") / 2).cast("long").cast("string")).alias(
+                "parent"
+            ),
+        )
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        ann = cust.select(
+            F.concat(F.lit("p"), (F.col("c_custkey") % 50).cast("string")).alias(
+                "protein_acc"
+            ),
+            F.concat(
+                F.lit("g"), (F.lit(64) + F.col("c_custkey") % 64).cast("string")
+            ).alias("go_term"),
+        )
+        return dag, ann
+
+    def go_term_ic_q(spark, sf):
+        from ahrd_spark.operators.semsim import term_information_content
+
+        dag, ann = _semsim_inputs(spark, sf)
+        return term_information_content(ann, dag).select(
+            "go_term", "n_prot", F.round("ic", 6).alias("ic_r")
+        )
+
+    q["go_term_ic"] = go_term_ic_q
+
+    def resnik_sim_q(spark, sf):
+        from ahrd_spark.operators.semsim import resnik_similarity
+
+        dag, ann = _semsim_inputs(spark, sf)
+        pairs = spark.range(0, 49).select(
+            F.concat(F.lit("p"), F.col("id").cast("string")).alias("p1"),
+            F.concat(F.lit("p"), (F.col("id") + 1).cast("string")).alias("p2"),
+        )
+        return resnik_similarity(ann, dag, pairs).select(
+            "p1", "p2", F.round("sim", 6).alias("sim_r")
+        )
+
+    q["resnik_sim"] = resnik_sim_q
+
     def ann_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -2814,6 +2859,72 @@ SELECT c.vec_id,
        round(list_sum(list_transform(range(1, len(c.cx) + 1),
                                      j -> c.cx[j] * v3.v[j])), 6) AS proj_r
 FROM c CROSS JOIN v3"""
+    )
+
+    # shared CTE prefix replaying operators/semsim.py: binary-tree DAG,
+    # customer-derived leaf annotations, reflexive-transitive closure,
+    # true-path counts, ic = ln(N / n_prot)
+    _semsim_base = """RECURSIVE
+edges AS (SELECT 'g' || t AS child, 'g' || (t // 2) AS parent
+          FROM range(2, 128) r(t)),
+ann AS (SELECT 'p' || (c_custkey % 50) AS protein_acc,
+               'g' || (64 + c_custkey % 64) AS go_term
+        FROM customer),
+closure AS (
+  SELECT child AS go_term, parent AS ancestor FROM edges
+  UNION
+  SELECT c.go_term, e.parent FROM closure c
+  JOIN edges e ON c.ancestor = e.child),
+anc AS (
+  SELECT go_term, ancestor FROM closure
+  UNION
+  SELECT go_term, go_term FROM (
+    SELECT child AS go_term FROM edges
+    UNION SELECT parent FROM edges
+    UNION SELECT go_term FROM ann)),
+expanded AS (SELECT DISTINCT a.protein_acc, x.ancestor AS go_term
+             FROM ann a JOIN anc x USING (go_term)),
+n AS (SELECT CAST(count(DISTINCT protein_acc) AS DOUBLE) AS n_total
+      FROM ann),
+counts AS (SELECT go_term, count(DISTINCT protein_acc) AS n_prot
+           FROM expanded GROUP BY go_term),
+ic AS (SELECT c.go_term, c.n_prot, ln(n.n_total / c.n_prot) AS ic
+       FROM counts c CROSS JOIN n)"""
+
+    o["go_term_ic"] = (
+        "WITH " + _semsim_base + """
+SELECT go_term, n_prot, round(ic, 6) AS ic_r FROM ic"""
+    )
+
+    o["resnik_sim"] = (
+        "WITH " + _semsim_base + """,
+pairs AS (SELECT 'p' || k AS p1, 'p' || (k + 1) AS p2
+          FROM range(0, 49) r(k)),
+ta AS (SELECT DISTINCT protein_acc, go_term FROM ann),
+tp AS (SELECT p.p1, p.p2, a1.go_term AS t1, a2.go_term AS t2
+       FROM pairs p
+       JOIN ta a1 ON a1.protein_acc = p.p1
+       JOIN ta a2 ON a2.protein_acc = p.p2),
+tpd AS (SELECT DISTINCT t1, t2 FROM tp),
+mica AS (SELECT d.t1, d.t2, max(i.ic) AS sim_t
+         FROM tpd d
+         JOIN anc x1 ON x1.go_term = d.t1
+         JOIN anc x2 ON x2.go_term = d.t2 AND x2.ancestor = x1.ancestor
+         JOIN ic i ON i.go_term = x1.ancestor
+         GROUP BY d.t1, d.t2),
+termsim AS (SELECT tp.p1, tp.p2, tp.t1, tp.t2,
+                   coalesce(m.sim_t, 0.0) AS sim_t
+            FROM tp LEFT JOIN mica m ON m.t1 = tp.t1 AND m.t2 = tp.t2),
+s12 AS (SELECT p1, p2, avg(best) AS v12 FROM (
+          SELECT p1, p2, t1, max(sim_t) AS best
+          FROM termsim GROUP BY p1, p2, t1)
+        GROUP BY p1, p2),
+s21 AS (SELECT p1, p2, avg(best) AS v21 FROM (
+          SELECT p1, p2, t2, max(sim_t) AS best
+          FROM termsim GROUP BY p1, p2, t2)
+        GROUP BY p1, p2)
+SELECT p1, p2, round((v12 + v21) / 2, 6) AS sim_r
+FROM s12 JOIN s21 USING (p1, p2)"""
     )
 
     o["ann_ivf_topk"] = f"""

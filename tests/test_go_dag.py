@@ -140,12 +140,15 @@ def test_no_broadcast_hint_on_data_sized_frames():
     # panel (dictionary-sized by contract), its per-query-term df slice
     # (bounded by the panel), and a 1-row N/avgdl aggregate.  mu_arr /
     # v_arr / nrm (operators/pca.py) are 1-row d-vector model frames and
-    # a 1-row norm scalar — bounded by the embedding dimension.
+    # a 1-row norm scalar — bounded by the embedding dimension.  anc /
+    # anc_ic (operators/semsim.py) are the ontology closure and its
+    # IC-joined view — dictionary-sized by the same contract as closure /
+    # ipr_db (GO is ~5e4 terms), never corpus-sized.
     allowed = re.compile(
         r"F\.broadcast\(\s*(q\b|centroids|cents|closure|ipr_db|cmap"
         r"|corpus\.orderBy|n_docs\b|vocab\b|_centroid_array\(|n_count\b"
         r"|dangling\b|weights\b|qterms\b|q_df\b|stats\b|mu_arr\b|v_arr\b"
-        r"|nrm\b)"
+        r"|nrm\b|anc\b|anc_ic\b)"
     )
     offenders = []
     for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
