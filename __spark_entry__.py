@@ -829,6 +829,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["resnik_sim"] = resnik_sim_q
 
+    def triangle_counts_q(spark, sf):
+        from ahrd_spark.operators.graph import triangle_counts
+
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        # single 2000-node id space (unlike pagerank's bipartite prefixes)
+        # so odd cycles — and therefore triangles — exist
+        edges = li.select(
+            (F.col("l_orderkey") % 2000).cast("int").alias("src"),
+            (F.col("l_partkey") % 2000).cast("int").alias("dst"),
+        )
+        return triangle_counts(edges)
+
+    q["triangle_counts"] = triangle_counts_q
+
     def ann_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -2926,6 +2940,33 @@ s21 AS (SELECT p1, p2, avg(best) AS v21 FROM (
 SELECT p1, p2, round((v12 + v21) / 2, 6) AS sim_r
 FROM s12 JOIN s21 USING (p1, p2)"""
     )
+
+    # degree-ordered-orientation triangle counting replay
+    # (operators/graph.py::triangle_counts)
+    o["triangle_counts"] = """
+WITH e AS (SELECT (l_orderkey % 2000)::INT AS src,
+                  (l_partkey % 2000)::INT AS dst FROM lineitem),
+canon AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+          FROM e WHERE src <> dst),
+deg AS (SELECT node, count(*) AS deg FROM (
+          SELECT u AS node FROM canon UNION ALL SELECT v FROM canon)
+        GROUP BY node),
+wd AS (SELECT c.u, c.v, d1.deg AS du, d2.deg AS dv
+       FROM canon c JOIN deg d1 ON d1.node = c.u
+       JOIN deg d2 ON d2.node = c.v),
+o AS (SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS a,
+             CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS b,
+             CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS db
+      FROM wd),
+w AS (SELECT o1.a, o1.b AS b1, o2.b AS b2
+      FROM o o1 JOIN o o2 ON o1.a = o2.a
+      WHERE o1.db < o2.db OR (o1.db = o2.db AND o1.b < o2.b)),
+t AS (SELECT w.a, w.b1, w.b2
+      FROM w JOIN o ON o.a = w.b1 AND o.b = w.b2),
+corners AS (SELECT a AS node FROM t
+            UNION ALL SELECT b1 FROM t
+            UNION ALL SELECT b2 FROM t)
+SELECT node, count(*) AS triangles FROM corners GROUP BY node"""
 
     o["ann_ivf_topk"] = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

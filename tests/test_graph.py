@@ -210,3 +210,38 @@ def test_khop_early_exit_beyond_diameter(spark):
     got = {r["node"]: r["hop"]
            for r in khop_nodes(e, _seeds(spark, ["a"]), k=10).collect()}
     assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def test_triangle_counts_k4_and_star(spark):
+    from ahrd_spark.operators.graph import triangle_counts
+
+    # K4: every node sits in C(3,2) = 3 triangles; a 5-leaf star hanging
+    # off node 1 adds zero (stars are the hub case the orientation must
+    # not explode on); duplicate + reversed + self-loop edges collapse
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    star = [(1, s) for s in range(100, 105)]
+    noise = [(2, 1), (3, 3), (1, 2)]
+    edges = spark.createDataFrame(k4 + star + noise, "src int, dst int")
+    got = {r["node"]: r["triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_two_shared_edge_triangles(spark):
+    from ahrd_spark.operators.graph import triangle_counts
+
+    # triangles {1,2,3} and {2,3,4} share edge (2,3)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], "src int, dst int"
+    )
+    got = {r["node"]: r["triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_triangle_counts_triangle_free(spark):
+    from ahrd_spark.operators.graph import triangle_counts
+
+    # even cycle (bipartite) -> no triangles -> empty result
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src int, dst int"
+    )
+    assert triangle_counts(edges).count() == 0
