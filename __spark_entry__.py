@@ -843,6 +843,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["triangle_counts"] = triangle_counts_q
 
+    def ppr_q(spark, sf):
+        from ahrd_spark.operators.graph import personalized_pagerank
+
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        edges = li.select(
+            F.concat(F.lit("o"), F.col("l_orderkey")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+        )
+        seeds = li.filter(F.col("l_orderkey") % 97 == 1).select(
+            F.concat(F.lit("o"), F.col("l_orderkey")).alias("node")
+        )
+        return personalized_pagerank(edges, seeds, iters=3).select(
+            "node", F.round("rank", 6).alias("rank_r")
+        )
+
+    q["pagerank_personalized"] = ppr_q
+
     def ann_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -2967,6 +2984,41 @@ corners AS (SELECT a AS node FROM t
             UNION ALL SELECT b1 FROM t
             UNION ALL SELECT b2 FROM t)
 SELECT node, count(*) AS triangles FROM corners GROUP BY node"""
+
+    # personalized-PageRank replay: teleport + dangling mass return to the
+    # seed personalization vector b.r0 (graph.py::personalized_pagerank)
+    def _ppr_iter(i: int) -> str:
+        return f"""pr{i + 1} AS (
+  SELECT b.node,
+         (1 - 0.85) * b.r0 + 0.85 * (coalesce(im.m, 0) + dg.dm * b.r0)
+           AS rank
+  FROM b
+  CROSS JOIN (SELECT coalesce(sum(r.rank), 0) AS dm FROM pr{i} r
+              WHERE r.node NOT IN (SELECT src FROM od)) dg
+  LEFT JOIN (SELECT w.dst AS node, sum(r.rank * w.w) AS m
+             FROM pr{i} r JOIN w ON r.node = w.src GROUP BY w.dst) im
+        ON im.node = b.node)"""
+
+    o["pagerank_personalized"] = f"""
+WITH e AS (SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS src,
+                  'p' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+sd AS (SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS node
+       FROM lineitem WHERE l_orderkey % 97 = 1),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e
+          UNION SELECT node FROM sd),
+sc AS (SELECT CAST(count(*) AS DOUBLE) AS s FROM sd),
+od AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src),
+w AS (SELECT e.src, e.dst, 1.0 / od.deg AS w FROM e JOIN od USING (src)),
+b AS (SELECT n.node,
+             CASE WHEN sd.node IS NOT NULL THEN 1.0 / sc.s ELSE 0.0 END
+               AS r0
+      FROM nodes n LEFT JOIN sd ON sd.node = n.node CROSS JOIN sc),
+pr0 AS (SELECT node, r0 AS rank FROM b),
+{_ppr_iter(0)},
+{_ppr_iter(1)},
+{_ppr_iter(2)}
+SELECT node, round(rank, 6) AS rank_r FROM pr3
+"""
 
     o["ann_ivf_topk"] = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -115,6 +115,109 @@ def pagerank(
     return ranks
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """-> (node, rank): personalized PageRank — teleport and dangling mass
+    return to the SEED set (uniformly) instead of all nodes, so rank
+    measures proximity-weighted salience relative to the seeds.  This is
+    the standard entity-disambiguation signal for KG linking: seed the
+    mention's unambiguous neighbor entities and rank the candidate
+    senses.  Seeds not present in the edge set still emit teleport mass
+    (they join the node universe); mass stays 1 every iteration.
+
+    Same loop shape, checkpoint contract, and scale notes as ``pagerank``:
+    the edges x out-degree join happens once and is cached; each
+    iteration is one src-keyed join + one dst-keyed partial agg; restart
+    and dangling terms ride broadcast 1-row / seed-flag frames.  The
+    restart vector is a COLUMN (r0), never a driver-side map."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    spark = edges.sparkSession
+    if checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    seed_nodes = seeds.select(F.col(seed_col).alias("node")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .union(seed_nodes)
+        .distinct()
+    )
+    n_count = seed_nodes.groupBy().agg(
+        F.count(F.lit(1)).cast("double").alias("s")
+    )
+    # r0: 1/|S| on seeds, 0 elsewhere — the personalization vector
+    base = (
+        nodes.join(seed_nodes.withColumn("is_seed", F.lit(1)), "node", "left")
+        .crossJoin(F.broadcast(n_count))
+        .select(
+            "node",
+            F.when(F.col("is_seed") == 1, F.lit(1.0) / F.col("s"))
+            .otherwise(F.lit(0.0))
+            .alias("r0"),
+        )
+    )
+    base = base.persist()
+    out_deg = e.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("deg")
+    )
+    weighted = e.join(out_deg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
+    )
+    weighted = weighted.persist()
+    has_out = out_deg.select(F.col("src").alias("node"))
+
+    ranks = base.select("node", F.col("r0").alias("rank"))
+    try:
+        for _ in range(iters):
+            in_mass = (
+                ranks.join(weighted, ranks["node"] == weighted["src"])
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") * F.col("w")).alias("m"))
+                .withColumnRenamed("dst", "node")
+            )
+            dangling = (
+                ranks.join(has_out, "node", "left_anti")
+                .groupBy()
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+            )
+            ranks = (
+                base.join(in_mass, "node", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "node",
+                    (
+                        (1.0 - damping) * F.col("r0")
+                        + damping
+                        * (
+                            F.coalesce(F.col("m"), F.lit(0.0))
+                            + F.col("dm") * F.col("r0")
+                        )
+                    ).alias("rank"),
+                )
+            )
+            ranks = (
+                ranks.checkpoint(eager=True)
+                if checkpoint_dir
+                else ranks.localCheckpoint(eager=True)
+            )
+    finally:
+        weighted.unpersist()
+        base.unpersist()
+    return ranks
+
+
 # ---------------------------------------------------------------------------
 # KG maintenance: summary statistics and incremental snapshot merge.
 # ---------------------------------------------------------------------------
