@@ -860,6 +860,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pagerank_personalized"] = ppr_q
 
+    def lpa_q(spark, sf):
+        from ahrd_spark.operators.graph import label_propagation
+
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        edges = li.select(
+            (F.col("l_orderkey") % 2000).cast("int").alias("src"),
+            (F.col("l_partkey") % 2000).cast("int").alias("dst"),
+        )
+        return label_propagation(edges, iters=4)
+
+    q["lpa_communities"] = lpa_q
+
     def ann_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -3018,6 +3030,32 @@ pr0 AS (SELECT node, r0 AS rank FROM b),
 {_ppr_iter(1)},
 {_ppr_iter(2)}
 SELECT node, round(rank, 6) AS rank_r FROM pr3
+"""
+
+    # synchronous label-propagation replay (graph.py::label_propagation):
+    # most-frequent neighbor label, ties -> smallest label
+    def _lpa_iter(i: int) -> str:
+        return f"""l{i + 1} AS (
+  SELECT node, community FROM (
+    SELECT e.dst AS node, l.community,
+           row_number() OVER (PARTITION BY e.dst
+                              ORDER BY count(*) DESC, l.community ASC) AS rn
+    FROM l{i} l JOIN e ON l.node = e.src
+    GROUP BY e.dst, l.community)
+  WHERE rn = 1)"""
+
+    o["lpa_communities"] = f"""
+WITH e0 AS (SELECT (l_orderkey % 2000)::INT AS src,
+                   (l_partkey % 2000)::INT AS dst FROM lineitem),
+e AS (SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)
+      WHERE src <> dst),
+l0 AS (SELECT DISTINCT src AS node, src AS community FROM e),
+{_lpa_iter(0)},
+{_lpa_iter(1)},
+{_lpa_iter(2)},
+{_lpa_iter(3)}
+SELECT node, community FROM l4
 """
 
     o["ann_ivf_topk"] = f"""

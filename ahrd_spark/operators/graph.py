@@ -218,6 +218,70 @@ def personalized_pagerank(
     return ranks
 
 
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """-> (node, community): synchronous label propagation after ``iters``
+    rounds — each node adopts its neighbors' most frequent label
+    (ties -> smallest label; labels start as the node's own id).
+
+    Communities refine connected components for KG canonicalization:
+    a synonym blob that CC fuses into one component often contains
+    several dense senses bridged by a single noisy edge — LPA keeps the
+    dense cores apart.  Deterministic by construction (fixed iteration
+    count, total-order tie-break), so the DuckDB oracle replays it
+    exactly; synchronous updates can oscillate on bipartite structure,
+    which fixed ``iters`` turns into a stable, replayable output rather
+    than a convergence hazard.
+
+    Scale shape: one edges ⋈ labels join (src-keyed) + one (node, label)
+    partial-agg count + one per-node top-1 window per round; the labels
+    frame is re-checkpointed per round (same ``checkpoint_dir`` contract
+    as ``pagerank``).  Hot nodes are AQE skew-join territory; no driver
+    state."""
+    from pyspark.sql import Window
+
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    spark = edges.sparkSession
+    if checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("community"))
+    top1 = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("community").asc()
+    )
+    for _ in range(iters):
+        counts = (
+            labels.join(e, labels["node"] == e["src"])
+            .select(F.col("dst").alias("node"), "community")
+            .groupBy("node", "community")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(top1))
+            .filter(F.col("rn") == 1)
+            .select("node", "community")
+        )
+        labels = (
+            labels.checkpoint(eager=True)
+            if checkpoint_dir
+            else labels.localCheckpoint(eager=True)
+        )
+    return labels
+
+
 # ---------------------------------------------------------------------------
 # KG maintenance: summary statistics and incremental snapshot merge.
 # ---------------------------------------------------------------------------

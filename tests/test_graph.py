@@ -286,3 +286,37 @@ def test_personalized_pagerank_mass_conserved_with_dangling(spark):
     got = {r["node"]: r["rank"] for r in rows}
     # non-seed sink collects flow but leaks back only to seeds
     assert got[3] > 0 and got[1] > got[3] * 0  # sanity: defined everywhere
+
+
+def test_label_propagation_two_triangles_bridge(spark):
+    from ahrd_spark.operators.graph import label_propagation
+
+    # two triangles bridged by (3,4): LPA separates the dense cores that
+    # connected components would fuse
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src int, dst int",
+    )
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, iters=4).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+
+
+def test_label_propagation_deterministic_oscillation(spark):
+    from ahrd_spark.operators.graph import label_propagation
+
+    # a single edge oscillates under synchronous updates; fixed iters make
+    # the output a deterministic function of iteration parity
+    edges = spark.createDataFrame([(1, 2)], "src int, dst int")
+    even = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, iters=4).collect()
+    }
+    odd = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, iters=3).collect()
+    }
+    assert even == {1: 1, 2: 2}
+    assert odd == {1: 2, 2: 1}
