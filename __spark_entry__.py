@@ -872,6 +872,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lpa_communities"] = lpa_q
 
+    def pmi_q(spark, sf):
+        from ahrd_spark.operators.corpus import pmi_collocations
+
+        return pmi_collocations(_docs(spark, sf), min_count=3).select(
+            "w1", "w2", "pair_count", F.round("pmi", 6).alias("pmi_r")
+        )
+
+    q["pmi_collocations"] = pmi_q
+
     def ann_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -3056,6 +3065,30 @@ l0 AS (SELECT DISTINCT src AS node, src AS community FROM e),
 {_lpa_iter(2)},
 {_lpa_iter(3)}
 SELECT node, community FROM l4
+"""
+
+    # adjacent-bigram PMI replay (corpus.py::pmi_collocations); same
+    # tokenizer + position-explode idiom as bigram_lm_quality
+    o["pmi_collocations"] = r"""
+WITH t AS (SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+occ AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+        FROM t, unnest(range(1, greatest(len(toks) - 1, 1) + 1)) AS u(i)
+        WHERE len(toks) >= 2),
+bi AS (SELECT w1, w2, count(*) AS pair_count FROM occ GROUP BY w1, w2),
+uni AS (SELECT u.w AS w, count(*) AS c
+        FROM t, unnest(t.toks) AS u(w) GROUP BY u.w),
+tt AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM uni),
+bt AS (SELECT CAST(sum(pair_count) AS DOUBLE) AS b FROM bi)
+SELECT bi.w1, bi.w2, bi.pair_count,
+       round(ln((bi.pair_count / bt.b)
+                / ((u1.c / tt.t) * (u2.c / tt.t))), 6) AS pmi_r
+FROM bi
+JOIN uni u1 ON u1.w = bi.w1
+JOIN uni u2 ON u2.w = bi.w2
+CROSS JOIN tt CROSS JOIN bt
+WHERE bi.pair_count >= 3
 """
 
     o["ann_ivf_topk"] = f"""

@@ -172,6 +172,70 @@ def bigram_lm_scores(
     )
 
 
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Adjacent-bigram pointwise mutual information over the corpus ->
+    (w1, w2, pair_count, pmi): the classic collocation / phrase-mining
+    signal (word2vec-style phrase detection) —
+
+        pmi = ln( (c12 / B) / ((c1 / T) * (c2 / T)) )
+
+    with c12 the bigram-position count, c1/c2 unigram-position counts,
+    B/T the corpus bigram/unigram position totals.  High-PMI pairs are
+    multi-word entities ("binding protein", "transcription factor") worth
+    fusing into single mention tokens before linking; ``min_count``
+    suppresses the unstable hapax tail.
+
+    Scale shape: bigrams come from the shuffle-free position-explode
+    shingling (no self-join); the three aggregates are keyed by bigram /
+    unigram values with map-side partial agg; position totals ride 1-row
+    broadcast frames.  The uni ⋈ bi join on a web-scale stopword w1 is
+    fan-in-bounded by the distinct-bigram dictionary (AQE splits any
+    residual hot bucket).  Same tokenizer as ``bigram_lm_scores``.
+    """
+    toks = _ws_tokens(text_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks"), F.size(toks).alias("n")
+    )
+    pos = F.explode(F.sequence(F.lit(1), F.greatest(F.col("n") - 1, F.lit(1))))
+    occ = (
+        base.filter(F.col("n") >= 2)
+        .select("toks", pos.alias("pos"))
+        .select(
+            F.try_element_at("toks", F.col("pos")).alias("w1"),
+            F.try_element_at("toks", F.col("pos") + 1).alias("w2"),
+        )
+    )
+    bi = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    uni = (
+        docs.select(F.explode(_ws_tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    t_total = uni.agg(F.sum("c").cast("double").alias("t"))
+    b_total = bi.agg(F.sum("pair_count").cast("double").alias("b"))
+    return (
+        bi.filter(F.col("pair_count") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(t_total))
+        .crossJoin(F.broadcast(b_total))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            F.log(
+                (F.col("pair_count") / F.col("b"))
+                / ((F.col("c1") / F.col("t")) * (F.col("c2") / F.col("t")))
+            ).alias("pmi"),
+        )
+    )
+
+
 def mixture_plan(
     docs: DataFrame,
     target_weights: dict[str, float],

@@ -346,3 +346,37 @@ def test_bpe_segment_staged_chain_matches_unbatched(spark):
     staged = {tuple(r)
               for r in segment_vocab(docs, merges, exprs_per_stage=2).collect()}
     assert one == staged
+
+
+def test_pmi_collocations_hand_golden(spark):
+    import math
+
+    from ahrd_spark.operators.corpus import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], "doc_id bigint, text string"
+    )
+    # unigram positions: c(a)=3 c(b)=2 c(c)=1, T=6; bigrams: (a,b)x2 (a,c)x1, B=3
+    rows = pmi_collocations(docs, min_count=2).collect()
+    assert len(rows) == 1
+    [r] = rows
+    assert (r["w1"], r["w2"], r["pair_count"]) == ("a", "b", 2)
+    want = math.log((2 / 3) / ((3 / 6) * (2 / 6)))  # ln 4
+    assert abs(r["pmi"] - want) < 1e-12
+
+    # min_count=1 exposes the hapax pair too
+    got = {
+        (r["w1"], r["w2"]): r["pmi"]
+        for r in pmi_collocations(docs, min_count=1).collect()
+    }
+    assert abs(got[("a", "c")] - math.log((1 / 3) / ((3 / 6) * (1 / 6)))) < 1e-12
+
+
+def test_pmi_collocations_short_docs_ignored(spark):
+    from ahrd_spark.operators.corpus import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "x y")], "doc_id bigint, text string"
+    )
+    rows = pmi_collocations(docs, min_count=1).collect()
+    assert {(r["w1"], r["w2"]) for r in rows} == {("x", "y")}

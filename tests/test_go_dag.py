@@ -148,8 +148,10 @@ def test_no_broadcast_hint_on_data_sized_frames():
         r"F\.broadcast\(\s*(q\b|centroids|cents|closure|ipr_db|cmap"
         r"|corpus\.orderBy|n_docs\b|vocab\b|_centroid_array\(|n_count\b"
         r"|dangling\b|weights\b|qterms\b|q_df\b|stats\b|mu_arr\b|v_arr\b"
-        r"|nrm\b|anc\b|anc_ic\b)"
+        r"|nrm\b|anc\b|anc_ic\b|t_total\b|b_total\b)"
     )
+    # t_total / b_total (operators/corpus.py::pmi_collocations) are 1-row
+    # corpus position totals — scalar aggregates, never input-sized.
     offenders = []
     for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
         src = open(path).read()
