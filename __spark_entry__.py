@@ -881,6 +881,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pmi_collocations"] = pmi_q
 
+    def sssp_q(spark, sf):
+        from ahrd_spark.operators.graph import shortest_paths
+
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        edges = li.select(
+            (F.col("l_orderkey") % 2000).cast("int").alias("src"),
+            (F.col("l_partkey") % 2000).cast("int").alias("dst"),
+            F.col("l_quantity").cast("double").alias("weight"),
+        )
+        seeds = li.filter(F.col("l_orderkey") % 97 == 1).select(
+            (F.col("l_orderkey") % 2000).cast("int").alias("node")
+        )
+        return shortest_paths(edges, seeds, iters=3).select(
+            "node", F.round("dist", 6).alias("dist_r")
+        )
+
+    q["sssp_bounded"] = sssp_q
+
     def ann_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -3089,6 +3107,29 @@ JOIN uni u1 ON u1.w = bi.w1
 JOIN uni u2 ON u2.w = bi.w2
 CROSS JOIN tt CROSS JOIN bt
 WHERE bi.pair_count >= 3
+"""
+
+    # bounded-hop Bellman-Ford replay (graph.py::shortest_paths)
+    def _sssp_iter(i: int) -> str:
+        return f"""d{i + 1} AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{i}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM d{i} d JOIN e ON d.node = e.src)
+  GROUP BY node)"""
+
+    o["sssp_bounded"] = f"""
+WITH e0 AS (SELECT (l_orderkey % 2000)::INT AS src,
+                   (l_partkey % 2000)::INT AS dst,
+                   l_quantity::DOUBLE AS w FROM lineitem),
+e AS (SELECT src, dst, min(w) AS w FROM e0 GROUP BY src, dst),
+d0 AS (SELECT DISTINCT (l_orderkey % 2000)::INT AS node, 0.0 AS dist
+       FROM lineitem WHERE l_orderkey % 97 = 1),
+{_sssp_iter(0)},
+{_sssp_iter(1)},
+{_sssp_iter(2)}
+SELECT node, round(dist, 6) AS dist_r FROM d3
 """
 
     o["ann_ivf_topk"] = f"""

@@ -282,6 +282,76 @@ def label_propagation(
     return labels
 
 
+def shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 4,
+    directed: bool = True,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+    seed_col: str = "node",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Bounded-hop weighted single-source(-set) shortest paths ->
+    (node, dist): ``iters`` rounds of Bellman-Ford relaxation from the
+    seed set (dist 0), so the result is the cheapest path using at most
+    ``iters`` edges — the weighted generalization of ``khop_nodes``
+    (edge weights = link-score costs, trust penalties, 1/evidence).
+
+    Deterministic: dist is a MIN over identically-constructed float sums,
+    so equal-cost path ties cannot diverge across engines — the DuckDB
+    oracle replays the unrolled rounds exactly.
+
+    Scale shape: multi-edges pre-collapse to their min weight once; each
+    round is one dist ⋈ edges join (src-keyed) + one min-agg keyed by
+    node (map-side partial), dist re-checkpointed per round (same
+    ``checkpoint_dir`` contract as ``pagerank``).  Unreached nodes never
+    enter the frame."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    spark = edges.sparkSession
+    if checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("double").alias("w"),
+    )
+    if not directed:
+        e = e.union(
+            e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+    e = e.groupBy("src", "dst").agg(F.min("w").alias("w"))
+    e = e.persist()
+
+    dist = seeds.select(F.col(seed_col).alias("node")).distinct().select(
+        "node", F.lit(0.0).alias("dist")
+    )
+    try:
+        for _ in range(iters):
+            cand = dist.join(e, dist["node"] == e["src"]).select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+            dist = (
+                dist.unionAll(cand)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+            )
+            dist = (
+                dist.checkpoint(eager=True)
+                if checkpoint_dir
+                else dist.localCheckpoint(eager=True)
+            )
+    finally:
+        e.unpersist()
+    return dist
+
+
 # ---------------------------------------------------------------------------
 # KG maintenance: summary statistics and incremental snapshot merge.
 # ---------------------------------------------------------------------------

@@ -320,3 +320,39 @@ def test_label_propagation_deterministic_oscillation(spark):
     }
     assert even == {1: 1, 2: 2}
     assert odd == {1: 2, 2: 1}
+
+
+def test_shortest_paths_relaxation_golden(spark):
+    from ahrd_spark.operators.graph import shortest_paths
+
+    # 1 -> 2 (1.0) -> 3 (1.0); direct 1 -> 3 (5.0); multi-edge 1->2 keeps
+    # min(1.0, 7.0); node 4 unreachable
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (1, 2, 7.0), (2, 3, 1.0), (1, 3, 5.0), (4, 1, 0.5)],
+        "src int, dst int, weight double",
+    )
+    seeds = spark.createDataFrame([(1,)], "node int")
+    got = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(edges, seeds, iters=3).collect()
+    }
+    assert got == {1: 0.0, 2: 1.0, 3: 2.0}
+
+
+def test_shortest_paths_hop_bound_and_undirected(spark):
+    from ahrd_spark.operators.graph import shortest_paths
+
+    # chain 1-2-3-4 with unit weights
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0)], "src int, dst int, weight double"
+    )
+    seeds = spark.createDataFrame([(4,)], "node int")
+    # directed: nothing leaves 4
+    d = {r["node"]: r["dist"] for r in shortest_paths(edges, seeds, iters=3).collect()}
+    assert d == {4: 0.0}
+    # undirected, 2 hops: reach 3 and 2 but not 1
+    u = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(edges, seeds, iters=2, directed=False).collect()
+    }
+    assert u == {4: 0.0, 3: 1.0, 2: 2.0}
