@@ -899,6 +899,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sssp_bounded"] = sssp_q
 
+    def corpus_profile_q(spark, sf):
+        from ahrd_spark.operators.textstats import corpus_profile
+
+        prof = corpus_profile(_docs(spark, sf), exact=True)
+        return prof.select(
+            "lang",
+            "n_docs",
+            F.round("mean_chars", 6).alias("mean_chars_r"),
+            F.round("chars_p50", 6).alias("chars_p50_r"),
+            F.round("chars_p90", 6).alias("chars_p90_r"),
+            F.round("chars_p99", 6).alias("chars_p99_r"),
+            F.round("toks_p90", 6).alias("toks_p90_r"),
+        )
+
+    q["corpus_profile"] = corpus_profile_q
+
     def ann_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -3130,6 +3146,26 @@ d0 AS (SELECT DISTINCT (l_orderkey % 2000)::INT AS node, 0.0 AS dist
 {_sssp_iter(1)},
 {_sssp_iter(2)}
 SELECT node, round(dist, 6) AS dist_r FROM d3
+"""
+
+    # per-language length-distribution profile
+    # (textstats.py::corpus_profile, exact percentiles = quantile_cont)
+    o["corpus_profile"] = f"""
+WITH t AS (SELECT doc_id, text, {tok} AS toks FROM documents),
+s AS (SELECT doc_id, text, {lang_score} FROM t),
+l AS (SELECT {lang_case_sql} AS lang,
+             length(text) AS n_chars,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+             END AS n_toks
+      FROM s)
+SELECT lang, count(*) AS n_docs,
+       round(avg(n_chars), 6) AS mean_chars_r,
+       round(quantile_cont(n_chars, 0.5), 6) AS chars_p50_r,
+       round(quantile_cont(n_chars, 0.9), 6) AS chars_p90_r,
+       round(quantile_cont(n_chars, 0.99), 6) AS chars_p99_r,
+       round(quantile_cont(n_toks, 0.9), 6) AS toks_p90_r
+FROM l GROUP BY lang
 """
 
     o["ann_ivf_topk"] = f"""

@@ -179,6 +179,52 @@ def repetition_stats(
     )
 
 
+def corpus_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-language corpus length-distribution profile ->
+    (lang, n_docs, mean_chars, chars_p50, chars_p90, chars_p99, toks_p90).
+
+    The pre-training "what is in this corpus" dashboard: doc counts and
+    char/token length percentiles per detected language drive mixture
+    planning, truncation budgets, and outlier hunting.
+
+    ``exact=True`` uses the exact interpolated percentile (sorts each
+    group's values on one executor — fine for the bounded language-key
+    cardinality here, and replayable by DuckDB ``quantile_cont``).  At
+    100 TB per-group value lists no longer fit: pass ``exact=False`` for
+    ``approx_percentile`` (t-digest-style sketch, mergeable map-side,
+    bounded memory at any scale) — same schema, sketch-accurate values,
+    not oracle-checked."""
+    text = F.col(text_col)
+    base = docs.select(
+        lang_id_expr(text).alias("lang"),
+        F.length(text).alias("n_chars"),
+        ws_token_count_expr(text).alias("n_toks"),
+    )
+
+    if exact:
+        def pct(c, p):
+            return F.percentile(c, F.lit(p))
+    else:
+        def pct(c, p):
+            return F.approx_percentile(c, F.lit(p), F.lit(accuracy)).cast(
+                "double"
+            )
+
+    return base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("n_chars").alias("mean_chars"),
+        pct(F.col("n_chars"), 0.5).alias("chars_p50"),
+        pct(F.col("n_chars"), 0.9).alias("chars_p90"),
+        pct(F.col("n_chars"), 0.99).alias("chars_p99"),
+        pct(F.col("n_toks"), 0.9).alias("toks_p90"),
+    )
+
+
 def fingerprint_expr(text: Column) -> Column:
     """Deterministic document fingerprint: md5 over the patternized
     (sorted-unique-token) form — T2 patternize lifted to documents; equal

@@ -908,3 +908,26 @@ def test_ppm_encode_rejects_bad_shapes():
     for shape in [(2, 2, 4), (2, 2, 1), (4,)]:
         with pytest.raises(ValueError, match="expected"):
             ppm_encode(np.zeros(shape, dtype=np.uint8))
+
+
+def test_corpus_profile_exact_percentiles(spark):
+    from ahrd_spark.operators.textstats import corpus_profile
+
+    # 5 docs of known char lengths 2,4,6,8,10 -> p50=6, p90 interpolates
+    # between 8 and 10 at rank 0.9*(5-1)=3.6 -> 9.2
+    docs = spark.createDataFrame(
+        [(i, "x" * n) for i, n in enumerate([2, 4, 6, 8, 10])],
+        "doc_id bigint, text string",
+    )
+    [row] = corpus_profile(docs).collect()
+    assert row["lang"] == "und" and row["n_docs"] == 5
+    assert row["mean_chars"] == 6.0
+    assert row["chars_p50"] == 6.0
+    assert abs(row["chars_p90"] - 9.2) < 1e-9
+    assert abs(row["chars_p99"] - 9.92) < 1e-9
+    # each doc is a single run of x's -> 1 whitespace token
+    assert row["toks_p90"] == 1.0
+
+    approx = corpus_profile(docs, exact=False).collect()[0]
+    assert approx["n_docs"] == 5
+    assert set(approx.asDict()) == set(row.asDict())
