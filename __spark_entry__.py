@@ -915,6 +915,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_profile"] = corpus_profile_q
 
+    def kg_degree_hist_q(spark, sf):
+        from ahrd_spark.operators.graph import degree_histogram
+
+        return degree_histogram(_kg_triples(spark, sf, 1, 10))
+
+    q["kg_degree_hist"] = kg_degree_hist_q
+
     def ann_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -3166,6 +3173,22 @@ SELECT lang, count(*) AS n_docs,
        round(quantile_cont(n_chars, 0.99), 6) AS chars_p99_r,
        round(quantile_cont(n_toks, 0.9), 6) AS toks_p90_r
 FROM l GROUP BY lang
+"""
+
+    # log2 degree histogram via integer bit-length
+    # (graph.py::degree_histogram)
+    o["kg_degree_hist"] = f"""
+WITH t AS ({_kg_cte(None, 1, 10)}),
+od AS (SELECT subj AS entity, count(*) AS out_degree FROM t GROUP BY subj),
+id_ AS (SELECT obj AS entity, count(*) AS in_degree FROM t GROUP BY obj),
+deg AS (SELECT coalesce(od.out_degree, 0) + coalesce(id_.in_degree, 0)
+          AS degree
+        FROM od FULL OUTER JOIN id_ USING (entity))
+SELECT (length(bin(degree)) - 1)::INT AS bucket,
+       count(*) AS n_nodes,
+       min(degree) AS min_degree,
+       max(degree) AS max_degree
+FROM deg GROUP BY bucket
 """
 
     o["ann_ivf_topk"] = f"""

@@ -406,6 +406,34 @@ def entity_degree(
     )
 
 
+def degree_histogram(
+    triples: DataFrame,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Log2-bucketed degree histogram -> (bucket, n_nodes, min_degree,
+    max_degree) with ``bucket = floor(log2(degree))`` — the KG-health
+    dashboard row: a healthy entity graph shows a power-law tail, a
+    boilerplate flood shows one monster bucket.  Bucket is computed as
+    ``length(bin(degree)) - 1`` (integer bit-length), never a float log,
+    so engine libm differences can't shift a power-of-two edge across
+    buckets.  Piggybacks on ``entity_degree``; the histogram agg is
+    bucket-keyed (max ~64 buckets) with map-side partials."""
+    deg = entity_degree(triples, subj_col=subj_col, obj_col=obj_col)
+    return (
+        deg.select(
+            (F.length(F.bin(F.col("degree"))) - 1).cast("int").alias("bucket"),
+            "degree",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("degree").alias("min_degree"),
+            F.max("degree").alias("max_degree"),
+        )
+    )
+
+
 def merge_triples(
     existing: DataFrame,
     incoming: DataFrame,

@@ -356,3 +356,18 @@ def test_shortest_paths_hop_bound_and_undirected(spark):
         for r in shortest_paths(edges, seeds, iters=2, directed=False).collect()
     }
     assert u == {4: 0.0, 3: 1.0, 2: 2.0}
+
+
+def test_degree_histogram_bit_length_buckets(spark):
+    from ahrd_spark.operators.graph import degree_histogram
+
+    # a->b (a: deg1... build degrees 1,2,4: z has 4 edges, y 2, others 1
+    triples = spark.createDataFrame(
+        [("z", "p", "a"), ("z", "p", "b"), ("z", "p", "c"), ("z", "p", "y"),
+         ("y", "p", "a")],
+        "subj string, pred string, obj string",
+    )
+    # degrees: z=4(out), y=2(1in+1out), a=2(in), b=1, c=1
+    got = {r["bucket"]: (r["n_nodes"], r["min_degree"], r["max_degree"])
+           for r in degree_histogram(triples).collect()}
+    assert got == {0: (2, 1, 1), 1: (2, 2, 2), 2: (1, 4, 4)}
