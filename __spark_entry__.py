@@ -922,6 +922,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_degree_hist"] = kg_degree_hist_q
 
+    def neighbor_jaccard_q(spark, sf):
+        from ahrd_spark.operators.graph import neighbor_jaccard
+
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        edges = li.select(
+            F.concat(F.lit("o"), F.col("l_orderkey")).alias("src"),
+            F.concat(F.lit("p"), (F.col("l_partkey") % 3000).cast("string")).alias(
+                "dst"
+            ),
+        )
+        return neighbor_jaccard(
+            edges, min_shared=2, max_block_degree=64
+        ).select(
+            "a", "b", "shared", "deg_a", "deg_b",
+            F.round("jaccard", 6).alias("jaccard_r"),
+        )
+
+    q["neighbor_jaccard"] = neighbor_jaccard_q
+
     def ann_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -3189,6 +3208,36 @@ SELECT (length(bin(degree)) - 1)::INT AS bucket,
        min(degree) AS min_degree,
        max(degree) AS max_degree
 FROM deg GROUP BY bucket
+"""
+
+    # shared-neighbor block + exact-intersection verify
+    # (graph.py::neighbor_jaccard)
+    o["neighbor_jaccard"] = """
+WITH e0 AS (SELECT 'o' || CAST(l_orderkey AS VARCHAR) AS src,
+                   'p' || CAST(l_partkey % 3000 AS VARCHAR) AS dst
+            FROM lineitem),
+adj AS (SELECT DISTINCT node, nbr FROM (
+          SELECT src AS node, dst AS nbr FROM e0
+          UNION ALL SELECT dst, src FROM e0)
+        WHERE node <> nbr),
+deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY node),
+ok AS (SELECT node AS v FROM deg WHERE deg <= 64),
+block AS (SELECT adj.nbr AS v, adj.node AS x
+          FROM adj JOIN ok ON ok.v = adj.nbr),
+cand AS (SELECT DISTINCT b1.x AS a, b2.x AS b
+         FROM block b1 JOIN block b2 ON b1.v = b2.v
+         WHERE b1.x < b2.x),
+sh AS (SELECT c.a, c.b, count(*) AS shared
+       FROM cand c
+       JOIN adj na ON na.node = c.a
+       JOIN adj nb ON nb.node = c.b AND nb.nbr = na.nbr
+       GROUP BY c.a, c.b
+       HAVING count(*) >= 2)
+SELECT sh.a, sh.b, sh.shared, da.deg AS deg_a, db.deg AS deg_b,
+       round(sh.shared / (da.deg + db.deg - sh.shared), 6) AS jaccard_r
+FROM sh
+JOIN deg da ON da.node = sh.a
+JOIN deg db ON db.node = sh.b
 """
 
     o["ann_ivf_topk"] = f"""

@@ -352,6 +352,79 @@ def shortest_paths(
     return dist
 
 
+def neighbor_jaccard(
+    edges: DataFrame,
+    min_shared: int = 1,
+    max_block_degree: int | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Structural entity-resolution candidates: node pairs scored by the
+    Jaccard similarity of their (undirected) neighbor sets ->
+    (a, b, shared, deg_a, deg_b, jaccard) with a < b and
+    ``shared >= min_shared``.
+
+    Two KG entities whose neighborhoods mostly coincide are merge
+    candidates even when no synonym edge links them directly — this is
+    the relational complement of the lexical/embedding dedup family.
+
+    Block-then-verify shape (same contract as LSH -> exact-Jaccard in
+    ``dedup.py``): candidate pairs are generated ONLY through shared
+    neighbors, and ``max_block_degree`` skips hub middles during
+    generation (a neighbor shared by millions of nodes — the stopword
+    analog — would wedge-explode; pairs whose ONLY shared neighbors are
+    such hubs are not generated, the documented recall trade).  The
+    verify step then counts the EXACT full intersection for every
+    surviving pair (hub neighbors included), keyed by (pair, neighbor) —
+    so emitted scores are exact regardless of the blocking cap.
+    """
+    adj = edges.select(F.col(src_col).alias("node"), F.col(dst_col).alias("nbr"))
+    adj = adj.union(
+        adj.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
+    ).filter(F.col("node") != F.col("nbr")).distinct()
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+
+    block = adj.select(F.col("nbr").alias("v"), F.col("node").alias("x"))
+    if max_block_degree is not None:
+        ok = deg.filter(F.col("deg") <= max_block_degree).select(
+            F.col("node").alias("v")
+        )
+        block = block.join(ok, "v")
+    cand = (
+        block.select("v", F.col("x").alias("a"))
+        .join(block.select("v", F.col("x").alias("b")), "v")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    # exact verify: |N(a) ∩ N(b)| via (pair, neighbor)-keyed joins
+    shared = (
+        cand.join(adj.select(F.col("node").alias("a"), F.col("nbr").alias("v")), "a")
+        .join(
+            adj.select(F.col("node").alias("b"), F.col("nbr").alias("v")),
+            ["b", "v"],
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    return (
+        shared.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b")), "b")
+        .select(
+            "a",
+            "b",
+            "shared",
+            "deg_a",
+            "deg_b",
+            (
+                F.col("shared")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # KG maintenance: summary statistics and incremental snapshot merge.
 # ---------------------------------------------------------------------------

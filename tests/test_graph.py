@@ -371,3 +371,43 @@ def test_degree_histogram_bit_length_buckets(spark):
     got = {r["bucket"]: (r["n_nodes"], r["min_degree"], r["max_degree"])
            for r in degree_histogram(triples).collect()}
     assert got == {0: (2, 1, 1), 1: (2, 2, 2), 2: (1, 4, 4)}
+
+
+def test_neighbor_jaccard_exact_scores(spark):
+    from ahrd_spark.operators.graph import neighbor_jaccard
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 2), (4, 3), (4, 5)], "src int, dst int"
+    )
+    got = {
+        (r["a"], r["b"]): (r["shared"], r["deg_a"], r["deg_b"], r["jaccard"])
+        for r in neighbor_jaccard(edges, min_shared=2).collect()
+    }
+    # N(1)={2,3} N(4)={2,3,5} -> shared 2, J=2/4... union=3 -> 2/3
+    assert got[(1, 4)] == (2, 2, 3, 2 / 3)
+    # N(2)=N(3)={1,4} -> J=1
+    assert got[(2, 3)] == (2, 2, 2, 1.0)
+    assert set(got) == {(1, 4), (2, 3)}
+
+
+def test_neighbor_jaccard_hub_blocking_cap(spark):
+    from ahrd_spark.operators.graph import neighbor_jaccard
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 2), (4, 3), (4, 5)], "src int, dst int"
+    )
+    # without cap: (2,5) and (3,5) are generated via middle 4
+    all_pairs = {
+        (r["a"], r["b"])
+        for r in neighbor_jaccard(edges, min_shared=1).collect()
+    }
+    assert (2, 5) in all_pairs and (3, 5) in all_pairs
+    # cap 2 excludes node 4 (deg 3) as a blocking middle: pairs whose only
+    # shared neighbor is the hub disappear; others survive with EXACT
+    # scores (hub still counted in the verify step)
+    capped = {
+        (r["a"], r["b"]): r["shared"]
+        for r in neighbor_jaccard(edges, min_shared=1, max_block_degree=2).collect()
+    }
+    assert (2, 5) not in capped and (3, 5) not in capped
+    assert capped[(1, 4)] == 2 and capped[(2, 3)] == 2
