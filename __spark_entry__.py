@@ -941,6 +941,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["neighbor_jaccard"] = neighbor_jaccard_q
 
+    def rrf_hybrid_q(spark, sf):
+        from pyspark.sql import Window
+
+        from ahrd_spark.operators.retrieval import bm25_topk, rrf_fuse
+
+        docs = _docs(spark, sf)
+        # "more-like-this" hybrid: the 5 probe docs query the rest of the
+        # corpus through BOTH retrievers, fused by rank only
+        corpus = docs.filter(F.col("doc_id") >= 5)
+        probes = docs.filter(F.col("doc_id") < 5).select(
+            F.col("doc_id").alias("query_id"), F.col("text").alias("query")
+        )
+        bm = bm25_topk(corpus, probes, k=10, salt_buckets=16)
+        bm_rank = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        lex = bm.select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.row_number().over(bm_rank).alias("rank"),
+        )
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        sem = cosine_topk(
+            emb.filter(F.col("vec_id") < 5), emb.filter(F.col("vec_id") >= 5), k=10
+        ).select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("neighbor_id").cast("bigint").alias("doc_id"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+        return rrf_fuse(lex.unionAll(sem), k=60, topn=5).select(
+            "query_id",
+            "doc_id",
+            "n_retrievers",
+            F.round("rrf_score", 6).alias("rrf_r"),
+            F.col("rrf_rank").cast("bigint").alias("rrf_rank"),
+        )
+
+    q["rrf_hybrid"] = rrf_hybrid_q
+
     def ann_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -3238,6 +3277,66 @@ SELECT sh.a, sh.b, sh.shared, da.deg AS deg_a, db.deg AS deg_b,
 FROM sh
 JOIN deg da ON da.node = sh.a
 JOIN deg db ON db.node = sh.b
+"""
+
+    # reciprocal-rank fusion of BM25 more-like-this + exact cosine ANN
+    # (retrieval.py::rrf_fuse); corpus/query split at doc_id 5 on both
+    # retrievers, fusion sees only ranks
+    o["rrf_hybrid"] = r"""
+WITH t AS (SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents WHERE doc_id >= 5),
+tf AS (SELECT doc_id, u.term, CAST(count(*) AS DOUBLE) AS tf
+       FROM t, unnest(t.toks) AS u(term)
+       WHERE u.term <> '' GROUP BY doc_id, u.term),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+dfc AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents
+                  WHERE doc_id >= 5) AS n_docs,
+                 (SELECT avg(coalesce(dl.dl, 0))
+                  FROM (SELECT doc_id FROM documents WHERE doc_id >= 5) d
+                  LEFT JOIN dl USING (doc_id)) AS avgdl),
+qt AS (SELECT DISTINCT p.doc_id AS query_id, u.term
+       FROM (SELECT doc_id,
+                    string_split_regex(lower(trim(text)), '\s+') AS toks
+             FROM documents WHERE doc_id < 5) p,
+            unnest(p.toks) AS u(term)
+       WHERE u.term <> ''),
+c AS (SELECT qt.query_id, tf.doc_id,
+             ln(1 + (stats.n_docs - dfc.df + 0.5) / (dfc.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS contrib
+      FROM tf JOIN qt USING (term) JOIN dfc USING (term)
+              JOIN dl USING (doc_id) CROSS JOIN stats),
+s AS (SELECT query_id, doc_id, sum(contrib) AS score
+      FROM c GROUP BY query_id, doc_id),
+bm AS (SELECT query_id, doc_id, rank FROM (
+         SELECT query_id, doc_id, row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         FROM s)
+       WHERE rank <= 10),
+qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+       FROM embeddings WHERE vec_id < 5),
+cv AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v
+       FROM embeddings WHERE vec_id >= 5),
+ann AS (SELECT query_id, doc_id, rank FROM (
+          SELECT qv.query_id, cv.doc_id, row_number() OVER (
+            PARTITION BY qv.query_id
+            ORDER BY list_dot_product(qv.v, cv.v)
+                     / (sqrt(list_dot_product(qv.v, qv.v))
+                        * sqrt(list_dot_product(cv.v, cv.v))) DESC,
+                     cv.doc_id ASC) AS rank
+          FROM cv, qv)
+        WHERE rank <= 10),
+u AS (SELECT * FROM bm UNION ALL SELECT * FROM ann),
+f AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_retrievers,
+             sum(CAST(1.0 AS DOUBLE) / (60 + rank)) AS rrf
+      FROM u GROUP BY query_id, doc_id),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rrf_rank
+      FROM f)
+SELECT query_id, doc_id, n_retrievers, round(rrf, 6) AS rrf_r, rrf_rank
+FROM r WHERE rrf_rank <= 5
 """
 
     o["ann_ivf_topk"] = f"""

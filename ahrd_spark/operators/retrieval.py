@@ -128,3 +128,36 @@ def bm25_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "doc_id", "n_hit_terms", "score")
     )
+
+
+def rrf_fuse(
+    rankings: DataFrame,
+    k: int = 60,
+    topn: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N retrievers' ranked lists ->
+    (query_id, doc_id, n_retrievers, rrf_score, rrf_rank).
+
+    Input: one row per (retriever, query_id, doc_id, rank) with 1-based
+    per-retriever ranks; ``rrf_score = sum over retrievers of
+    1 / (k + rank)`` (Cormack et al. 2009) — the standard way to combine
+    a lexical (BM25) and a semantic (ANN cosine) retriever without score
+    calibration, since only RANKS enter the formula.  Ties order by
+    (rrf_score DESC, doc_id ASC); ``topn`` truncates per query.
+
+    Scale shape: one (query, doc)-keyed partial agg + one per-query
+    window — both keyed by query hash; the candidate universe is already
+    top-k-bounded per retriever, so the fused frame is
+    |queries| * k * n_retrievers at worst, never corpus-sized.
+    """
+    fused = rankings.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_retrievers"),
+        F.sum(F.lit(1.0) / (F.lit(k) + F.col("rank"))).alias("rrf_score"),
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    out = fused.withColumn("rrf_rank", F.row_number().over(win))
+    if topn is not None:
+        out = out.filter(F.col("rrf_rank") <= topn)
+    return out

@@ -931,3 +931,32 @@ def test_corpus_profile_exact_percentiles(spark):
     approx = corpus_profile(docs, exact=False).collect()[0]
     assert approx["n_docs"] == 5
     assert set(approx.asDict()) == set(row.asDict())
+
+
+def test_rrf_fuse_hand_golden(spark):
+    from ahrd_spark.operators.retrieval import rrf_fuse
+
+    rankings = spark.createDataFrame(
+        [
+            ("bm25", 1, 10, 1), ("bm25", 1, 11, 2), ("bm25", 1, 12, 3),
+            ("ann", 1, 11, 1), ("ann", 1, 13, 2),
+        ],
+        "retriever string, query_id int, doc_id int, rank int",
+    )
+    rows = rrf_fuse(rankings, k=60, topn=10).collect()
+    got = {r["doc_id"]: (r["n_retrievers"], r["rrf_score"], r["rrf_rank"])
+           for r in rows}
+    # doc 11 fused from both lists wins
+    assert got[11][0] == 2
+    assert abs(got[11][1] - (1 / 62 + 1 / 61)) < 1e-15
+    assert got[11][2] == 1
+    assert got[10] == (1, 1 / 61, 2)
+    assert got[13][2] == 3 and got[12][2] == 4  # 1/62 ties? no: 13 is 1/62, 12 is 1/63
+    # deterministic doc_id tie-break: equal scores order by doc_id
+    tie = spark.createDataFrame(
+        [("a", 1, 5, 1), ("b", 1, 7, 1)],
+        "retriever string, query_id int, doc_id int, rank int",
+    )
+    t = [r["doc_id"] for r in sorted(rrf_fuse(tie).collect(),
+                                     key=lambda r: r["rrf_rank"])]
+    assert t == [5, 7]
