@@ -980,6 +980,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rrf_hybrid"] = rrf_hybrid_q
 
+    def asof_q(spark, sf):
+        from ahrd_spark.operators.asof import asof_join
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        # (user, ts)-unique right side -> a specific deterministic tie rule
+        views = (
+            ev.filter(F.col("event_type") == "view")
+            .groupBy("user_id", "ts")
+            .agg(F.max("value").alias("view_value"))
+        )
+        joined = asof_join(
+            clicks, views, keys=["user_id"], left_ts="ts", right_ts="ts"
+        )
+        return joined.select(
+            "event_id",
+            "user_id",
+            F.round("value", 6).alias("value_r"),
+            F.col("asof_ts").alias("view_ts"),
+            F.round("asof_view_value", 6).alias("view_value_r"),
+        )
+
+    q["asof_join"] = asof_q
+
     def ann_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -3337,6 +3363,18 @@ r AS (SELECT *, row_number() OVER (
       FROM f)
 SELECT query_id, doc_id, n_retrievers, round(rrf, 6) AS rrf_r, rrf_rank
 FROM r WHERE rrf_rank <= 5
+"""
+
+    # backward as-of join replay: DuckDB's native ASOF LEFT JOIN has the
+    # same >= / latest-preceding semantics as operators/asof.py
+    o["asof_join"] = """
+WITH l AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, max(value) AS view_value FROM events
+      WHERE event_type = 'view' GROUP BY user_id, ts)
+SELECT l.event_id, l.user_id, round(l.value, 6) AS value_r,
+       r.ts AS view_ts, round(r.view_value, 6) AS view_value_r
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
     o["ann_ivf_topk"] = f"""

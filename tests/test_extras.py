@@ -960,3 +960,44 @@ def test_rrf_fuse_hand_golden(spark):
     t = [r["doc_id"] for r in sorted(rrf_fuse(tie).collect(),
                                      key=lambda r: r["rrf_rank"])]
     assert t == [5, 7]
+
+
+def test_asof_join_backward_semantics(spark):
+    from ahrd_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 10.0, "a"), (2, "u", 20.0, "b"), (3, "u", 5.0, "c"),
+         (4, "v", 10.0, "d")],
+        "event_id int, user string, ts double, tag string",
+    )
+    right = spark.createDataFrame(
+        [("u", 10.0, 100.0), ("u", 15.0, 150.0), ("w", 1.0, 999.0)],
+        "user string, ts double, px double",
+    )
+    rows = asof_join(left, right, keys=["user"], left_ts="ts",
+                     right_ts="ts").collect()
+    got = {r["event_id"]: (r["asof_ts"], r["asof_px"]) for r in rows}
+    assert got[1] == (10.0, 100.0)   # equal ts matches (>= semantics)
+    assert got[2] == (15.0, 150.0)   # latest preceding, not first
+    assert got[3] == (None, None)    # nothing precedes ts=5
+    assert got[4] == (None, None)    # key with no right rows (left join)
+    assert {r["tag"] for r in rows} == {"a", "b", "c", "d"}
+
+
+def test_asof_join_tolerance_and_ties(spark):
+    from ahrd_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 100.0)], "event_id int, user string, ts double"
+    )
+    right = spark.createDataFrame(
+        [("u", 10.0, 1.0), ("u", 10.0, 7.0)], "user string, ts double, px double"
+    )
+    # duplicate (key, ts) right rows: largest payload struct wins
+    [r] = asof_join(left, right, keys=["user"]).collect()
+    assert r["asof_px"] == 7.0
+    # tolerance: the ts=10 match is 90s stale -> nulled
+    [r2] = asof_join(left, right, keys=["user"], tolerance_s=30).collect()
+    assert r2["asof_px"] is None and r2["asof_ts"] is None
+    [r3] = asof_join(left, right, keys=["user"], tolerance_s=95).collect()
+    assert r3["asof_px"] == 7.0
