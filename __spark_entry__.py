@@ -1006,6 +1006,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["asof_join"] = asof_q
 
+    def range_join_q(spark, sf):
+        from ahrd_spark.operators.rangejoin import range_join
+
+        ev = spark.read.parquet(f"{sf}/events.parquet").select(
+            "event_id", "value"
+        )
+        bands = spark.range(0, 10).select(
+            F.col("id").alias("band"),
+            (F.col("id") * 2.0).alias("lo"),
+            (F.col("id") * 2.0 + 3.0).alias("hi"),
+        )
+        return range_join(ev, bands, value_col="value", bin_width=2.0).select(
+            "event_id", "band", F.round("value", 6).alias("value_r")
+        )
+
+    q["range_join"] = range_join_q
+
     def ann_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -3375,6 +3392,16 @@ r AS (SELECT user_id, ts, max(value) AS view_value FROM events
 SELECT l.event_id, l.user_id, round(l.value, 6) AS value_r,
        r.ts AS view_ts, round(r.view_value, 6) AS view_value_r
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+    # bin-bucketed range join replay (operators/rangejoin.py); the oracle
+    # uses the plain BETWEEN join — same matches, different plan
+    o["range_join"] = """
+WITH iv AS (SELECT k AS band, k * CAST(2.0 AS DOUBLE) AS lo,
+                   k * CAST(2.0 AS DOUBLE) + 3.0 AS hi
+            FROM range(0, 10) r(k))
+SELECT e.event_id, iv.band, round(e.value, 6) AS value_r
+FROM events e JOIN iv ON e.value BETWEEN iv.lo AND iv.hi
 """
 
     o["ann_ivf_topk"] = f"""

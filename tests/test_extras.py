@@ -1001,3 +1001,36 @@ def test_asof_join_tolerance_and_ties(spark):
     assert r2["asof_px"] is None and r2["asof_ts"] is None
     [r3] = asof_join(left, right, keys=["user"], tolerance_s=95).collect()
     assert r3["asof_px"] == 7.0
+
+
+def test_range_join_boundaries_and_bins(spark):
+    import pytest as _pytest
+
+    from ahrd_spark.operators.rangejoin import range_join
+
+    left = spark.createDataFrame(
+        [(1, 0.0), (2, 3.0), (3, 2.999), (4, 10.0)], "id int, v double"
+    )
+    iv = spark.createDataFrame(
+        [("a", 0.0, 3.0), ("b", 2.5, 7.0)], "band string, lo double, hi double"
+    )
+    # bin width far smaller than intervals: correctness must not depend on it
+    for bw in (0.5, 2.0, 10.0):
+        got = {
+            (r["id"], r["band"])
+            for r in range_join(left, iv, "v", bin_width=bw).collect()
+        }
+        assert got == {(1, "a"), (2, "a"), (2, "b"), (3, "a"), (3, "b")}
+
+    with _pytest.raises(ValueError):
+        range_join(left, iv, "v", bin_width=0)
+
+
+def test_range_join_left_keeps_unmatched(spark):
+    from ahrd_spark.operators.rangejoin import range_join
+
+    left = spark.createDataFrame([(1, 1.0), (2, 99.0)], "id int, v double")
+    iv = spark.createDataFrame([("a", 0.0, 2.0)], "band string, lo double, hi double")
+    rows = range_join(left, iv, "v", bin_width=1.0, how="left").collect()
+    got = {r["id"]: r["band"] for r in rows}
+    assert got == {1: "a", 2: None}
