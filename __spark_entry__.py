@@ -1023,6 +1023,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["range_join"] = range_join_q
 
+    def weighted_sample_q(spark, sf):
+        from ahrd_spark.operators.sampling import weighted_sample
+
+        docs = _docs(spark, sf).select(
+            "doc_id", F.length("text").cast("double").alias("w")
+        )
+        return weighted_sample(docs, k=50, weight_col="w").select(
+            "doc_id", F.col("w").alias("weight")
+        )
+
+    q["sample_weighted"] = weighted_sample_q
+
     def ann_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -3402,6 +3414,20 @@ WITH iv AS (SELECT k AS band, k * CAST(2.0 AS DOUBLE) AS lo,
             FROM range(0, 10) r(k))
 SELECT e.event_id, iv.band, round(e.value, 6) AS value_r
 FROM events e JOIN iv ON e.value BETWEEN iv.lo AND iv.hi
+"""
+
+    # Efraimidis-Spirakis weighted sample replay
+    # (sampling.py::weighted_sample): score = ln((h+1)/2^60) / w
+    o["sample_weighted"] = """
+WITH s AS (
+  SELECT doc_id, CAST(length(text) AS DOUBLE) AS w,
+         ln((('0x' || substr(md5(doc_id::VARCHAR || ':ws:'), 1, 15))::BIGINT
+             + CAST(1.0 AS DOUBLE)) / 1152921504606846976.0)
+         / CAST(length(text) AS DOUBLE) AS score
+  FROM documents
+  WHERE length(text) > 0)
+SELECT doc_id, w AS weight FROM s
+ORDER BY score DESC, doc_id ASC LIMIT 50
 """
 
     o["ann_ivf_topk"] = f"""

@@ -107,3 +107,47 @@ def group_split(
         else expr.otherwise(F.lit(names[-1]))
     )
     return df.withColumn("split", expr)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (top-``k``):
+    the Efraimidis-Spirakis A-ES scheme with hash-derived uniforms —
+    every row gets ``score = ln(u) / w`` where ``u`` in (0, 1] comes from
+    the portable 60-bit md5 of (id, salt), and the ``k`` largest scores
+    win.  Inclusion probability is proportional to weight (quality score,
+    source boost, dedup-cluster mass) with no replacement and NO
+    randomness: the same (corpus, salt) always picks the same sample, a
+    different salt draws an independent one — the reproducibility
+    contract every training-mixture build needs.
+
+    Rows with NULL or non-positive weight are excluded (they'd have
+    inclusion probability 0 anyway; a negative weight is a caller bug
+    surfaced by the documented filter, not a crash).
+
+    Scale shape: one narrow projection + ``orderBy(...).limit(k)``, which
+    Spark executes as TakeOrdered — per-partition top-k then a k-sized
+    driver merge; no full sort, no shuffle of the losers.  k is the
+    sample size (thousands, not corpus-sized) by contract."""
+    from ahrd_spark.functions.hashing import md5_prefix60
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = md5_prefix60(
+        F.concat(F.col(id_col).cast("string"), F.lit(":ws:" + salt))
+    )
+    # u in (0, 1]: (h + 1) / 2^60, the divisor exactly representable
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(1152921504606846976.0)
+    score = F.log(u) / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_ws_score", score)
+        .orderBy(F.col("_ws_score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("_ws_score")
+    )

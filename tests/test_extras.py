@@ -1034,3 +1034,30 @@ def test_range_join_left_keeps_unmatched(spark):
     rows = range_join(left, iv, "v", bin_width=1.0, how="left").collect()
     got = {r["id"]: r["band"] for r in rows}
     assert got == {1: "a", 2: None}
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    import pytest as _pytest
+
+    from ahrd_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 100.0 if i < 20 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+    a = sorted(r["doc_id"] for r in weighted_sample(df, 30, "w").collect())
+    b = sorted(r["doc_id"] for r in weighted_sample(df, 30, "w").collect())
+    assert a == b and len(a) == 30           # deterministic, exact k
+    # heavy rows (100x weight) should dominate the sample
+    heavy = sum(1 for i in a if i < 20)
+    assert heavy >= 15
+    # different salt draws a different sample
+    c = sorted(
+        r["doc_id"] for r in weighted_sample(df, 30, "w", salt="x").collect()
+    )
+    assert c != a
+    # non-positive / null weights excluded, k validated
+    bad = spark.createDataFrame(
+        [(1, -1.0), (2, 0.0), (3, None), (4, 5.0)], "doc_id bigint, w double"
+    )
+    assert [r["doc_id"] for r in weighted_sample(bad, 10, "w").collect()] == [4]
+    with _pytest.raises(ValueError):
+        weighted_sample(df, 0, "w")
