@@ -1035,6 +1035,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sample_weighted"] = weighted_sample_q
 
+    def merge_intervals_q(spark, sf):
+        from ahrd_spark.operators.intervals import merge_intervals
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        # 120s activity windows per user, integer microseconds (exact in
+        # every engine); the parquet ts is TIMESTAMP_NTZ -> cast under the
+        # session's UTC zone so unix_micros == DuckDB epoch_us
+        ts = F.col("ts").cast("timestamp")
+        iv = ev.select(
+            "user_id",
+            F.unix_micros(ts).alias("lo"),
+            (F.unix_micros(ts) + F.lit(120_000_000)).alias("hi"),
+        )
+        return merge_intervals(iv, keys=["user_id"])
+
+    q["merge_intervals"] = merge_intervals_q
+
     def ann_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -3428,6 +3445,24 @@ WITH s AS (
   WHERE length(text) > 0)
 SELECT doc_id, w AS weight FROM s
 ORDER BY score DESC, doc_id ASC LIMIT 50
+"""
+
+    # cumulative-max interval coalescing replay
+    # (operators/intervals.py::merge_intervals)
+    o["merge_intervals"] = """
+WITH iv AS (SELECT user_id, epoch_us(ts) AS lo,
+                   epoch_us(ts) + 120000000 AS hi FROM events),
+s AS (SELECT user_id, lo, hi,
+             CASE WHEN max(hi) OVER w IS NULL OR lo > max(hi) OVER w
+                  THEN 1 ELSE 0 END AS new
+      FROM iv
+      WINDOW w AS (PARTITION BY user_id ORDER BY lo, hi
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+b AS (SELECT *, sum(new) OVER (PARTITION BY user_id ORDER BY lo, hi
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS blk
+      FROM s)
+SELECT user_id, min(lo) AS lo, max(hi) AS hi, count(*) AS n_merged
+FROM b GROUP BY user_id, blk
 """
 
     o["ann_ivf_topk"] = f"""

@@ -1061,3 +1061,43 @@ def test_weighted_sample_deterministic_and_weight_biased(spark):
     assert [r["doc_id"] for r in weighted_sample(bad, 10, "w").collect()] == [4]
     with _pytest.raises(ValueError):
         weighted_sample(df, 0, "w")
+
+
+def test_merge_intervals_blocks(spark):
+    from ahrd_spark.operators.intervals import merge_intervals
+
+    iv = spark.createDataFrame(
+        [
+            ("u", 0, 10), ("u", 5, 12), ("u", 12, 20),   # overlap + touch -> one
+            ("u", 30, 40),                                # separate block
+            ("v", 0, 1),                                  # other key
+        ],
+        "k string, lo bigint, hi bigint",
+    )
+    got = {
+        (r["k"], r["lo"], r["hi"]): r["n_merged"]
+        for r in merge_intervals(iv, keys=["k"]).collect()
+    }
+    assert got == {("u", 0, 20): 3, ("u", 30, 40): 1, ("v", 0, 1): 1}
+
+
+def test_merge_intervals_contained_and_duplicate(spark):
+    from ahrd_spark.operators.intervals import merge_intervals
+
+    iv = spark.createDataFrame(
+        [("u", 0, 100), ("u", 10, 20), ("u", 10, 20), ("u", 101, 102)],
+        "k string, lo bigint, hi bigint",
+    )
+    got = {(r["lo"], r["hi"]): r["n_merged"]
+           for r in merge_intervals(iv, keys=["k"]).collect()}
+    assert got == {(0, 100): 3, (101, 102): 1}
+
+
+def test_merge_intervals_rejects_inverted(spark):
+    import pytest as _pytest
+
+    from ahrd_spark.operators.intervals import merge_intervals
+
+    iv = spark.createDataFrame([("u", 10, 5)], "k string, lo bigint, hi bigint")
+    with _pytest.raises(Exception):
+        merge_intervals(iv, keys=["k"]).collect()
