@@ -1052,6 +1052,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["merge_intervals"] = merge_intervals_q
 
+    def iqr_outliers_q(spark, sf):
+        from ahrd_spark.operators.textstats import iqr_outliers
+
+        ev = spark.read.parquet(f"{sf}/events.parquet").select(
+            "event_id", "event_type", "value"
+        )
+        flagged = iqr_outliers(ev, "value", keys=["event_type"])
+        return flagged.filter(F.col("is_outlier")).select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value_r"),
+            F.round("q1", 6).alias("q1_r"),
+            F.round("q3", 6).alias("q3_r"),
+        )
+
+    q["iqr_outliers"] = iqr_outliers_q
+
     def ann_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -3463,6 +3480,19 @@ b AS (SELECT *, sum(new) OVER (PARTITION BY user_id ORDER BY lo, hi
       FROM s)
 SELECT user_id, min(lo) AS lo, max(hi) AS hi, count(*) AS n_merged
 FROM b GROUP BY user_id, blk
+"""
+
+    # Tukey-fence outlier replay (textstats.py::iqr_outliers)
+    o["iqr_outliers"] = """
+WITH s AS (SELECT event_type,
+                  quantile_cont(value, 0.25) AS q1,
+                  quantile_cont(value, 0.75) AS q3
+           FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, round(e.value, 6) AS value_r,
+       round(s.q1, 6) AS q1_r, round(s.q3, 6) AS q3_r
+FROM events e JOIN s USING (event_type)
+WHERE e.value < s.q1 - 1.5 * (s.q3 - s.q1)
+   OR e.value > s.q3 + 1.5 * (s.q3 - s.q1)
 """
 
     o["ann_ivf_topk"] = f"""

@@ -225,6 +225,39 @@ def corpus_profile(
     )
 
 
+def iqr_outliers(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str] | None = None,
+    k: float = 1.5,
+) -> DataFrame:
+    """Tukey-fence outlier flags per group -> input columns +
+    (q1, q3, is_outlier) with ``is_outlier = value < q1 - k*IQR or
+    value > q3 + k*IQR`` — the standard cheap anomaly gate for corpus
+    curation (freak-length documents, metric spikes per source).
+
+    Exact interpolated quartiles per group (same DuckDB ``quantile_cont``
+    replay and the same scale caveat as ``corpus_profile``: per-group
+    exact percentiles sort on one executor — bounded group keys only; at
+    unbounded scale switch the agg to ``approx_percentile``).  With no
+    ``keys`` the 1-row global quartile frame broadcasts."""
+    keys = keys or []
+    value = F.col(value_col)
+    stats = df.groupBy(*keys).agg(
+        F.percentile(value, F.lit(0.25)).alias("q1"),
+        F.percentile(value, F.lit(0.75)).alias("q3"),
+    )
+    joined = (
+        df.join(stats, keys) if keys else df.crossJoin(F.broadcast(stats))
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return joined.withColumn(
+        "is_outlier",
+        (value < F.col("q1") - F.lit(k) * iqr)
+        | (value > F.col("q3") + F.lit(k) * iqr),
+    )
+
+
 def fingerprint_expr(text: Column) -> Column:
     """Deterministic document fingerprint: md5 over the patternized
     (sorted-unique-token) form — T2 patternize lifted to documents; equal

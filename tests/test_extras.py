@@ -1101,3 +1101,35 @@ def test_merge_intervals_rejects_inverted(spark):
     iv = spark.createDataFrame([("u", 10, 5)], "k string, lo bigint, hi bigint")
     with _pytest.raises(Exception):
         merge_intervals(iv, keys=["k"]).collect()
+
+
+def test_iqr_outliers_fences(spark):
+    from ahrd_spark.operators.textstats import iqr_outliers
+
+    # values 1..11 plus a 100 spike: q1=3.0, q3=9.0 (type-7 over 12 values:
+    # rank .25*11=2.75 -> 3.75? compute below from duckdb-identical math)
+    vals = [float(v) for v in range(1, 12)] + [100.0]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "id int, v double")
+    rows = iqr_outliers(df, "v").collect()
+    got = {r["id"]: r["is_outlier"] for r in rows}
+    assert got[11] is True                       # the spike
+    assert sum(got.values()) == 1                # nothing else flagged
+    [r] = [r for r in rows if r["id"] == 11]
+    # exact type-7 quartiles over 12 sorted values
+    import numpy as np
+    q1, q3 = np.percentile(np.array(vals), [25, 75], method="linear")
+    assert abs(r["q1"] - q1) < 1e-9 and abs(r["q3"] - q3) < 1e-9
+
+
+def test_iqr_outliers_grouped(spark):
+    from ahrd_spark.operators.textstats import iqr_outliers
+
+    rows = [("a", float(v)) for v in range(10)] + [("a", 1000.0)] + [
+        ("b", 1000.0)] * 5
+    df = spark.createDataFrame([(i, g, v) for i, (g, v) in enumerate(rows)],
+                               "id int, g string, v double")
+    flagged = {r["id"] for r in iqr_outliers(df, "v", keys=["g"]).collect()
+               if r["is_outlier"]}
+    # only the spike within group a; group b is constant -> no outliers
+    assert flagged == {10}
