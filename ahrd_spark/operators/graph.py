@@ -373,11 +373,15 @@ def neighbor_jaccard(
     neighbors, and ``max_block_degree`` skips hub middles during
     generation (a neighbor shared by millions of nodes — the stopword
     analog — would wedge-explode; pairs whose ONLY shared neighbors are
-    such hubs are not generated, the documented recall trade).  The
-    verify step then counts the EXACT full intersection for every
-    surviving pair (hub neighbors included), keyed by (pair, neighbor) —
-    so emitted scores are exact regardless of the blocking cap.
-    """
+    such hubs are not generated, the documented recall trade).  Emitted
+    scores are EXACT regardless of the cap: the intersection is counted
+    by middle-degree class — low-degree middles fall straight out of the
+    wedge join (one wedge row per shared middle, so a groupBy count IS
+    the low-side intersection; no second pass over the full adjacency),
+    and the hub remainder comes from one join against the hub-middle
+    slice only (``deg > cap``, by construction a small fraction of the
+    adjacency — this is what keeps verification off the
+    |candidates| x degree full-adjacency join)."""
     adj = edges.select(F.col(src_col).alias("node"), F.col(dst_col).alias("nbr"))
     adj = adj.union(
         adj.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
@@ -390,24 +394,43 @@ def neighbor_jaccard(
             F.col("node").alias("v")
         )
         block = block.join(ok, "v")
-    cand = (
+    # one wedge row per (low-degree shared middle, pair) -> the count is
+    # exactly |{v in N(a) ∩ N(b) : deg(v) <= cap}|
+    low = (
         block.select("v", F.col("x").alias("a"))
         .join(block.select("v", F.col("x").alias("b")), "v")
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
-    # exact verify: |N(a) ∩ N(b)| via (pair, neighbor)-keyed joins
-    shared = (
-        cand.join(adj.select(F.col("node").alias("a"), F.col("nbr").alias("v")), "a")
-        .join(
-            adj.select(F.col("node").alias("b"), F.col("nbr").alias("v")),
-            ["b", "v"],
-        )
         .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .filter(F.col("shared") >= min_shared)
+        .agg(F.count(F.lit(1)).alias("w_low"))
     )
+    if max_block_degree is None:
+        shared = low.select("a", "b", F.col("w_low").alias("shared"))
+    else:
+        hub = deg.filter(F.col("deg") > max_block_degree).select(
+            F.col("node").alias("v")
+        )
+        hub_adj = adj.select(F.col("nbr").alias("v"), F.col("node").alias("x")).join(
+            hub, "v"
+        )
+        high = (
+            low.select("a", "b")
+            .join(
+                hub_adj.select(F.col("x").alias("a"), "v"),
+                "a",
+            )
+            .join(hub_adj.select(F.col("x").alias("b"), "v"), ["b", "v"])
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("w_high"))
+        )
+        shared = (
+            low.join(high, ["a", "b"], "left")
+            .select(
+                "a",
+                "b",
+                (F.col("w_low") + F.coalesce("w_high", F.lit(0))).alias("shared"),
+            )
+        )
+    shared = shared.filter(F.col("shared") >= min_shared)
     return (
         shared.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a")), "a")
         .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b")), "b")
