@@ -1069,6 +1069,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["iqr_outliers"] = iqr_outliers_q
 
+    def kg_negatives_q(spark, sf):
+        from ahrd_spark.operators.graph import kg_negative_samples
+
+        return kg_negative_samples(_kg_triples(spark, sf, 1, 10), buckets=64)
+
+    q["kg_negatives"] = kg_negatives_q
+
     def ann_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -3493,6 +3500,41 @@ SELECT e.event_id, e.event_type, round(e.value, 6) AS value_r,
 FROM events e JOIN s USING (event_type)
 WHERE e.value < s.q1 - 1.5 * (s.q3 - s.q1)
    OR e.value > s.q3 + 1.5 * (s.q3 - s.q1)
+"""
+
+    # filtered tail-corruption negative sampling replay
+    # (graph.py::kg_negative_samples): two-level (bucket, rank) entity
+    # pick from portable md5 hashes, accidental positives anti-joined
+    o["kg_negatives"] = f"""
+WITH t AS ({_kg_cte(None, 1, 10)}),
+ents AS (SELECT subj AS entity FROM t UNION SELECT obj FROM t),
+er AS (SELECT entity,
+              (('0x' || substr(md5(entity), 1, 15))::BIGINT % 64)::INT
+                AS bkt,
+              row_number() OVER (
+                PARTITION BY (('0x' || substr(md5(entity), 1, 15))::BIGINT
+                              % 64)::INT
+                ORDER BY entity ASC) - 1 AS rnk
+       FROM ents),
+sz AS (SELECT bkt, count(*) AS bkt_n FROM er GROUP BY bkt),
+k AS (SELECT subj, pred, obj,
+             concat_ws(chr(31), subj, pred, obj) AS key FROM t),
+p AS (SELECT k.subj, k.pred, k.obj,
+             (('0x' || substr(md5(k.key || ':b:'), 1, 15))::BIGINT
+              % 64)::INT AS bkt,
+             ('0x' || substr(md5(k.key || ':r:'), 1, 15))::BIGINT AS h2
+      FROM k),
+p2 AS (SELECT p.subj, p.pred, p.obj, p.bkt,
+              (p.h2 % sz.bkt_n)::INT AS rnk
+       FROM p JOIN sz USING (bkt)),
+n AS (SELECT p2.subj, p2.pred, p2.obj, er.entity AS obj_neg
+      FROM p2 JOIN er USING (bkt, rnk))
+SELECT n.subj, n.pred, n.obj AS obj_pos, n.obj_neg
+FROM n
+WHERE n.obj_neg <> n.obj
+  AND NOT EXISTS (SELECT 1 FROM t
+                  WHERE t.subj = n.subj AND t.pred = n.pred
+                    AND t.obj = n.obj_neg)
 """
 
     o["ann_ivf_topk"] = f"""

@@ -31,7 +31,7 @@ Scale shape:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -445,6 +445,79 @@ def neighbor_jaccard(
                 / (F.col("deg_a") + F.col("deg_b") - F.col("shared"))
             ).alias("jaccard"),
         )
+    )
+
+
+def kg_negative_samples(
+    triples: DataFrame,
+    salt: str = "",
+    buckets: int = 64,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Filtered negative sampling for KG link-prediction training ->
+    one corrupted triple (subj, pred, obj_neg) per input triple, with
+    accidental TRUE triples removed (the standard TransE-family protocol:
+    corrupt the tail, then filter positives so the loss never pushes a
+    real edge apart).
+
+    Fully deterministic — no randomness: the replacement entity is chosen
+    by the portable 60-bit md5 of (triple, salt), so the same corpus and
+    salt always yield the same negatives and a new salt yields an
+    independent draw (same reproducibility contract as
+    ``weighted_sample``).
+
+    Scale shape — no global index: a global row_number over the entity
+    dictionary would funnel every entity through one reducer, so
+    selection is two-level instead: hash the triple to an entity BUCKET
+    (md5 % buckets), rank entities WITHIN each bucket (per-bucket window,
+    distributed), and pick rank = md5' % bucket_size.  The entity-pick
+    join is keyed by (bucket, rank); bucket-size skew is hash-bounded.
+    Slight non-uniformity across unequal buckets is the documented trade
+    for never materializing a global order.
+    """
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    from ahrd_spark.functions.hashing import md5_prefix60
+
+    t = triples.select(
+        F.col(subj_col).alias("subj"),
+        F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"),
+    )
+    ents = (
+        t.select(F.col("subj").alias("entity"))
+        .union(t.select(F.col("obj").alias("entity")))
+        .distinct()
+    )
+    ents = ents.withColumn(
+        "bkt", (md5_prefix60(F.col("entity")) % buckets).cast("int")
+    )
+    rank_w = Window.partitionBy("bkt").orderBy(F.col("entity").asc())
+    ents = ents.withColumn("rnk", F.row_number().over(rank_w) - 1)
+    sizes = ents.groupBy("bkt").agg(F.count(F.lit(1)).alias("bkt_n"))
+
+    key = F.concat_ws(chr(31), F.col("subj"), F.col("pred"), F.col("obj"))
+    h1 = md5_prefix60(F.concat(key, F.lit(":b:" + salt)))
+    h2 = md5_prefix60(F.concat(key, F.lit(":r:" + salt)))
+    picked = (
+        t.withColumn("bkt", (h1 % buckets).cast("int"))
+        .join(sizes, "bkt")
+        .withColumn("rnk", (h2 % F.col("bkt_n")).cast("int"))
+        .join(ents.select("bkt", "rnk", F.col("entity").alias("obj_neg")),
+              ["bkt", "rnk"])
+        .select("subj", "pred", "obj", "obj_neg")
+    )
+    # filtered protocol: drop corruptions that are real edges or no-ops
+    return (
+        picked.filter(F.col("obj_neg") != F.col("obj"))
+        .join(
+            t.select("subj", "pred", F.col("obj").alias("obj_neg")),
+            ["subj", "pred", "obj_neg"],
+            "left_anti",
+        )
+        .select("subj", "pred", F.col("obj").alias("obj_pos"), "obj_neg")
     )
 
 

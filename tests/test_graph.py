@@ -411,3 +411,38 @@ def test_neighbor_jaccard_hub_blocking_cap(spark):
     }
     assert (2, 5) not in capped and (3, 5) not in capped
     assert capped[(1, 4)] == 2 and capped[(2, 3)] == 2
+
+
+def test_kg_negative_samples_protocol(spark):
+    from ahrd_spark.operators.graph import kg_negative_samples
+
+    triples = spark.createDataFrame(
+        [("p1", "has", "g1"), ("p1", "has", "g2"), ("p2", "has", "g1"),
+         ("p3", "has", "g3")],
+        "subj string, pred string, obj string",
+    )
+    a = kg_negative_samples(triples, buckets=4).collect()
+    b = kg_negative_samples(triples, buckets=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    true_set = {("p1", "has", "g1"), ("p1", "has", "g2"), ("p2", "has", "g1"),
+                ("p3", "has", "g3")}
+    ents = {"p1", "p2", "p3", "g1", "g2", "g3"}
+    for r in a:
+        # corrupted tail is a real entity, differs from the positive, and
+        # never recreates a true edge
+        assert r["obj_neg"] in ents
+        assert r["obj_neg"] != r["obj_pos"]
+        assert (r["subj"], r["pred"], r["obj_neg"]) not in true_set
+    # a different salt draws a different (still valid) set
+    c = kg_negative_samples(triples, buckets=4, salt="x").collect()
+    assert sorted(map(tuple, c)) != sorted(map(tuple, a)) or len(c) != len(a)
+
+
+def test_kg_negative_samples_validates_buckets(spark):
+    import pytest as _pytest
+
+    from ahrd_spark.operators.graph import kg_negative_samples
+
+    t = spark.createDataFrame([("a", "p", "b")], "subj string, pred string, obj string")
+    with _pytest.raises(ValueError):
+        kg_negative_samples(t, buckets=0)
