@@ -446,3 +446,40 @@ def test_kg_negative_samples_validates_buckets(spark):
     t = spark.createDataFrame([("a", "p", "b")], "subj string, pred string, obj string")
     with _pytest.raises(ValueError):
         kg_negative_samples(t, buckets=0)
+
+
+def test_new_iterative_ops_reliable_checkpoint_dir(spark, tmp_path):
+    from ahrd_spark.operators.graph import (
+        label_propagation,
+        personalized_pagerank,
+        shortest_paths,
+    )
+
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src int, dst int"
+    )
+    weighted = edges.withColumn("weight", F.lit(1.0))
+    seeds = spark.createDataFrame([(1,)], "node int")
+
+    base = str(tmp_path / "ckpt")
+    lpa = {r["node"]: r["community"]
+           for r in label_propagation(edges, iters=3,
+                                      checkpoint_dir=base + "/lpa").collect()}
+    ppr = {r["node"]: r["rank"]
+           for r in personalized_pagerank(edges, seeds, iters=2,
+                                          checkpoint_dir=base + "/ppr").collect()}
+    sp = {r["node"]: r["dist"]
+          for r in shortest_paths(weighted, seeds, iters=3,
+                                  checkpoint_dir=base + "/sp").collect()}
+    # same answers as the localCheckpoint path
+    assert lpa == {r["node"]: r["community"]
+                   for r in label_propagation(edges, iters=3).collect()}
+    assert ppr == {r["node"]: r["rank"]
+                   for r in personalized_pagerank(edges, seeds, iters=2).collect()}
+    assert sp == {r["node"]: r["dist"]
+                  for r in shortest_paths(weighted, seeds, iters=3).collect()}
+    # checkpoints actually landed on reliable storage
+    import glob as _glob
+    assert _glob.glob(base + "/*/*")
