@@ -1076,6 +1076,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_negatives"] = kg_negatives_q
 
+    def transitions_q(spark, sf):
+        from ahrd_spark.operators.sequences import transition_matrix
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return transition_matrix(
+            ev, key_cols=["user_id"], order_cols=["ts", "event_id"],
+            state_col="event_type",
+        ).select(
+            "from_state", "to_state", "n", F.round("p", 6).alias("p_r")
+        )
+
+    q["event_transitions"] = transitions_q
+
     def ann_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -3535,6 +3548,22 @@ WHERE n.obj_neg <> n.obj
   AND NOT EXISTS (SELECT 1 FROM t
                   WHERE t.subj = n.subj AND t.pred = n.pred
                     AND t.obj = n.obj_neg)
+"""
+
+    # first-order transition matrix replay
+    # (operators/sequences.py::transition_matrix)
+    o["event_transitions"] = """
+WITH s AS (SELECT user_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts ASC, event_id ASC)
+                    AS from_state
+           FROM events),
+c AS (SELECT from_state, event_type AS to_state, count(*) AS n
+      FROM s WHERE from_state IS NOT NULL
+      GROUP BY from_state, event_type)
+SELECT from_state, to_state, n,
+       round(n / sum(n) OVER (PARTITION BY from_state), 6) AS p_r
+FROM c
 """
 
     o["ann_ivf_topk"] = f"""

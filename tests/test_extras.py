@@ -1133,3 +1133,23 @@ def test_iqr_outliers_grouped(spark):
                if r["is_outlier"]}
     # only the spike within group a; group b is constant -> no outliers
     assert flagged == {10}
+
+
+def test_transition_matrix_counts_and_probs(spark):
+    from ahrd_spark.operators.sequences import transition_matrix
+
+    rows = [
+        ("u", 1, "a"), ("u", 2, "b"), ("u", 3, "a"), ("u", 4, "b"),
+        ("v", 1, "a"), ("v", 2, "c"),
+        ("w", 1, "a"),                       # length-1: contributes nothing
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, state string")
+    got = {
+        (r["from_state"], r["to_state"]): (r["n"], r["p"])
+        for r in transition_matrix(df, ["k"], ["t"], "state").collect()
+    }
+    # from a: a->b twice (u), a->c once (v) => p 2/3, 1/3; from b: b->a once
+    assert got[("a", "b")] == (2, 2 / 3)
+    assert got[("a", "c")] == (1, 1 / 3)
+    assert got[("b", "a")] == (1, 1.0)
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "a")}
