@@ -1089,6 +1089,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["event_transitions"] = transitions_q
 
+    def rolling_q(spark, sf):
+        from ahrd_spark.operators.sequences import rolling_window_features
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        # exact integer microseconds as the window axis (engine-portable)
+        base = ev.select(
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+            "value",
+        )
+        out = rolling_window_features(
+            base,
+            key_cols=["user_id"],
+            ts_col="tus",
+            windows_s=[3_600_000_000, 86_400_000_000],
+            value_col="value",
+        )
+        return out.select(
+            "event_id",
+            "user_id",
+            F.col("cnt_3600000000s").alias("cnt_1h"),
+            F.round("sum_3600000000s", 6).alias("sum_1h_r"),
+            F.col("cnt_86400000000s").alias("cnt_24h"),
+            F.round("sum_86400000000s", 6).alias("sum_24h_r"),
+        )
+
+    q["rolling_features"] = rolling_q
+
     def ann_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -3564,6 +3593,23 @@ c AS (SELECT from_state, event_type AS to_state, count(*) AS n
 SELECT from_state, to_state, n,
        round(n / sum(n) OVER (PARTITION BY from_state), 6) AS p_r
 FROM c
+"""
+
+    # trailing RANGE-window feature replay
+    # (sequences.py::rolling_window_features)
+    o["rolling_features"] = """
+WITH b AS (SELECT event_id, user_id, epoch_us(ts) AS tus, value
+           FROM events)
+SELECT event_id, user_id,
+       count(*) OVER w1 AS cnt_1h,
+       round(sum(value) OVER w1, 6) AS sum_1h_r,
+       count(*) OVER w2 AS cnt_24h,
+       round(sum(value) OVER w2, 6) AS sum_24h_r
+FROM b
+WINDOW w1 AS (PARTITION BY user_id ORDER BY tus
+              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+       w2 AS (PARTITION BY user_id ORDER BY tus
+              RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
 """
 
     o["ann_ivf_topk"] = f"""

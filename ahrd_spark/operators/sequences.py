@@ -50,3 +50,36 @@ def transition_matrix(
         "n",
         (F.col("n") / F.sum("n").over(row_total)).alias("p"),
     )
+
+
+def rolling_window_features(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    windows_s: list[int],
+    value_col: str | None = None,
+) -> DataFrame:
+    """Trailing time-window features per row -> input columns plus, for
+    each window length W (seconds), ``cnt_{W}s`` (events in the last W
+    seconds incl. the current row) and, when ``value_col`` is given,
+    ``sum_{W}s`` — the standard behavioral / rate-limit / burst features
+    for event corpora, computed with RANGE windows so rows at the exact
+    same timestamp are peers (identical semantics in every engine).
+
+    ``ts_col`` must be NUMERIC seconds (cast timestamps with
+    ``unix_micros(...) / 1e6`` upstream — or pass microseconds and scale
+    ``windows_s`` accordingly; the operator treats units opaquely).
+
+    Scale shape: ONE shuffle (the per-key window partition) shared by
+    every window length; per-key ordering is a single sort.  Hot keys are
+    the shared window caveat."""
+    if not windows_s:
+        raise ValueError("windows_s must be non-empty")
+    out = df
+    base = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).asc())
+    for w in windows_s:
+        frame = base.rangeBetween(-w, 0)
+        out = out.withColumn(f"cnt_{w}s", F.count(F.lit(1)).over(frame))
+        if value_col is not None:
+            out = out.withColumn(f"sum_{w}s", F.sum(value_col).over(frame))
+    return out

@@ -1153,3 +1153,24 @@ def test_transition_matrix_counts_and_probs(spark):
     assert got[("a", "c")] == (1, 1 / 3)
     assert got[("b", "a")] == (1, 1.0)
     assert set(got) == {("a", "b"), ("a", "c"), ("b", "a")}
+
+
+def test_rolling_window_features_range_semantics(spark):
+    import pytest as _pytest
+
+    from ahrd_spark.operators.sequences import rolling_window_features
+
+    rows = [("u", 0.0, 1.0), ("u", 50.0, 2.0), ("u", 100.0, 4.0),
+            ("u", 100.0, 8.0), ("v", 0.0, 1.0)]
+    df = spark.createDataFrame(rows, "k string, t double, v double")
+    out = rolling_window_features(df, ["k"], "t", windows_s=[60],
+                                  value_col="v").collect()
+    got = {(r["k"], r["t"], r["v"]): (r["cnt_60s"], r["sum_60s"]) for r in out}
+    assert got[("u", 0.0, 1.0)] == (1, 1.0)
+    assert got[("u", 50.0, 2.0)] == (2, 3.0)       # 0 and 50 in window
+    # RANGE frame: the two t=100 rows are peers -> both see both
+    assert got[("u", 100.0, 4.0)] == (3, 14.0)     # 50, 100, 100
+    assert got[("u", 100.0, 8.0)] == (3, 14.0)
+    assert got[("v", 0.0, 1.0)] == (1, 1.0)
+    with _pytest.raises(ValueError):
+        rolling_window_features(df, ["k"], "t", windows_s=[])
