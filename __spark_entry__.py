@@ -1118,6 +1118,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rolling_features"] = rolling_q
 
+    def funnel_q(spark, sf):
+        from ahrd_spark.operators.events import funnel_counts
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        base = ev.select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        )
+        return funnel_counts(
+            base,
+            "user_id",
+            "tus",
+            "event_type",
+            steps=["view", "click", "purchase"],
+            within=7 * 86_400_000_000,
+        )
+
+    q["event_funnel"] = funnel_q
+
+    def cohort_q(spark, sf):
+        from ahrd_spark.operators.events import cohort_retention
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        base = ev.select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        )
+        return cohort_retention(
+            base,
+            "user_id",
+            "tus",
+            period=604_800_000_000,            # 1 week in micros
+            anchor=1_704_067_200_000_000,      # 2024-01-01 UTC
+        )
+
+    q["cohort_retention"] = cohort_q
+
+    def rollup_q(spark, sf):
+        from ahrd_spark.operators.events import rollup_counts
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        base = ev.select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "value",
+        )
+        return rollup_counts(base, ["event_type", "day"], value_col="value")
+
+    q["events_rollup"] = rollup_q
+
+    def profile_q(spark, sf):
+        from ahrd_spark.operators.profile import table_profile
+
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        return table_profile(li)
+
+    q["table_profile"] = profile_q
+
     def ann_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -3611,6 +3670,85 @@ WINDOW w1 AS (PARTITION BY user_id ORDER BY tus
        w2 AS (PARTITION BY user_id ORDER BY tus
               RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
 """
+
+    # anchored ordered funnel (events.py::funnel_counts)
+    o["event_funnel"] = """
+WITH b AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+s1 AS (SELECT user_id, min(tus) AS t1 FROM b
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT b.user_id, min(tus) AS t2
+       FROM b JOIN s1 USING (user_id)
+       WHERE event_type = 'click'
+         AND tus > t1 AND tus <= t1 + 604800000000
+       GROUP BY b.user_id),
+s3 AS (SELECT b.user_id, min(tus) AS t3
+       FROM b JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+       WHERE event_type = 'purchase'
+         AND tus > t2 AND tus <= t1 + 604800000000
+       GROUP BY b.user_id),
+c AS (SELECT (SELECT count(*) FROM s1) AS c1,
+             (SELECT count(*) FROM s2) AS c2,
+             (SELECT count(*) FROM s3) AS c3)
+SELECT 1 AS step_idx, 'view' AS step, c1 AS keys_cnt,
+       round(c1 / c1, 6) AS conv_r FROM c
+UNION ALL
+SELECT 2, 'click', c2, round(c2 / c1, 6) FROM c
+UNION ALL
+SELECT 3, 'purchase', c3, round(c3 / c1, 6) FROM c
+"""
+
+    # weekly retention triangle (events.py::cohort_retention)
+    o["cohort_retention"] = """
+WITH b AS (SELECT user_id,
+                  (epoch_us(ts) - 1704067200000000) // 604800000000 AS p
+           FROM events),
+f AS (SELECT user_id, min(p) AS cohort_period FROM b GROUP BY user_id)
+SELECT cohort_period, p - cohort_period AS period_offset,
+       count(DISTINCT user_id) AS active_cnt
+FROM b JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+    # ROLLUP grouping-set aggregate (events.py::rollup_counts)
+    o["events_rollup"] = """
+WITH b AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value
+           FROM events)
+SELECT event_type, day,
+       CAST(grouping(event_type) AS INT) AS g_event_type,
+       CAST(grouping(day) AS INT) AS g_day,
+       count(*) AS n, round(sum(value), 6) AS sum_value_r
+FROM b GROUP BY ROLLUP (event_type, day)
+"""
+
+    # per-column census replay (profile.py::table_profile); generated
+    # per column so the oracle stays in lockstep with lineitem's schema
+    _prof_cols = [
+        ("l_orderkey", "num"), ("l_partkey", "num"), ("l_suppkey", "num"),
+        ("l_linenumber", "num"), ("l_quantity", "num"),
+        ("l_extendedprice", "num"), ("l_discount", "num"), ("l_tax", "num"),
+        ("l_returnflag", "str"), ("l_linestatus", "str"),
+        ("l_shipdate", "ts"),
+    ]
+    _prof_parts = []
+    for _pc, _pk in _prof_cols:
+        if _pk == "num":
+            _mn = f"round(CAST(min({_pc}) AS DOUBLE), 6)"
+            _mx = f"round(CAST(max({_pc}) AS DOUBLE), 6)"
+        elif _pk == "ts":
+            _mn = f"round(CAST(epoch_us(min({_pc})) AS DOUBLE), 6)"
+            _mx = f"round(CAST(epoch_us(max({_pc})) AS DOUBLE), 6)"
+        else:
+            _mn = _mx = "CAST(NULL AS DOUBLE)"
+        _ms = f"min({_pc})" if _pk == "str" else "CAST(NULL AS VARCHAR)"
+        _xs = f"max({_pc})" if _pk == "str" else "CAST(NULL AS VARCHAR)"
+        _prof_parts.append(
+            f"SELECT '{_pc}' AS col_name,"
+            f" count(*) - count({_pc}) AS nulls,"
+            f" count(DISTINCT {_pc}) AS n_distinct,"
+            f" {_mn} AS min_num, {_mx} AS max_num,"
+            f" {_ms} AS min_str, {_xs} AS max_str FROM lineitem"
+        )
+    o["table_profile"] = "\nUNION ALL\n".join(_prof_parts)
 
     o["ann_ivf_topk"] = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -1174,3 +1174,84 @@ def test_rolling_window_features_range_semantics(spark):
     assert got[("v", 0.0, 1.0)] == (1, 1.0)
     with _pytest.raises(ValueError):
         rolling_window_features(df, ["k"], "t", windows_s=[])
+
+
+def test_funnel_counts_anchored_window(spark):
+    from ahrd_spark.operators.events import funnel_counts
+
+    rows = [
+        # u1 completes view->click->purchase inside the window
+        ("u1", "view", 0), ("u1", "click", 10), ("u1", "purchase", 20),
+        # u2 clicks BEFORE viewing -> never reaches step 2
+        ("u2", "click", 5), ("u2", "view", 6),
+        # u3 clicks too late (outside the anchor window)
+        ("u3", "view", 0), ("u3", "click", 200),
+        # u4 never enters the funnel
+        ("u4", "purchase", 1),
+    ]
+    df = spark.createDataFrame(rows, "k string, t string, ts long")
+    out = funnel_counts(df, "k", "ts", "t",
+                        steps=["view", "click", "purchase"], within=100)
+    got = {r["step"]: (r["step_idx"], r["keys_cnt"], r["conv_r"])
+           for r in out.collect()}
+    assert got["view"] == (1, 3, 1.0)
+    assert got["click"] == (2, 1, round(1 / 3, 6))
+    assert got["purchase"] == (3, 1, round(1 / 3, 6))
+
+
+def test_funnel_requires_two_steps(spark):
+    import pytest as _pytest
+
+    from ahrd_spark.operators.events import funnel_counts
+
+    df = spark.createDataFrame([("u", "a", 1)], "k string, t string, ts long")
+    with _pytest.raises(ValueError):
+        funnel_counts(df, "k", "ts", "t", steps=["a"])
+
+
+def test_cohort_retention_triangle(spark):
+    from ahrd_spark.operators.events import cohort_retention
+
+    # period = 10; u1 first active period 0, active 0 and 2; u2 period 1
+    rows = [("u1", 3), ("u1", 7), ("u1", 25), ("u2", 12)]
+    df = spark.createDataFrame(rows, "k string, ts long")
+    out = cohort_retention(df, "k", "ts", period=10)
+    got = {(r["cohort_period"], r["period_offset"]): r["active_cnt"]
+           for r in out.collect()}
+    assert got == {(0, 0): 1, (0, 2): 1, (1, 0): 1}
+
+
+def test_rollup_counts_flags_disambiguate_null_keys(spark):
+    from ahrd_spark.operators.events import rollup_counts
+
+    rows = [("a", "x", 1.0), ("a", None, 2.0), ("b", "x", 4.0)]
+    df = spark.createDataFrame(rows, "d1 string, d2 string, v double")
+    out = rollup_counts(df, ["d1", "d2"], value_col="v").collect()
+    got = {(r["d1"], r["d2"], r["g_d1"], r["g_d2"]): (r["n"], r["sum_value_r"])
+           for r in out}
+    # real-NULL d2 cell vs rolled-up d2 cell for d1='a'
+    assert got[("a", None, 0, 0)] == (1, 2.0)
+    assert got[("a", None, 0, 1)] == (2, 3.0)
+    assert got[(None, None, 1, 1)] == (3, 7.0)
+    assert got[("b", "x", 0, 0)] == (1, 4.0)
+
+
+def test_table_profile_census(spark):
+    from ahrd_spark.operators.profile import table_profile
+
+    rows = [(1, 2.5, "b", None), (1, None, "a", None), (3, 0.5, "a", None)]
+    df = spark.createDataFrame(
+        rows, "i bigint, x double, s string, arr array<int>"
+    )
+    prof = {r["col_name"]: r for r in table_profile(df).collect()}
+    assert prof["i"]["nulls"] == 0 and prof["i"]["n_distinct"] == 2
+    assert (prof["i"]["min_num"], prof["i"]["max_num"]) == (1.0, 3.0)
+    assert prof["x"]["nulls"] == 1 and prof["x"]["max_num"] == 2.5
+    assert (prof["s"]["min_str"], prof["s"]["max_str"]) == ("a", "b")
+    assert prof["s"]["min_num"] is None
+    # unsupported-for-minmax type still gets nulls/distinct counts
+    assert prof["arr"]["nulls"] == 3 and prof["arr"]["n_distinct"] == 0
+    # approx path keeps the same shape
+    aprof = {r["col_name"]: r
+             for r in table_profile(df, approx=True).collect()}
+    assert aprof["i"]["n_distinct"] >= 1

@@ -75,11 +75,16 @@ def run(sf_dir: str, only: list[str]):
             msgs.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if ok:
             order = sorted(range(len(scols)), key=lambda i: scols[i].lower())
+            # sort by repr so NULLs mixed with values stay orderable;
+            # equality below still compares the exact tuples
             sset = sorted(
-                tuple(norm(r[scols[i]]) for i in order) for r in srows
+                (tuple(norm(r[scols[i]]) for i in order) for r in srows),
+                key=repr,
             )
             dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
-            dset = sorted(tuple(norm(r[i]) for i in dorder) for r in drows)
+            dset = sorted(
+                (tuple(norm(r[i]) for i in dorder) for r in drows), key=repr
+            )
             if sset != dset:
                 ok = False
                 diff_s = [x for x in sset if x not in set(dset)][:3]
