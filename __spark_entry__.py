@@ -1177,6 +1177,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["table_profile"] = profile_q
 
+    def star_revenue_q(spark, sf):
+        # star-schema rollup: fact lineitem joined through orders to the
+        # customer->nation->region dimension chain.  All four non-fact
+        # sides are far under the AQE broadcast threshold, so the plan is
+        # one fact scan + broadcast hash joins — no explicit hint needed
+        # (the repo invariant bans hints on data-sized frames).
+        li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        orders = spark.read.parquet(f"{sf}/orders.parquet").select(
+            "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+        )
+        cust = spark.read.parquet(f"{sf}/customer.parquet").select(
+            "c_custkey", "c_nationkey"
+        )
+        nation = spark.read.parquet(f"{sf}/nation.parquet").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        region = spark.read.parquet(f"{sf}/region.parquet").select(
+            "r_regionkey", "r_name"
+        )
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(nation, cust.c_nationkey == nation.n_nationkey)
+            .join(region, nation.n_regionkey == region.r_regionkey)
+            .groupBy("r_name", "n_name", "o_year")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                    2,
+                ).alias("revenue_r"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+
+    q["olap_star_revenue"] = star_revenue_q
+
     def ann_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -3749,6 +3787,19 @@ FROM b GROUP BY ROLLUP (event_type, day)
             f" {_ms} AS min_str, {_xs} AS max_str FROM lineitem"
         )
     o["table_profile"] = "\nUNION ALL\n".join(_prof_parts)
+
+    # star-schema revenue rollup (queries()::olap_star_revenue)
+    o["olap_star_revenue"] = """
+SELECT r_name, n_name, year(o_orderdate) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue_r,
+       count(*) AS n
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name, year(o_orderdate)
+"""
 
     o["ann_ivf_topk"] = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
