@@ -1215,6 +1215,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["olap_star_revenue"] = star_revenue_q
 
+    def inverted_index_q(spark, sf):
+        from ahrd_spark.operators.retrieval import inverted_index
+
+        idx = inverted_index(
+            _docs(spark, sf), min_df=2, max_postings=20
+        )
+        # serialize postings: engine-portable scalar for the value hash
+        return idx.select(
+            "term",
+            "df",
+            F.array_join(
+                F.expr("transform(postings, x -> cast(x AS string))"), ","
+            ).alias("postings_csv"),
+        )
+
+    q["inverted_index"] = inverted_index_q
+
+    def kcore_q(spark, sf):
+        from ahrd_spark.operators.graph import kcore_peel
+
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        edges = li.select(
+            F.concat(F.lit("o"), F.col("l_orderkey")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+        )
+        return kcore_peel(edges, k=2, rounds=3)
+
+    q["kcore_peel"] = kcore_q
+
     def ann_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -3787,6 +3816,39 @@ FROM b GROUP BY ROLLUP (event_type, day)
             f" {_ms} AS min_str, {_xs} AS max_str FROM lineitem"
         )
     o["table_profile"] = "\nUNION ALL\n".join(_prof_parts)
+
+    # inverted-index build replay (retrieval.py::inverted_index); the
+    # salted two-phase cap merges to the same global first-20 list
+    o["inverted_index"] = f"""
+WITH p AS (SELECT d.doc_id, u.token
+           FROM (SELECT doc_id, {{tok}} AS toks FROM documents) d,
+                unnest(d.toks) AS u(token))
+SELECT token AS term, CAST(count(*) AS BIGINT) AS df,
+       array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings_csv
+FROM p GROUP BY token HAVING count(*) >= 2
+""".format(tok=SQL_TOKENIZE.format(col="text"))
+
+    # bounded-round k-core peel replay (graph.py::kcore_peel, k=2, 3
+    # rounds), generated round by round to stay in lockstep
+    _kc_parts = [
+        """
+WITH e0 AS (
+  SELECT DISTINCT s, d FROM (
+    SELECT 'o' || l_orderkey AS s, 'p' || l_partkey AS d FROM lineitem
+    UNION ALL
+    SELECT 'p' || l_partkey AS s, 'o' || l_orderkey AS d FROM lineitem)
+  WHERE s <> d)"""
+    ]
+    for _r in range(1, 4):
+        _kc_parts.append(
+            f""",
+n{_r} AS (SELECT s FROM e{_r-1} GROUP BY s HAVING count(*) >= 2),
+e{_r} AS (SELECT e.s, e.d FROM e{_r-1} e
+          JOIN n{_r} a ON e.s = a.s JOIN n{_r} b ON e.d = b.s)"""
+        )
+    o["kcore_peel"] = "".join(_kc_parts) + """
+SELECT s AS node, CAST(count(*) AS BIGINT) AS deg FROM e3 GROUP BY s
+"""
 
     # star-schema revenue rollup (queries()::olap_star_revenue)
     o["olap_star_revenue"] = """

@@ -830,3 +830,56 @@ def triangle_counts(
         .unionAll(tri.select(F.col("b2").alias("node")))
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bounded-round k-core peel over an undirected simple graph ->
+    (node, deg): the nodes surviving ``rounds`` peel iterations (drop
+    every node of degree < k, shrink the edge set, repeat) with their
+    degree in the final shrunken graph.
+
+    The exact k-core is this loop run to fixpoint; a FIXED round count
+    keeps every round an engine-portable relational expression (and in
+    practice a handful of rounds reaches the fixpoint on power-law
+    graphs — callers wanting the exact core iterate until the survivor
+    count stops changing, same convergence recipe as
+    ``connected_components``).  Output degrees are degrees in the
+    round-``rounds`` graph and can drop below ``k`` for nodes whose
+    neighbors died in the final round — peeling one more round would
+    remove them; reporting them is what makes bounded rounds honest.
+
+    Scale shape per round: one degree aggregation plus two
+    survivor-semi-joins, all keyed on node id — the same exchange is
+    reused, and the edge set only ever shrinks.  No per-row Python.
+    """
+    if k < 1 or rounds < 1:
+        raise ValueError("k and rounds must be >= 1")
+    und = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .unionAll(
+            edges.select(
+                F.col(dst_col).alias("s"), F.col(src_col).alias("d")
+            )
+        )
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    for _ in range(rounds):
+        keep = (
+            und.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("s")
+        )
+        und = und.join(keep, "s").join(
+            keep.withColumnRenamed("s", "d"), "d"
+        )
+    return und.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )

@@ -161,3 +161,65 @@ def rrf_fuse(
     if topn is not None:
         out = out.filter(F.col("rrf_rank") <= topn)
     return out
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_postings: int | None = None,
+) -> DataFrame:
+    """Distributed inverted-index build -> (term, df, postings):
+    per-term document frequency and the sorted posting list of document
+    ids, the core artifact behind every lexical retrieval system (the
+    batch analog of what ``bm25_topk`` computes on the fly).
+
+    ``min_df`` drops hapax noise; ``max_postings`` caps each posting
+    array at the first N ids (ascending) — the stopword guard: at corpus
+    scale a term appearing in half the documents would otherwise build a
+    single multi-billion-element array on one reducer.  ``df`` always
+    counts ALL matching documents, so a capped list is detectable as
+    ``df > len(postings)``.
+
+    Scale shape: one explode of per-doc DISTINCT tokens (tokenize_expr
+    dedupes, so the shuffle carries doc-frequency rows, not term
+    frequency).  Uncapped, the build is one term-keyed aggregation and
+    the collect_list is exact but reducer-heavy (a hot term lands on one
+    task).  With ``max_postings`` the build goes two-phase salted: each
+    (term, doc%S) bucket keeps only its N smallest ids, then the S
+    partial lists merge and re-cap — identical output to global
+    sort+slice (the global N smallest are the N smallest of the salted
+    minima), but no reducer ever holds more than S*N ids of a hot term,
+    and ``df`` arrives as a sum of salted partial counts.
+    """
+    from ahrd_spark.functions.text import tokenize_expr
+
+    pairs = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokenize_expr(F.col(text_col))).alias("term"),
+    )
+    if max_postings is None:
+        grouped = pairs.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sort_array(F.collect_list("doc")).alias("postings"),
+        )
+        return grouped.filter(F.col("df") >= min_df)
+    salt_buckets = 16
+    # hash-salt works for any id type; the salt is intermediate-only, so
+    # Spark's non-portable hash() never reaches an oracle-compared value
+    part = pairs.groupBy(
+        "term", F.pmod(F.hash("doc"), F.lit(salt_buckets)).alias("_salt")
+    ).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.slice(
+            F.sort_array(F.collect_list("doc")), 1, max_postings
+        ).alias("p"),
+    )
+    grouped = part.groupBy("term").agg(
+        F.sum("c").alias("df"),
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("p"))), 1, max_postings
+        ).alias("postings"),
+    )
+    return grouped.filter(F.col("df") >= min_df)

@@ -1255,3 +1255,40 @@ def test_table_profile_census(spark):
     aprof = {r["col_name"]: r
              for r in table_profile(df, approx=True).collect()}
     assert aprof["i"]["n_distinct"] >= 1
+
+
+def test_kcore_peel_reaches_core(spark):
+    from ahrd_spark.operators.graph import kcore_peel
+
+    # square a-b-c-d-a (2-core) with pendant e hanging off a, plus an
+    # isolated chain f-g that dies in round 1
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "e"),
+             ("f", "g")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["deg"]
+           for r in kcore_peel(df, k=2, rounds=3).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2, "d": 2}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        kcore_peel(df, k=0, rounds=1)
+
+
+def test_inverted_index_cap_matches_uncapped_prefix(spark):
+    from ahrd_spark.operators.retrieval import inverted_index
+
+    rows = [(i, "alpha beta" if i % 2 == 0 else "alpha gamma")
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    full = {r["term"]: (r["df"], r["postings"])
+            for r in inverted_index(docs).collect()}
+    assert full["alpha"][0] == 40 and full["alpha"][1] == list(range(40))
+    assert full["beta"] == (20, list(range(0, 40, 2)))
+    # salted two-phase cap == global sort+slice prefix, df uncapped
+    capped = {r["term"]: (r["df"], r["postings"])
+              for r in inverted_index(docs, max_postings=7).collect()}
+    assert capped["alpha"] == (40, list(range(7)))
+    assert capped["gamma"] == (20, list(range(1, 15, 2)))
+    # min_df filters terms, not docs
+    few = {r["term"] for r in inverted_index(docs, min_df=21).collect()}
+    assert few == {"alpha"}
