@@ -1244,6 +1244,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kcore_peel"] = kcore_q
 
+    def scd2_q(spark, sf):
+        from ahrd_spark.operators.sequences import scd2_intervals
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        base = ev.select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+            "event_type",
+        )
+        return scd2_intervals(
+            base,
+            key_cols=["user_id"],
+            order_cols=["tus", "event_id"],
+            attr_col="event_type",
+        )
+
+    q["scd2_intervals"] = scd2_q
+
+    def decayed_q(spark, sf):
+        from ahrd_spark.operators.sequences import decayed_sum
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        base = ev.select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+            "value",
+        )
+        out = decayed_sum(
+            base, ["user_id"], "tus", "value",
+            half_life=604_800_000_000.0,       # 1 week in micros
+        )
+        return out.select(
+            "user_id",
+            F.round("decayed_value", 6).alias("decayed_r"),
+            "n",
+            "last_ts",
+        )
+
+    q["decayed_features"] = decayed_q
+
     def ann_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -3848,6 +3889,43 @@ e{_r} AS (SELECT e.s, e.d FROM e{_r-1} e
         )
     o["kcore_peel"] = "".join(_kc_parts) + """
 SELECT s AS node, CAST(count(*) AS BIGINT) AS deg FROM e3 GROUP BY s
+"""
+
+    # SCD2 gaps-and-islands replay (sequences.py::scd2_intervals)
+    o["scd2_intervals"] = """
+WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
+           FROM events),
+c AS (SELECT user_id, tus, event_id, event_type,
+             CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY tus, event_id)
+                       IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM b),
+r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                               ROWS UNBOUNDED PRECEDING) AS run
+      FROM c),
+g AS (SELECT user_id, run, min(event_type) AS attr, min(tus) AS valid_from,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM r GROUP BY user_id, run)
+SELECT user_id, attr, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id
+                              ORDER BY valid_from) AS valid_to,
+       n_events
+FROM g
+"""
+
+    # exponential-decay feature replay (sequences.py::decayed_sum)
+    o["decayed_features"] = """
+WITH b AS (SELECT user_id, epoch_us(ts) AS tus, value FROM events),
+m AS (SELECT user_id, max(tus) AS last_ts FROM b GROUP BY user_id)
+SELECT b.user_id,
+       round(sum(value * pow(CAST(0.5 AS DOUBLE),
+                             (last_ts - tus) / 604800000000.0)), 6)
+         AS decayed_r,
+       CAST(count(*) AS BIGINT) AS n,
+       last_ts
+FROM b JOIN m USING (user_id)
+GROUP BY b.user_id, last_ts
 """
 
     # star-schema revenue rollup (queries()::olap_star_revenue)

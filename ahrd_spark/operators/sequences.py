@@ -83,3 +83,82 @@ def rolling_window_features(
         if value_col is not None:
             out = out.withColumn(f"sum_{w}s", F.sum(value_col).over(frame))
     return out
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    attr_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build -> one row per run of
+    consecutive equal ``attr_col`` values within each key's ordered
+    history: key columns + (attr, valid_from, valid_to, n_events).
+    ``valid_from`` is the run's first order-key value, ``valid_to`` the
+    NEXT run's start (NULL for the key's current run) — the half-open
+    validity interval a temporal KG stores per fact.
+
+    Classic gaps-and-islands: a change flag (null-safe lag comparison)
+    cumulated into a run id, one aggregate per run, one lead() for the
+    closing bound.  Scale shape: a single per-key shuffle reused by both
+    windows and the aggregation; run count, not event count, sizes the
+    output.  ``order_cols`` must be a total order per key (append a
+    unique tiebreaker) or run boundaries at ties are undefined.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    chg = (
+        ~F.lag(F.col(attr_col)).over(w).eqNullSafe(F.col(attr_col))
+    ).cast("int")
+    runs = df.withColumn(
+        "_run",
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    first_order = order_cols[0]
+    grouped = runs.groupBy(*key_cols, F.col("_run")).agg(
+        F.first(attr_col).alias("attr"),
+        F.min(first_order).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(F.col("valid_from").asc())
+    return grouped.select(
+        *key_cols,
+        "attr",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+    )
+
+
+def decayed_sum(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    half_life: float,
+) -> DataFrame:
+    """Recency-weighted per-key feature -> key columns +
+    (decayed_value, n, last_ts): ``sum(value * 0.5^((last_ts - ts) /
+    half_life))`` where ``last_ts`` is the key's latest event — the
+    standard exponential-decay engagement/trust score (an event one
+    half-life before the key's last activity counts half).
+
+    ``ts_col`` and ``half_life`` share units (opaque to the operator).
+    Scale shape: one per-key shuffle; the max-ts window and the
+    aggregation reuse the same partitioning, and the weighted sum is a
+    plain codegen expression (no per-row Python).
+    """
+    w = Window.partitionBy(*key_cols)
+    weighted = df.withColumn("_last", F.max(ts_col).over(w)).withColumn(
+        "_w",
+        F.pow(
+            F.lit(0.5),
+            (F.col("_last") - F.col(ts_col)) / F.lit(float(half_life)),
+        ),
+    )
+    return weighted.groupBy(*key_cols).agg(
+        F.sum(F.col(value_col) * F.col("_w")).alias("decayed_value"),
+        F.count(F.lit(1)).alias("n"),
+        F.max(ts_col).alias("last_ts"),
+    )

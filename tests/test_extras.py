@@ -1292,3 +1292,31 @@ def test_inverted_index_cap_matches_uncapped_prefix(spark):
     # min_df filters terms, not docs
     few = {r["term"] for r in inverted_index(docs, min_df=21).collect()}
     assert few == {"alpha"}
+
+
+def test_scd2_intervals_runs_and_bounds(spark):
+    from ahrd_spark.operators.sequences import scd2_intervals
+
+    rows = [("u", 0, 1, "a"), ("u", 10, 2, "a"), ("u", 20, 3, "b"),
+            ("u", 30, 4, "a"), ("v", 5, 5, None), ("v", 6, 6, None)]
+    df = spark.createDataFrame(rows, "k string, t long, eid long, a string")
+    out = scd2_intervals(df, ["k"], ["t", "eid"], "a").collect()
+    got = {(r["k"], r["valid_from"]): (r["attr"], r["valid_to"],
+                                       r["n_events"]) for r in out}
+    assert got[("u", 0)] == ("a", 20, 2)     # run of two 'a's, closed by b
+    assert got[("u", 20)] == ("b", 30, 1)
+    assert got[("u", 30)] == ("a", None, 1)  # current run stays open
+    # null attrs form a single run (null-safe change detection)
+    assert got[("v", 5)] == (None, None, 2)
+    assert len(got) == 4
+
+
+def test_decayed_sum_half_life(spark):
+    from ahrd_spark.operators.sequences import decayed_sum
+
+    # last event at t=20: weights 0.5^(20/10)=0.25, 0.5^1=0.5, 1.0
+    rows = [("u", 0, 4.0), ("u", 10, 2.0), ("u", 20, 3.0)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    r = decayed_sum(df, ["k"], "t", "v", half_life=10.0).collect()[0]
+    assert r["n"] == 3 and r["last_ts"] == 20
+    assert abs(r["decayed_value"] - (4.0 * 0.25 + 2.0 * 0.5 + 3.0)) < 1e-12
