@@ -64,3 +64,20 @@ def test_compact_parquet_hits_file_target(spark, tmp_path):
     n_big = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
     assert n_big == 1
     assert spark.read.parquet(dst).count() == 4000
+
+
+def test_sqlsh_registers_views_and_runs(spark):
+    from ahrd_spark.sqlsh import register_views, run_sql
+
+    names = register_views(spark, "/root/testdata/sf0.001")
+    assert {"lineitem", "documents", "events"} <= set(names)
+    df = run_sql(
+        spark,
+        "/root/testdata/sf0.001",
+        "SELECT l_returnflag, count(*) AS n FROM lineitem "
+        "GROUP BY l_returnflag",
+    )
+    rows = {r["l_returnflag"]: r["n"] for r in df.collect()}
+    assert sum(rows.values()) == spark.read.parquet(
+        "/root/testdata/sf0.001/lineitem.parquet"
+    ).count()
