@@ -1285,6 +1285,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["decayed_features"] = decayed_q
 
+    def ref_integrity_q(spark, sf):
+        from ahrd_spark.operators.profile import ref_integrity
+
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf}/orders.parquet")
+        return ref_integrity(li, orders, "l_orderkey", "o_orderkey")
+
+    q["ref_integrity"] = ref_integrity_q
+
+    def copurchase_q(spark, sf):
+        from ahrd_spark.operators.graph import cooccurrence_projection
+
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        return cooccurrence_projection(
+            li, "l_orderkey", "l_partkey", min_count=2
+        )
+
+    q["copurchase_edges"] = copurchase_q
+
+    def session_paths_q(spark, sf):
+        from ahrd_spark.operators.sequences import session_paths
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        base = ev.select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+            "event_type",
+        )
+        return session_paths(
+            base,
+            key_cols=["user_id"],
+            order_cols=["tus", "event_id"],
+            state_col="event_type",
+            gap=1_800_000_000,                # 30 min in micros
+            min_count=2,
+        )
+
+    q["session_paths"] = session_paths_q
+
     def ann_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -3926,6 +3966,53 @@ SELECT b.user_id,
        last_ts
 FROM b JOIN m USING (user_id)
 GROUP BY b.user_id, last_ts
+"""
+
+    # referential-integrity census replay (profile.py::ref_integrity)
+    o["ref_integrity"] = """
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS child_rows,
+  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+    WHERE l.l_orderkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)) AS orphan_rows,
+  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+    WHERE l_orderkey IS NULL) AS null_fk_rows,
+  (SELECT CAST(count(*) AS BIGINT) FROM orders) AS parent_rows,
+  (SELECT CAST(count(*) AS BIGINT) FROM
+     (SELECT o_orderkey FROM orders GROUP BY o_orderkey
+      HAVING count(*) > 1)) AS dup_pk_values,
+  (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM
+     (SELECT count(*) AS c FROM orders GROUP BY o_orderkey
+      HAVING count(*) > 1)) AS dup_pk_rows
+"""
+
+    # bipartite co-occurrence projection replay
+    # (graph.py::cooccurrence_projection)
+    o["copurchase_edges"] = """
+WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem)
+SELECT a.i AS item_a, b.i AS item_b, CAST(count(*) AS BIGINT) AS n
+FROM m a JOIN m b ON a.g = b.g AND a.i < b.i
+GROUP BY a.i, b.i HAVING count(*) >= 2
+"""
+
+    # session path mining replay (sequences.py::session_paths)
+    o["session_paths"] = """
+WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
+           FROM events),
+c AS (SELECT *, CASE WHEN tus - lag(tus)
+                          OVER (PARTITION BY user_id
+                                ORDER BY tus, event_id) > 1800000000
+                     THEN 1 ELSE 0 END AS brk
+      FROM b),
+s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM c),
+p AS (SELECT user_id, sess,
+             string_agg(event_type, '>' ORDER BY tus, event_id) AS path
+      FROM s GROUP BY user_id, sess)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM p GROUP BY path HAVING count(*) >= 2
 """
 
     # star-schema revenue rollup (queries()::olap_star_revenue)

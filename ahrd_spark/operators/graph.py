@@ -883,3 +883,44 @@ def kcore_peel(
     return und.groupBy(F.col("s").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
+
+
+def cooccurrence_projection(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_count: int = 1,
+    max_group_size: int | None = None,
+) -> DataFrame:
+    """Project a (group, item) bipartite relation onto weighted
+    item-item edges -> (item_a, item_b, n) with ``item_a < item_b`` and
+    ``n`` = number of groups containing both — co-purchase graphs from
+    baskets, co-citation from papers, entity co-mention from documents.
+
+    ``max_group_size`` is the hub guard: a group holding m items emits
+    m*(m-1)/2 pairs, so one viral basket/document can dwarf the rest of
+    the join; groups above the cap are dropped ENTIRELY (count-loss
+    documented, same blocking trade as ``neighbor_jaccard``).
+
+    Scale shape: dedupe to distinct memberships, one group-keyed
+    self-join bounded by the cap, then a pair-keyed count with map-side
+    partials.  AQE's skew split handles residual hot groups under the
+    cap.
+    """
+    m = df.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("i")
+    ).distinct()
+    if max_group_size is not None:
+        sizes = m.groupBy("g").agg(F.count(F.lit(1)).alias("sz"))
+        m = m.join(
+            sizes.filter(F.col("sz") <= max_group_size).select("g"), "g"
+        )
+    a = m.select("g", F.col("i").alias("item_a"))
+    b = m.select("g", F.col("i").alias("item_b"))
+    return (
+        a.join(b, "g")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )

@@ -79,4 +79,52 @@ def table_profile(df: DataFrame, approx: bool = False) -> DataFrame:
     return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
 
 
-__all__ = ["table_profile"]
+def ref_integrity(
+    child: DataFrame,
+    parent: DataFrame,
+    fk_col: str,
+    pk_col: str,
+) -> DataFrame:
+    """Cross-table census: one row of referential-integrity metrics for
+    a child->parent relationship — (child_rows, orphan_rows,
+    null_fk_rows, parent_rows, dup_pk_values, dup_pk_rows).
+
+    ``orphan_rows`` counts child rows whose non-NULL foreign key misses
+    every parent primary key (NULL fks are reported separately — SQL
+    join semantics would silently orphan them); ``dup_pk_*`` report
+    primary-key uniqueness violations on the parent.  Together with
+    ``table_profile`` this is the pre-admission contract check a
+    pipeline runs before trusting a delivered table pair.
+
+    Scale shape: one anti-join on the key (AQE broadcasts a small
+    parent) plus one pk-keyed count; the metric assembly cross-joins
+    three SINGLE-ROW aggregates — a no-op at any scale.
+    """
+    fk = F.col(fk_col)
+    child_stats = child.agg(
+        F.count(F.lit(1)).alias("child_rows"),
+        F.sum(fk.isNull().cast("bigint")).alias("null_fk_rows"),
+    )
+    orphans = (
+        child.filter(fk.isNotNull())
+        .join(parent, fk == F.col(pk_col), "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_rows"))
+    )
+    pk_counts = parent.groupBy(pk_col).agg(F.count(F.lit(1)).alias("c"))
+    parent_stats = pk_counts.agg(
+        F.sum("c").alias("parent_rows"),
+        F.sum((F.col("c") > 1).cast("bigint")).alias("dup_pk_values"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+        .alias("dup_pk_rows"),
+    )
+    return (
+        child_stats.crossJoin(orphans)
+        .crossJoin(parent_stats)
+        .select(
+            "child_rows", "orphan_rows", "null_fk_rows",
+            "parent_rows", "dup_pk_values", "dup_pk_rows",
+        )
+    )
+
+
+__all__ = ["table_profile", "ref_integrity"]

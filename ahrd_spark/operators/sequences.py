@@ -162,3 +162,59 @@ def decayed_sum(
         F.count(F.lit(1)).alias("n"),
         F.max(ts_col).alias("last_ts"),
     )
+
+
+def session_paths(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    state_col: str,
+    gap: int,
+    min_count: int = 1,
+) -> DataFrame:
+    """Mine session paths -> (path, n_sessions): split each key's
+    ordered event stream into sessions at inactivity gaps > ``gap``
+    (units of ``order_cols[0]``, exact integers recommended), serialize
+    each session's state sequence as a '>'-joined path string, and count
+    sessions per distinct path — the navigation/behavior summary whose
+    degenerate distribution (one path dominating) flags scripted
+    traffic.
+
+    Scale shape: one per-key shuffle shared by the gap window and the
+    session aggregation (session id = cumulative sum of gap breaks),
+    then a path-keyed count.  Path length is bounded by session length;
+    pathological never-idle keys are the caller's watermark problem.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    t = F.col(order_cols[0])
+    brk = (
+        F.when(t - F.lag(t).over(w) > F.lit(gap), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    sess = df.withColumn(
+        "_sess",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ordered = sess.groupBy(*key_cols, F.col("_sess")).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            *[F.col(c) for c in order_cols],
+                            F.col(state_col).alias("s"),
+                        )
+                    )
+                ),
+                lambda x: x["s"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        ordered.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .filter(F.col("n_sessions") >= min_count)
+    )

@@ -1320,3 +1320,53 @@ def test_decayed_sum_half_life(spark):
     r = decayed_sum(df, ["k"], "t", "v", half_life=10.0).collect()[0]
     assert r["n"] == 3 and r["last_ts"] == 20
     assert abs(r["decayed_value"] - (4.0 * 0.25 + 2.0 * 0.5 + 3.0)) < 1e-12
+
+
+def test_ref_integrity_metrics(spark):
+    from ahrd_spark.operators.profile import ref_integrity
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (9,), (None,)], "fk bigint"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (2,)], "pk bigint")
+    r = ref_integrity(child, parent, "fk", "pk").collect()[0]
+    assert r["child_rows"] == 5
+    assert r["orphan_rows"] == 1          # fk=9; NULL fk not an orphan
+    assert r["null_fk_rows"] == 1
+    assert r["parent_rows"] == 3
+    assert r["dup_pk_values"] == 1 and r["dup_pk_rows"] == 2
+
+
+def test_cooccurrence_projection_counts_and_cap(spark):
+    from ahrd_spark.operators.graph import cooccurrence_projection
+
+    rows = [("g1", "a"), ("g1", "b"), ("g1", "b"),   # dup membership
+            ("g2", "a"), ("g2", "b"), ("g2", "c"),
+            ("g3", "a"), ("g3", "b")]
+    df = spark.createDataFrame(rows, "g string, i string")
+    got = {(r["item_a"], r["item_b"]): r["n"]
+           for r in cooccurrence_projection(df, "g", "i").collect()}
+    assert got[("a", "b")] == 3
+    assert got[("a", "c")] == 1 and got[("b", "c")] == 1
+    # hub cap drops g2 (3 items) entirely
+    capped = {(r["item_a"], r["item_b"]): r["n"]
+              for r in cooccurrence_projection(
+                  df, "g", "i", max_group_size=2).collect()}
+    assert capped == {("a", "b"): 2}
+
+
+def test_session_paths_gap_split(spark):
+    from ahrd_spark.operators.sequences import session_paths
+
+    rows = [("u", 0, 1, "v"), ("u", 10, 2, "c"),      # session 1: v>c
+            ("u", 1000, 3, "v"), ("u", 1010, 4, "c"),  # session 2: v>c
+            ("u", 5000, 5, "p"),                       # session 3: p
+            ("w", 0, 6, "v"), ("w", 5, 7, "c")]        # w: v>c
+    df = spark.createDataFrame(rows, "k string, t long, eid long, s string")
+    got = {r["path"]: r["n_sessions"]
+           for r in session_paths(df, ["k"], ["t", "eid"], "s",
+                                  gap=100).collect()}
+    assert got == {"v>c": 3, "p": 1}
+    only_repeated = {r["path"] for r in session_paths(
+        df, ["k"], ["t", "eid"], "s", gap=100, min_count=2).collect()}
+    assert only_repeated == {"v>c"}
