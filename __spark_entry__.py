@@ -1325,6 +1325,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["session_paths"] = session_paths_q
 
+    def interval_join_q(spark, sf):
+        from ahrd_spark.operators.rangejoin import interval_join
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        a = ev.filter(
+            (F.col("event_type") == "view") & (F.col("event_id") % 20 == 0)
+        ).select(
+            F.col("event_id").alias("id_a"),
+            F.col("value").alias("lo_a"),
+            (F.col("value") + 8.0).alias("hi_a"),
+        )
+        b = ev.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("id_b"),
+            F.col("value").alias("lo_b"),
+            (F.col("value") + 5.0).alias("hi_b"),
+        )
+        return interval_join(a, b, bin_width=4.0).select(
+            "id_a",
+            "id_b",
+            F.round("lo_a", 6).alias("lo_a_r"),
+            F.round("lo_b", 6).alias("lo_b_r"),
+        )
+
+    q["interval_join"] = interval_join_q
+
+    def novelty_q(spark, sf):
+        from ahrd_spark.operators.sequences import novelty_curve
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        base = ev.select(
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+            "event_type",
+        )
+        out = novelty_curve(
+            base,
+            key_cols=["user_id"],
+            order_cols=["tus", "event_id"],
+            state_col="event_type",
+        )
+        return out.select(
+            "event_id", "user_id", "is_new", "distinct_so_far"
+        )
+
+    q["novelty_curve"] = novelty_q
+
     def ann_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -4013,6 +4060,33 @@ p AS (SELECT user_id, sess,
       FROM s GROUP BY user_id, sess)
 SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
 FROM p GROUP BY path HAVING count(*) >= 2
+"""
+
+    # interval-overlap join replay (rangejoin.py::interval_join); the
+    # oracle uses the plain overlap predicate — same pairs, no bins
+    o["interval_join"] = """
+WITH a AS (SELECT event_id AS id_a, value AS lo_a, value + 8.0 AS hi_a
+           FROM events WHERE event_type = 'view' AND event_id % 20 = 0),
+b AS (SELECT event_id AS id_b, value AS lo_b, value + 5.0 AS hi_b
+      FROM events WHERE event_type = 'click')
+SELECT id_a, id_b, round(lo_a, 6) AS lo_a_r, round(lo_b, 6) AS lo_b_r
+FROM a JOIN b ON lo_a <= hi_b AND lo_b <= hi_a
+"""
+
+    # novelty / vocabulary-growth replay (sequences.py::novelty_curve)
+    o["novelty_curve"] = """
+WITH b AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type
+           FROM events),
+f AS (SELECT event_id, user_id, tus,
+             CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY tus, event_id) = 1
+                  THEN 1 ELSE 0 END AS is_new
+      FROM b)
+SELECT event_id, user_id, CAST(is_new AS INT) AS is_new,
+       CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS distinct_so_far
+FROM f
 """
 
     # star-schema revenue rollup (queries()::olap_star_revenue)

@@ -218,3 +218,40 @@ def session_paths(
         .agg(F.count(F.lit(1)).alias("n_sessions"))
         .filter(F.col("n_sessions") >= min_count)
     )
+
+
+def novelty_curve(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    state_col: str,
+) -> DataFrame:
+    """Per-event novelty counter -> input columns plus ``is_new`` (1 on
+    the key's first occurrence of its state) and ``distinct_so_far``
+    (running distinct-state count) — the vocabulary-growth curve.  A
+    crawler feed whose curve goes flat is re-crawling what it already
+    has; a user whose curve never flattens is exploring (or synthetic).
+
+    Exact streaming-free formulation: first occurrences are
+    ``row_number() == 1`` over (key, state) ordered by ``order_cols``,
+    and the running count is the cumulative sum of that flag over the
+    key's timeline.  Scale shape: two window shuffles with DIFFERENT
+    keys — (key, state) then (key) — which is the honest minimum: any
+    single-shuffle plan would need per-task distinct state (the
+    stateful-streaming formulation).  State cardinality never
+    materializes; only a 0/1 flag rides the second shuffle.
+    """
+    order = [F.col(c).asc() for c in order_cols]
+    w_first = Window.partitionBy(*key_cols, state_col).orderBy(*order)
+    w_cum = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = df.withColumn(
+        "is_new",
+        (F.row_number().over(w_first) == 1).cast("int"),
+    )
+    return flagged.withColumn(
+        "distinct_so_far", F.sum("is_new").over(w_cum).cast("bigint")
+    )

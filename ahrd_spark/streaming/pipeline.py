@@ -399,3 +399,47 @@ def stream_dedup_exact(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_click_attribution(
+    clicks: DataFrame,
+    views: DataFrame,
+    within: str = "10 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: attribute each click to every view by
+    the same user in the preceding ``within`` -> (click_id, view_id,
+    user_id, c_ts, v_ts).
+
+    Both inputs carry (user_id, ts, event_id).  On streaming inputs each
+    side gets a watermark and the join carries an explicit event-time
+    bound — the two ingredients Structured Streaming needs to know when
+    buffered state can be dropped: a view older than
+    ``watermark + within`` can never match a future click, so the state
+    store stays bounded regardless of stream length.  On batch inputs
+    the same plan is an ordinary interval-condition join, which is how
+    the test oracles it.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").cast("timestamp").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").cast("timestamp").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    if c.isStreaming:
+        c = c.withWatermark("c_ts", watermark)
+    if v.isStreaming:
+        v = v.withWatermark("v_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return c.join(v, cond).select(
+        "click_id", "view_id", F.col("c_user").alias("user_id"),
+        "c_ts", "v_ts",
+    )

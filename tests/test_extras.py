@@ -1370,3 +1370,90 @@ def test_session_paths_gap_split(spark):
     only_repeated = {r["path"] for r in session_paths(
         df, ["k"], ["t", "eid"], "s", gap=100, min_count=2).collect()}
     assert only_repeated == {"v>c"}
+
+
+def test_interval_join_matches_naive_overlap(spark):
+    from ahrd_spark.operators.rangejoin import interval_join
+
+    a = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 5.0, 6.0), (3, 100.0, 101.0)],
+        "id_a bigint, lo_a double, hi_a double",
+    )
+    b = spark.createDataFrame(
+        [(10, 9.0, 12.0), (11, 5.5, 5.6), (12, 50.0, 60.0)],
+        "id_b bigint, lo_b double, hi_b double",
+    )
+    got = {(r["id_a"], r["id_b"])
+           for r in interval_join(a, b, bin_width=2.0).collect()}
+    naive = {
+        (ra["id_a"], rb["id_b"])
+        for ra in a.collect() for rb in b.collect()
+        if ra["lo_a"] <= rb["hi_b"] and rb["lo_b"] <= ra["hi_a"]
+    }
+    assert got == naive == {(1, 10), (1, 11), (2, 11)}
+    # long overlapping intervals meet in many bins but emit ONE pair
+    long_a = spark.createDataFrame([(1, 0.0, 100.0)],
+                                   "id_a bigint, lo_a double, hi_a double")
+    long_b = spark.createDataFrame([(2, 1.0, 99.0)],
+                                   "id_b bigint, lo_b double, hi_b double")
+    assert interval_join(long_a, long_b, bin_width=1.0).count() == 1
+
+
+def test_stream_click_attribution_matches_batch(spark, tmp_path):
+    from ahrd_spark.streaming.pipeline import stream_click_attribution
+
+    clicks_rows = [
+        (1, "2024-01-01 00:05:00", 101),   # 5 min after view 201 -> match
+        (1, "2024-01-01 02:00:00", 102),   # too late for any view
+        (2, "2024-01-01 00:01:00", 103),   # matches view 202
+    ]
+    views_rows = [
+        (1, "2024-01-01 00:00:00", 201),
+        (2, "2024-01-01 00:00:30", 202),
+        (3, "2024-01-01 00:00:00", 203),   # user with no clicks
+    ]
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "user_id bigint, ts string, event_id bigint"
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    clicks_df, views_df = mk(clicks_rows), mk(views_rows)
+    batch = {(r["click_id"], r["view_id"])
+             for r in stream_click_attribution(clicks_df, views_df).collect()}
+    assert batch == {(101, 201), (103, 202)}
+
+    c_src, v_src = str(tmp_path / "c"), str(tmp_path / "v")
+    sink, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    clicks_df.write.parquet(c_src)
+    views_df.write.parquet(v_src)
+    cs = spark.readStream.schema(clicks_df.schema).parquet(c_src)
+    vs = spark.readStream.schema(views_df.schema).parquet(v_src)
+    joined = stream_click_attribution(cs, vs)
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600), "stream did not finish in 600s"
+    streamed = {(r["click_id"], r["view_id"])
+                for r in spark.read.parquet(sink).collect()}
+    assert streamed == batch
+
+
+def test_novelty_curve_counts_first_occurrences(spark):
+    from ahrd_spark.operators.sequences import novelty_curve
+
+    rows = [("u", 0, 1, "a"), ("u", 1, 2, "b"), ("u", 2, 3, "a"),
+            ("u", 3, 4, "c"), ("v", 0, 5, "a")]
+    df = spark.createDataFrame(rows, "k string, t long, eid long, s string")
+    out = novelty_curve(df, ["k"], ["t", "eid"], "s").collect()
+    got = {r["eid"]: (r["is_new"], r["distinct_so_far"]) for r in out}
+    assert got[1] == (1, 1)
+    assert got[2] == (1, 2)
+    assert got[3] == (0, 2)   # repeat of 'a'
+    assert got[4] == (1, 3)
+    assert got[5] == (1, 1)   # keys independent
