@@ -1372,6 +1372,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["novelty_curve"] = novelty_q
 
+    def pivot_counts_q(spark, sf):
+        from ahrd_spark.operators.events import pivot_counts
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return pivot_counts(
+            ev, ["user_id"], "event_type",
+            values=["click", "error", "purchase", "signup", "view"],
+        )
+
+    q["pivot_counts"] = pivot_counts_q
+
+    def group_quantiles_q(spark, sf):
+        from ahrd_spark.operators.profile import group_quantiles
+
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        out = group_quantiles(
+            li, ["l_returnflag"], "l_extendedprice", qs=[0.5, 0.9]
+        )
+        return out.select(
+            "l_returnflag", "q", F.round("quantile", 6).alias("quantile_r")
+        )
+
+    q["group_quantiles"] = group_quantiles_q
+
+    def rolling_zscore_q(spark, sf):
+        from ahrd_spark.operators.sequences import rolling_zscore
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        base = ev.select(
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+            "value",
+        )
+        out = rolling_zscore(
+            base, ["user_id"], "tus", "value", window=3_600_000_000
+        )
+        return out.select(
+            "event_id", "user_id", F.round("z", 6).alias("z_r")
+        )
+
+    q["rolling_zscore"] = rolling_zscore_q
+
+    def key_trend_q(spark, sf):
+        from ahrd_spark.operators.sequences import key_trend
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        base = ev.select(
+            "user_id",
+            # epoch-days from the dataset anchor: well-conditioned x
+            (
+                (
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.lit(1_704_067_200_000_000)
+                )
+                / F.lit(86_400_000_000.0)
+            ).alias("x_days"),
+            "value",
+        )
+        out = key_trend(base, ["user_id"], "x_days", "value")
+        return out.select(
+            "user_id",
+            F.round("slope", 6).alias("slope_r"),
+            F.round("intercept", 6).alias("intercept_r"),
+            "n",
+        )
+
+    q["key_trend"] = key_trend_q
+
     def ann_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -4087,6 +4156,62 @@ SELECT event_id, user_id, CAST(is_new AS INT) AS is_new,
                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
          AS distinct_so_far
 FROM f
+"""
+
+    # one-hot pivot counts replay (events.py::pivot_counts)
+    o["pivot_counts"] = """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_view
+FROM events GROUP BY user_id
+"""
+
+    # interpolated per-group quantiles replay (profile.py::group_quantiles)
+    o["group_quantiles"] = """
+SELECT l_returnflag, CAST(0.5 AS DOUBLE) AS q,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS quantile_r
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT l_returnflag, CAST(0.9 AS DOUBLE) AS q,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS quantile_r
+FROM lineitem GROUP BY l_returnflag
+"""
+
+    # trailing z-score replay (sequences.py::rolling_zscore); division
+    # guarded identically on both sides (no engine-specific x/0)
+    o["rolling_zscore"] = """
+WITH b AS (SELECT event_id, user_id, epoch_us(ts) AS tus, value
+           FROM events)
+SELECT event_id, user_id,
+       CASE WHEN stddev_samp(value) OVER w > 0
+            THEN round((value - avg(value) OVER w)
+                       / (stddev_samp(value) OVER w), 6)
+       END AS z_r
+FROM b
+WINDOW w AS (PARTITION BY user_id ORDER BY tus
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+    # per-key OLS trend replay (sequences.py::key_trend)
+    o["key_trend"] = """
+WITH b AS (SELECT user_id,
+                  (epoch_us(ts) - 1704067200000000) / 86400000000.0
+                    AS x_days,
+                  value
+           FROM events)
+SELECT user_id,
+       round(regr_slope(value, x_days), 6) AS slope_r,
+       round(regr_intercept(value, x_days), 6) AS intercept_r,
+       CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY user_id
 """
 
     # star-schema revenue rollup (queries()::olap_star_revenue)

@@ -143,9 +143,34 @@ def rollup_counts(
     )
 
 
+def pivot_counts(
+    df: DataFrame,
+    key_cols: list[str],
+    pivot_col: str,
+    values: list[str],
+) -> DataFrame:
+    """Wide per-key feature row -> key columns plus one ``n_<value>``
+    count column per pivot value (0 when absent) — the one-hot count
+    vector fed to downstream classifiers/profilers.
+
+    ``values`` is REQUIRED: passing the pivot domain explicitly keeps
+    the plan a single aggregation (Spark otherwise runs an extra
+    distinct job to discover columns) and pins the output schema, which
+    at corpus scale is the difference between a plannable query and a
+    schema that drifts with the data.  Conditional-count formulation, so
+    partial aggregation happens map-side like any other count.
+    """
+    aggs = [
+        F.sum((F.col(pivot_col) == v).cast("bigint")).alias(f"n_{v}")
+        for v in values
+    ]
+    return df.groupBy(*key_cols).agg(*aggs)
+
+
 __all__ = [
     "funnel_reach",
     "funnel_counts",
     "cohort_retention",
     "rollup_counts",
+    "pivot_counts",
 ]

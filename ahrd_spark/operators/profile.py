@@ -128,3 +128,34 @@ def ref_integrity(
 
 
 __all__ = ["table_profile", "ref_integrity"]
+
+
+def group_quantiles(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    qs: list[float],
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group quantiles -> one row per (group, q): key columns +
+    (q, quantile) using linear interpolation (SQL ``percentile_cont``
+    semantics, engine-portable).
+
+    ``approx=False`` is exact: Spark's ``percentile`` buffers each
+    group's values on its reducer — right for bounded groups (segments,
+    languages, shards), wrong for billion-row groups.  ``approx=True``
+    switches to ``approx_percentile`` (t-digest-style sketch, bounded
+    memory, map-side mergeable) — the 100 TB path, at the price of
+    engine-specific results the oracle can't replay.
+    """
+    fn = F.approx_percentile if approx else F.percentile
+    arr = fn(F.col(value_col), F.array(*[F.lit(q) for q in qs]))
+    wide = df.groupBy(*key_cols).agg(arr.alias("_qv"))
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(q).cast("double") for q in qs]).alias("q"),
+        F.col("_qv").alias("quantile"),
+    )
+    return wide.select(
+        *key_cols, F.explode(pairs).alias("p")
+    ).select(*key_cols, F.col("p.q").alias("q"),
+             F.col("p.quantile").alias("quantile"))

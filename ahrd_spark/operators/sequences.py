@@ -255,3 +255,59 @@ def novelty_curve(
     return flagged.withColumn(
         "distinct_so_far", F.sum("is_new").over(w_cum).cast("bigint")
     )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    window: int,
+) -> DataFrame:
+    """Trailing-window anomaly score -> input columns plus ``z`` — how
+    many trailing standard deviations the current value sits from the
+    trailing mean (window = last ``window`` units of ``ts_col``,
+    RANGE-framed so equal timestamps are peers).  NULL when the window
+    has no spread (fewer than 2 points, or constant values — division
+    guarded explicitly so every engine agrees instead of relying on
+    divide-by-zero behavior).
+
+    The streaming-corpus outlier gate: a value feed whose |z| spikes is
+    broken upstream; a doc whose stat leaves the trailing band gets
+    quarantined.  Scale shape: one per-key shuffle; mean and stddev ride
+    the same RANGE frame.
+    """
+    frame = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col).asc())
+        .rangeBetween(-window, 0)
+    )
+    mean = F.mean(value_col).over(frame)
+    std = F.stddev_samp(value_col).over(frame)
+    z = F.when(std > 0, (F.col(value_col) - mean) / std)
+    return df.withColumn("z", z)
+
+
+def key_trend(
+    df: DataFrame,
+    key_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-key OLS trend -> key columns + (slope, intercept, n): simple
+    linear regression of ``y_col`` on ``x_col`` within each key, via the
+    SQL-standard ``regr_slope``/``regr_intercept`` aggregates — drift
+    detection over feeds (is this user's engagement trending down? is
+    this crawler's doc quality decaying?) as one map-side-combinable
+    aggregation, no ML library.
+
+    NULL slope when a key has < 2 points or zero x-variance (the
+    SQL-standard contract).  Scale by centering ``x_col`` upstream
+    (epoch-days, not epoch-micros) so the sums stay well-conditioned in
+    doubles.
+    """
+    return df.groupBy(*key_cols).agg(
+        F.regr_slope(F.col(y_col), F.col(x_col)).alias("slope"),
+        F.regr_intercept(F.col(y_col), F.col(x_col)).alias("intercept"),
+        F.count(F.lit(1)).alias("n"),
+    )

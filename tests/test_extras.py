@@ -1457,3 +1457,55 @@ def test_novelty_curve_counts_first_occurrences(spark):
     assert got[3] == (0, 2)   # repeat of 'a'
     assert got[4] == (1, 3)
     assert got[5] == (1, 1)   # keys independent
+
+
+def test_pivot_counts_zero_fill(spark):
+    from ahrd_spark.operators.events import pivot_counts
+
+    rows = [("u", "a"), ("u", "a"), ("u", "b"), ("v", "b")]
+    df = spark.createDataFrame(rows, "k string, t string")
+    got = {r["k"]: (r["n_a"], r["n_b"], r["n_c"])
+           for r in pivot_counts(df, ["k"], "t", ["a", "b", "c"]).collect()}
+    assert got == {"u": (2, 1, 0), "v": (0, 1, 0)}
+
+
+def test_group_quantiles_interpolation(spark):
+    from ahrd_spark.operators.profile import group_quantiles
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in (1, 2, 3, 4)], "k string, v double"
+    )
+    got = {r["q"]: r["quantile"]
+           for r in group_quantiles(df, ["k"], "v", [0.5, 0.25]).collect()}
+    assert got[0.5] == 2.5          # linear interpolation between 2 and 3
+    assert got[0.25] == 1.75
+    ap = group_quantiles(df, ["k"], "v", [0.5], approx=True).collect()[0]
+    assert 2.0 <= ap["quantile"] <= 3.0
+
+
+def test_rolling_zscore_guards_no_spread(spark):
+    from ahrd_spark.operators.sequences import rolling_zscore
+
+    rows = [("u", 0, 10.0), ("u", 5, 10.0), ("u", 8, 16.0),
+            ("w", 0, 1.0)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    got = {(r["k"], r["t"]): r["z"]
+           for r in rolling_zscore(df, ["k"], "t", "v", window=10).collect()}
+    assert got[("u", 0)] is None            # single point: no stddev
+    assert got[("u", 5)] is None            # two equal points: zero spread
+    # window {10, 10, 16}: mean 12, std ~3.4641 -> z ~1.1547
+    assert abs(got[("u", 8)] - 1.154701) < 1e-5
+    assert got[("w", 0)] is None
+
+
+def test_key_trend_recovers_line(spark):
+    from ahrd_spark.operators.sequences import key_trend
+
+    rows = [("u", float(x), 3.0 * x + 1.0) for x in range(5)]
+    rows += [("c", 1.0, 7.0), ("c", 1.0, 9.0)]   # zero x-variance
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    got = {r["k"]: (r["slope"], r["intercept"], r["n"])
+           for r in key_trend(df, ["k"], "x", "y").collect()}
+    s, i, n = got["u"]
+    assert abs(s - 3.0) < 1e-9 and abs(i - 1.0) < 1e-9 and n == 5
+    assert got["c"][0] is None and got["c"][2] == 2
