@@ -924,3 +924,73 @@ def cooccurrence_projection(
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_count)
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 64,
+    checkpoint_dir: str | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Exact k-core -> (node, deg): :func:`kcore_peel` run to fixpoint —
+    peel rounds repeat until the surviving edge set stops shrinking, so
+    every returned node has degree >= k within the returned subgraph.
+
+    Convergence recipe shared with ``connected_components``: each round
+    materializes the shrunken edge set via checkpoint (``checkpoint_dir``
+    -> reliable ``DataFrame.checkpoint`` for real clusters, None ->
+    ``localCheckpoint`` for single-process runs) and reads the edge count
+    off the materialized blocks — the count is the convergence test AND
+    the lineage truncation, so the per-round plan stays constant-depth
+    instead of growing by three joins every iteration (the failure mode
+    that kills naive iterative DataFrame loops at scale).  Peeling
+    removes at least one node per non-converged round, so ``max_rounds``
+    is a backstop, not a tuning knob.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    sess = edges.sparkSession
+    if checkpoint_dir:
+        sess.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return (
+            df.checkpoint(eager=True)
+            if checkpoint_dir
+            else df.localCheckpoint(eager=True)
+        )
+
+    und = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .unionAll(
+            edges.select(
+                F.col(dst_col).alias("s"), F.col(src_col).alias("d")
+            )
+        )
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    und = _ckpt(und)
+    n_edges = und.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        keep = (
+            und.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("s")
+        )
+        nxt = _ckpt(
+            und.join(keep, "s").join(keep.withColumnRenamed("s", "d"), "d")
+        )
+        n_next = nxt.count()
+        converged = n_next == n_edges  # edge set stopped shrinking
+        und, n_edges = nxt, n_next
+        if converged:
+            break
+    return und.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )

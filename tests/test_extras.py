@@ -1509,3 +1509,24 @@ def test_key_trend_recovers_line(spark):
     s, i, n = got["u"]
     assert abs(s - 3.0) < 1e-9 and abs(i - 1.0) < 1e-9 and n == 5
     assert got["c"][0] is None and got["c"][2] == 2
+
+
+def test_kcore_fixpoint_beats_bounded_rounds(spark, tmp_path):
+    from ahrd_spark.operators.graph import kcore, kcore_peel
+
+    # chain c0-c1-...-c9 hanging off a triangle: bounded 3-round peel
+    # still holds chain remnants; the fixpoint leaves ONLY the triangle
+    chain = [(f"c{i}", f"c{i+1}") for i in range(9)]
+    tri = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c0")]
+    df = spark.createDataFrame(chain + tri, "src string, dst string")
+    bounded = {r["node"] for r in kcore_peel(df, k=2, rounds=3).collect()}
+    exact = {r["node"]: r["deg"] for r in kcore(df, k=2).collect()}
+    assert set(exact) == {"a", "b", "c"}
+    assert all(d >= 2 for d in exact.values())
+    assert set(exact) < bounded          # bounded 3 rounds wasn't done
+    # reliable-checkpoint mode reaches the same fixpoint
+    via_dir = {r["node"] for r in kcore(
+        df, k=2, checkpoint_dir=str(tmp_path / "ck")).collect()}
+    assert via_dir == set(exact)
+    # fully peeled graph -> empty core
+    assert kcore(df, k=4).count() == 0

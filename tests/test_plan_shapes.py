@@ -188,3 +188,24 @@ def test_duplicate_spans_hashes_gram_shuffle(spark):
     # span groupBy -- bounded exchange budget, no cartesian anywhere
     assert plan.count("Exchange") <= 6, plan[:2000]
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_star_revenue_broadcasts_dimension_chain(spark):
+    """olap_star_revenue's four joins must all be broadcast hash joins
+    with column-pruned scans — a SortMergeJoin against a dimension, or a
+    fact scan reading more than its 3 projected columns, is a plan
+    regression."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["olap_star_revenue"](
+        spark, "/root/testdata/sf0.001"
+    )
+    df.collect()  # let AQE finalize the join strategies
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    import re
+    fact = re.search(r"ReadSchema: struct<(l_[^>]*)>", plan).group(1)
+    assert set(c.split(":")[0] for c in fact.split(",")) == {
+        "l_orderkey", "l_extendedprice", "l_discount"
+    }
