@@ -1441,6 +1441,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["key_trend"] = key_trend_q
 
+    def winsorize_q(spark, sf):
+        from ahrd_spark.operators.profile import winsorize
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        base = ev.select("event_id", "event_type", "value")
+        out = winsorize(
+            base, ["event_type"], "value", lo_q=0.05, hi_q=0.95
+        )
+        return out.select(
+            "event_id",
+            "event_type",
+            F.round("clipped", 6).alias("clipped_r"),
+            "was_clipped",
+        )
+
+    q["winsorize"] = winsorize_q
+
     def ann_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -4212,6 +4229,19 @@ SELECT user_id,
        round(regr_intercept(value, x_days), 6) AS intercept_r,
        CAST(count(*) AS BIGINT) AS n
 FROM b GROUP BY user_id
+"""
+
+    # per-group winsorization replay (profile.py::winsorize)
+    o["winsorize"] = """
+WITH b AS (SELECT event_type,
+                  quantile_cont(value, 0.05) AS lo,
+                  quantile_cont(value, 0.95) AS hi
+           FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type,
+       round(least(greatest(e.value, b.lo), b.hi), 6) AS clipped_r,
+       CAST(least(greatest(e.value, b.lo), b.hi) <> e.value AS INT)
+         AS was_clipped
+FROM events e JOIN b USING (event_type)
 """
 
     # star-schema revenue rollup (queries()::olap_star_revenue)

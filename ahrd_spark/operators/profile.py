@@ -159,3 +159,43 @@ def group_quantiles(
         *key_cols, F.explode(pairs).alias("p")
     ).select(*key_cols, F.col("p.q").alias("q"),
              F.col("p.quantile").alias("quantile"))
+
+
+def winsorize(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group winsorization -> input columns plus ``clipped`` (the
+    value clamped to the group's [lo_q, hi_q] quantile band) and
+    ``was_clipped`` — the standard outlier treatment before averaging
+    noisy per-doc stats into corpus metrics (one crawler bug otherwise
+    moves the mean arbitrarily; clipping bounds any single row's
+    influence).
+
+    Two jobs by design: a small per-group quantile aggregate (exact or
+    sketch via ``approx``, see :func:`group_quantiles`) joined back onto
+    the data — group count sizes the join's build side, so AQE
+    broadcasts it for any realistic group cardinality.
+    """
+    bounds = group_quantiles(
+        df, key_cols, value_col, [lo_q, hi_q], approx=approx
+    )
+    lo = bounds.filter(F.col("q") == lo_q).select(
+        *key_cols, F.col("quantile").alias("_lo")
+    )
+    hi = bounds.filter(F.col("q") == hi_q).select(
+        *key_cols, F.col("quantile").alias("_hi")
+    )
+    v = F.col(value_col)
+    clipped = F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
+    return (
+        df.join(lo, key_cols)
+        .join(hi, key_cols)
+        .withColumn("clipped", clipped)
+        .withColumn("was_clipped", (clipped != v).cast("int"))
+        .drop("_lo", "_hi")
+    )

@@ -1530,3 +1530,16 @@ def test_kcore_fixpoint_beats_bounded_rounds(spark, tmp_path):
     assert via_dir == set(exact)
     # fully peeled graph -> empty core
     assert kcore(df, k=4).count() == 0
+
+
+def test_winsorize_clips_to_group_band(spark):
+    from ahrd_spark.operators.profile import winsorize
+
+    rows = [("g", float(v)) for v in range(1, 11)] + [("g", 1000.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = winsorize(df, ["k"], "v", lo_q=0.0, hi_q=0.5).collect()
+    got = {r["v"]: (r["clipped"], r["was_clipped"]) for r in out}
+    # median of {1..10, 1000} is 6.0: everything above clamps to it
+    assert got[1000.0] == (6.0, 1)
+    assert got[10.0] == (6.0, 1)
+    assert got[3.0] == (3.0, 0)
