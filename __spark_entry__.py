@@ -1458,6 +1458,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["winsorize"] = winsorize_q
 
+    def session_stats_q(spark, sf):
+        from ahrd_spark.operators.events import session_stats
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        base = ev.select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+            "event_type",
+        )
+        return session_stats(
+            base,
+            key_cols=["user_id"],
+            order_cols=["tus", "event_id"],
+            state_col="event_type",
+            gap=1_800_000_000,
+        )
+
+    q["session_stats"] = session_stats_q
+
+    def active_users_q(spark, sf):
+        from ahrd_spark.operators.events import active_users_window
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        base = ev.select(
+            "user_id",
+            F.expr(
+                "CAST((unix_micros(CAST(ts AS TIMESTAMP))"
+                " - 1704067200000000) DIV 86400000000 AS BIGINT)"
+            ).alias("day"),
+        )
+        return active_users_window(base, "user_id", "day", window_days=7)
+
+    q["active_users"] = active_users_q
+
+    def assortativity_q(spark, sf):
+        from ahrd_spark.operators.graph import degree_assortativity_profile
+
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        edges = li.select(
+            F.concat(F.lit("o"), F.col("l_orderkey")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+        )
+        out = degree_assortativity_profile(edges)
+        return out.select(
+            "deg",
+            F.round("avg_neighbor_deg", 6).alias("avg_neighbor_deg_r"),
+            "n_nodes",
+        )
+
+    q["degree_assortativity"] = assortativity_q
+
     def ann_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -4242,6 +4294,58 @@ SELECT e.event_id, e.event_type,
        CAST(least(greatest(e.value, b.lo), b.hi) <> e.value AS INT)
          AS was_clipped
 FROM events e JOIN b USING (event_type)
+"""
+
+    # session rollup replay (events.py::session_stats)
+    o["session_stats"] = """
+WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
+           FROM events),
+c AS (SELECT *, CASE WHEN tus - lag(tus)
+                          OVER (PARTITION BY user_id
+                                ORDER BY tus, event_id) > 1800000000
+                     THEN 1 ELSE 0 END AS brk
+      FROM b),
+s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM c)
+SELECT user_id, min(tus) AS session_start, max(tus) AS session_end,
+       max(tus) - min(tus) AS duration,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_states,
+       CAST(count(*) = 1 AS INT) AS bounce
+FROM s GROUP BY user_id, sess
+"""
+
+    # exact sliding-distinct replay (events.py::active_users_window)
+    o["active_users"] = """
+WITH ud AS (SELECT DISTINCT user_id,
+                   (epoch_us(ts) - 1704067200000000) // 86400000000 AS day
+            FROM events),
+con AS (SELECT user_id, day + off AS day FROM ud, range(0, 7) r(off)),
+wau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        FROM con GROUP BY day),
+dau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        FROM ud GROUP BY day)
+SELECT w.day, CAST(coalesce(d.dau, 0) AS BIGINT) AS dau, w.wau
+FROM wau w LEFT JOIN dau d USING (day)
+WHERE w.day <= (SELECT max(day) FROM ud)
+"""
+
+    # degree-mixing profile replay (graph.py::degree_assortativity_profile)
+    o["degree_assortativity"] = """
+WITH e0 AS (
+  SELECT DISTINCT s, d FROM (
+    SELECT 'o' || l_orderkey AS s, 'p' || l_partkey AS d FROM lineitem
+    UNION ALL
+    SELECT 'p' || l_partkey AS s, 'o' || l_orderkey AS d FROM lineitem)
+  WHERE s <> d),
+deg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM e0 GROUP BY s),
+nbr AS (SELECT e0.s, avg(dd.deg) AS avg_nbr
+        FROM e0 JOIN deg dd ON e0.d = dd.s GROUP BY e0.s)
+SELECT deg.deg, round(avg(nbr.avg_nbr), 6) AS avg_neighbor_deg_r,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg JOIN nbr ON deg.s = nbr.s
+GROUP BY deg.deg
 """
 
     # star-schema revenue rollup (queries()::olap_star_revenue)

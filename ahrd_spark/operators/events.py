@@ -174,3 +174,91 @@ __all__ = [
     "rollup_counts",
     "pivot_counts",
 ]
+
+
+def session_stats(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    state_col: str,
+    gap: int,
+) -> DataFrame:
+    """Session-level rollup -> one row per (key, session): key columns +
+    (session_start, session_end, duration, n_events, n_states, bounce).
+    Sessions split at inactivity gaps > ``gap`` in ``order_cols[0]``
+    units (same gaps-and-islands split as ``session_paths`` — the two
+    operators are different aggregates over the same session frame).
+    ``bounce`` flags single-event sessions, the classic junk-traffic
+    signal.
+
+    Scale shape: one per-key shuffle shared by the gap window and the
+    session aggregation; output is session count, not event count.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    t = F.col(order_cols[0])
+    brk = (
+        F.when(t - F.lag(t).over(w) > F.lit(gap), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    sess = df.withColumn(
+        "_sess",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy(*key_cols, F.col("_sess")).agg(
+        F.min(order_cols[0]).alias("session_start"),
+        F.max(order_cols[0]).alias("session_end"),
+        (F.max(order_cols[0]) - F.min(order_cols[0])).alias("duration"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct(state_col).alias("n_states"),
+        (F.count(F.lit(1)) == 1).cast("int").alias("bounce"),
+    ).drop("_sess")
+
+
+def active_users_window(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling active-entity counts -> (day, dau, wau): per calendar day,
+    the exact count of distinct keys active that day (``dau``) and in
+    the trailing ``window_days`` ending that day (``wau``) — the
+    engagement health metric, and at corpus scale the dedup-rate /
+    crawler-coverage metric.
+
+    Exact sliding DISTINCT without a sliding state store: each distinct
+    (key, day) activity CONTRIBUTES to the ``window_days`` days it
+    supports (an explode bounded by the window length), and a plain
+    per-day distinct count over the contributions is exactly the
+    trailing-window distinct.  Days past the data's end are clipped via
+    one scalar max.  Shuffle volume = distinct activity x window_days —
+    linear, no per-day rescan.
+    """
+    ud = df.select(
+        F.col(key_col).alias("k"), F.col(day_col).alias("day")
+    ).distinct()
+    contrib = ud.select(
+        "k",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.col("day") + F.lit(window_days - 1)
+            )
+        ).alias("day"),
+    )
+    wau = contrib.groupBy("day").agg(F.count_distinct("k").alias("wau"))
+    dau = ud.groupBy("day").agg(F.count_distinct("k").alias("dau"))
+    last = ud.agg(F.max("day").alias("_max"))
+    return (
+        wau.join(dau, "day", "left")
+        .crossJoin(last)
+        .filter(F.col("day") <= F.col("_max"))
+        .select(
+            "day",
+            F.coalesce("dau", F.lit(0)).alias("dau"),
+            "wau",
+        )
+    )

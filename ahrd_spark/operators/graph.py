@@ -994,3 +994,45 @@ def kcore(
     return und.groupBy(F.col("s").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
+
+
+def degree_assortativity_profile(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Degree-mixing profile -> (deg, avg_neighbor_deg, n_nodes): for
+    each undirected-degree class, the mean over its nodes of the mean
+    neighbor degree.  Assortative graphs (social) slope up, dissortative
+    ones (web, biology) slope down; a KG whose profile flips between
+    snapshots changed its growth regime (or its extractor broke).
+
+    Scale shape: one degree aggregation, one edge->degree join per
+    endpoint (node-keyed, AQE-skewable), then two bounded aggregations
+    (nodes, then degree classes — output is bounded by max degree).
+    """
+    und = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .unionAll(
+            edges.select(
+                F.col(dst_col).alias("s"), F.col(src_col).alias("d")
+            )
+        )
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    deg = und.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    nbr = (
+        und.join(deg.withColumnRenamed("s", "d")
+                    .withColumnRenamed("deg", "deg_d"), "d")
+        .groupBy("s")
+        .agg(F.avg("deg_d").alias("avg_nbr"))
+    )
+    return (
+        deg.join(nbr, "s")
+        .groupBy("deg")
+        .agg(
+            F.avg("avg_nbr").alias("avg_neighbor_deg"),
+            F.count(F.lit(1)).alias("n_nodes"),
+        )
+    )

@@ -1543,3 +1543,49 @@ def test_winsorize_clips_to_group_band(spark):
     assert got[1000.0] == (6.0, 1)
     assert got[10.0] == (6.0, 1)
     assert got[3.0] == (3.0, 0)
+
+
+def test_session_stats_rollup(spark):
+    from ahrd_spark.operators.events import session_stats
+
+    rows = [("u", 0, 1, "v"), ("u", 10, 2, "c"),
+            ("u", 1000, 3, "v"),                 # second session: bounce
+            ("w", 0, 4, "v")]
+    df = spark.createDataFrame(rows, "k string, t long, eid long, s string")
+    out = session_stats(df, ["k"], ["t", "eid"], "s", gap=100).collect()
+    got = {(r["k"], r["session_start"]): (r["session_end"], r["duration"],
+                                          r["n_events"], r["n_states"],
+                                          r["bounce"]) for r in out}
+    assert got[("u", 0)] == (10, 10, 2, 2, 0)
+    assert got[("u", 1000)] == (1000, 0, 1, 1, 1)
+    assert got[("w", 0)] == (0, 0, 1, 1, 1)
+
+
+def test_active_users_window_sliding_distinct(spark):
+    from ahrd_spark.operators.events import active_users_window
+
+    rows = [("a", 0), ("a", 0), ("b", 0), ("a", 2)]
+    df = spark.createDataFrame(rows, "k string, day bigint")
+    out = {r["day"]: (r["dau"], r["wau"])
+           for r in active_users_window(df, "k", "day",
+                                        window_days=3).collect()}
+    # day 0: a,b active; day 1: none active but both in trailing 3d;
+    # day 2: a active, trailing window still covers day-0 activity
+    assert out[0] == (2, 2)
+    assert out[1] == (0, 2)
+    assert out[2] == (1, 2)
+    # days past the data end are clipped
+    assert max(out) == 2
+
+
+def test_degree_assortativity_star(spark):
+    from ahrd_spark.operators.graph import degree_assortativity_profile
+
+    # star: hub h(deg 3) with leaves x,y,z (deg 1) -> perfectly
+    # dissortative: deg-1 nodes average neighbor deg 3 and vice versa
+    df = spark.createDataFrame(
+        [("h", "x"), ("h", "y"), ("h", "z")], "src string, dst string"
+    )
+    got = {r["deg"]: (r["avg_neighbor_deg"], r["n_nodes"])
+           for r in degree_assortativity_profile(df).collect()}
+    assert got[1] == (3.0, 3) and got[3] == (1.0, 1)
