@@ -1510,6 +1510,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["degree_assortativity"] = assortativity_q
 
+    def _entity_triples(spark, sf):
+        # synthetic entity graph with organic reciprocals: 'knows' pairs
+        # wrap modularly (inverses arise), 'parent_of' never does
+        d = F.col("doc_id")
+        return _docs(spark, sf).select(
+            F.concat(F.lit("E"), (d % 30).cast("string")).alias("subj"),
+            F.when(d % 2 == 0, F.lit("knows"))
+            .otherwise(F.lit("parent_of"))
+            .alias("pred"),
+            F.concat(F.lit("E"), ((d * 7 + 3) % 30).cast("string")).alias(
+                "obj"
+            ),
+        )
+
+    def pred_symmetry_q(spark, sf):
+        from ahrd_spark.operators.graph import predicate_symmetry
+
+        return predicate_symmetry(_entity_triples(spark, sf))
+
+    q["predicate_symmetry"] = pred_symmetry_q
+
+    def pred_functionality_q(spark, sf):
+        from ahrd_spark.operators.graph import predicate_functionality
+
+        return predicate_functionality(_entity_triples(spark, sf))
+
+    q["predicate_functionality"] = pred_functionality_q
+
     def ann_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -4346,6 +4374,36 @@ SELECT deg.deg, round(avg(nbr.avg_nbr), 6) AS avg_neighbor_deg_r,
        CAST(count(*) AS BIGINT) AS n_nodes
 FROM deg JOIN nbr ON deg.s = nbr.s
 GROUP BY deg.deg
+"""
+
+    # ontology-inference stats replay (graph.py::predicate_symmetry /
+    # ::predicate_functionality) over the synthetic entity graph
+    _ent_cte = """
+  SELECT DISTINCT 'E' || (doc_id % 30)::VARCHAR AS s,
+         CASE WHEN doc_id % 2 = 0 THEN 'knows' ELSE 'parent_of' END AS p,
+         'E' || ((doc_id * 7 + 3) % 30)::VARCHAR AS o
+  FROM documents"""
+
+    o["predicate_symmetry"] = f"""
+WITH t AS ({_ent_cte}),
+sym AS (SELECT t.p, CAST(count(*) AS BIGINT) AS n_sym
+        FROM t JOIN t i ON t.p = i.p AND t.s = i.o AND t.o = i.s
+        GROUP BY t.p)
+SELECT t.p AS pred, CAST(count(*) AS BIGINT) AS n,
+       CAST(coalesce(max(sym.n_sym), 0) AS BIGINT) AS n_sym,
+       round(CAST(coalesce(max(sym.n_sym), 0) AS DOUBLE) / count(*), 6)
+         AS sym_ratio
+FROM t LEFT JOIN sym ON t.p = sym.p
+GROUP BY t.p
+"""
+
+    o["predicate_functionality"] = f"""
+WITH t AS ({_ent_cte}),
+ps AS (SELECT p, s, CAST(count(*) AS BIGINT) AS k FROM t GROUP BY p, s)
+SELECT p AS pred, CAST(count(*) AS BIGINT) AS n_subjects,
+       round(avg(k), 6) AS avg_objects, max(k) AS max_objects,
+       CAST(max(k) = 1 AS INT) AS functional
+FROM ps GROUP BY p
 """
 
     # star-schema revenue rollup (queries()::olap_star_revenue)

@@ -1036,3 +1036,77 @@ def degree_assortativity_profile(
             F.count(F.lit(1)).alias("n_nodes"),
         )
     )
+
+
+def predicate_symmetry(
+    triples: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Ontology-inference stat: per predicate -> (pred, n, n_sym,
+    sym_ratio) where ``n_sym`` counts distinct triples whose exact
+    inverse (obj, pred, subj) is also asserted.  A ratio near 1 flags a
+    symmetric property (spouse-of, linked-to) the schema should declare;
+    a ratio that DRIFTS between snapshots flags an extractor emitting
+    accidental inverses.
+
+    Scale shape: distinct triples, then one self-join keyed on
+    (pred, subj, obj) vs (pred, obj, subj) — a plain equi-join after
+    column swap, partitioned by the same key layout, then a per-pred
+    aggregate (output bounded by predicate count).
+    """
+    t = triples.select(
+        F.col(pred_col).alias("p"),
+        F.col(subj_col).alias("s"),
+        F.col(obj_col).alias("o"),
+    ).distinct()
+    inv = t.select("p", F.col("o").alias("s"), F.col("s").alias("o"))
+    sym = (
+        t.join(inv, ["p", "s", "o"], "left_semi")
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n_sym"))
+    )
+    return (
+        t.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(sym, "p", "left")
+        .select(
+            F.col("p").alias("pred"),
+            "n",
+            F.coalesce("n_sym", F.lit(0)).alias("n_sym"),
+            F.round(
+                F.coalesce("n_sym", F.lit(0)) / F.col("n"), 6
+            ).alias("sym_ratio"),
+        )
+    )
+
+
+def predicate_functionality(
+    triples: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Ontology-inference stat: per predicate -> (pred, n_subjects,
+    avg_objects, max_objects, functional) over DISTINCT triples.  A
+    predicate whose every subject has exactly one object is functional
+    (birth-date, canonical-id) — and a functional predicate suddenly
+    averaging 1.4 objects per subject means the upstream extractor
+    started double-emitting.
+
+    Scale shape: distinct triples, a (pred, subj)-keyed count, then a
+    per-pred aggregate; all map-side-combinable.
+    """
+    t = triples.select(
+        F.col(pred_col).alias("p"),
+        F.col(subj_col).alias("s"),
+        F.col(obj_col).alias("o"),
+    ).distinct()
+    per_subj = t.groupBy("p", "s").agg(F.count(F.lit(1)).alias("k"))
+    return per_subj.groupBy("p").agg(
+        F.count(F.lit(1)).alias("n_subjects"),
+        F.round(F.avg("k"), 6).alias("avg_objects"),
+        F.max("k").alias("max_objects"),
+        (F.max("k") == 1).cast("int").alias("functional"),
+    ).withColumnRenamed("p", "pred")

@@ -1589,3 +1589,28 @@ def test_degree_assortativity_star(spark):
     got = {r["deg"]: (r["avg_neighbor_deg"], r["n_nodes"])
            for r in degree_assortativity_profile(df).collect()}
     assert got[1] == (3.0, 3) and got[3] == (1.0, 1)
+
+
+def test_predicate_symmetry_and_functionality(spark):
+    from ahrd_spark.operators.graph import (
+        predicate_functionality,
+        predicate_symmetry,
+    )
+
+    triples = spark.createDataFrame(
+        [("a", "knows", "b"), ("b", "knows", "a"), ("a", "knows", "c"),
+         ("a", "born", "1990"), ("b", "born", "1991"),
+         ("a", "likes", "x"), ("a", "likes", "y"),
+         ("a", "knows", "b")],                       # duplicate assertion
+        "subj string, pred string, obj string",
+    )
+    sym = {r["pred"]: (r["n"], r["n_sym"], r["sym_ratio"])
+           for r in predicate_symmetry(triples).collect()}
+    assert sym["knows"] == (3, 2, round(2 / 3, 6))   # dup collapsed
+    assert sym["born"] == (2, 0, 0.0)
+    fun = {r["pred"]: (r["n_subjects"], r["avg_objects"], r["max_objects"],
+                       r["functional"])
+           for r in predicate_functionality(triples).collect()}
+    assert fun["born"] == (2, 1.0, 1, 1)
+    assert fun["likes"] == (1, 2.0, 2, 0)
+    assert fun["knows"] == (2, 1.5, 2, 0)
