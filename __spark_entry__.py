@@ -1538,6 +1538,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["predicate_functionality"] = pred_functionality_q
 
+    def json_props_q(spark, sf):
+        """Semi-structured extraction: events.props is a JSON string;
+        pull $.k out with the JSONPath expression surface (for a fixed
+        schema at scale, prefer from_json(schema) — one parse per row,
+        typed columns; get_json_object re-parses per path)."""
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        k = F.get_json_object("props", "$.k").cast("bigint")
+        return ev.groupBy("event_type").agg(
+            F.count(k).alias("n_with_k"),
+            F.round(F.avg(k), 6).alias("avg_k_r"),
+            F.max(k).alias("max_k"),
+        )
+
+    q["json_props"] = json_props_q
+
+    def group_mode_q(spark, sf):
+        from ahrd_spark.operators.profile import group_mode
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return group_mode(ev, ["user_id"], "event_type")
+
+    q["group_mode"] = group_mode_q
+
     def ann_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -4404,6 +4427,27 @@ SELECT p AS pred, CAST(count(*) AS BIGINT) AS n_subjects,
        round(avg(k), 6) AS avg_objects, max(k) AS max_objects,
        CAST(max(k) = 1 AS INT) AS functional
 FROM ps GROUP BY p
+"""
+
+    # JSON-path extraction replay (queries()::json_props)
+    o["json_props"] = """
+WITH k AS (SELECT event_type,
+                  CAST(props ->> 'k' AS BIGINT) AS kv
+           FROM events)
+SELECT event_type, CAST(count(kv) AS BIGINT) AS n_with_k,
+       round(avg(kv), 6) AS avg_k_r, max(kv) AS max_k
+FROM k GROUP BY event_type
+"""
+
+    # deterministic per-group mode replay (profile.py::group_mode)
+    o["group_mode"] = """
+WITH c AS (SELECT user_id, event_type, count(*) AS n
+           FROM events GROUP BY user_id, event_type),
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY n DESC, event_type ASC) AS rn
+      FROM c)
+SELECT user_id, event_type AS mode_value, CAST(n AS BIGINT) AS n
+FROM r WHERE rn = 1
 """
 
     # star-schema revenue rollup (queries()::olap_star_revenue)

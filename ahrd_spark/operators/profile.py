@@ -199,3 +199,35 @@ def winsorize(
         .withColumn("was_clipped", (clipped != v).cast("int"))
         .drop("_lo", "_hi")
     )
+
+
+def group_mode(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-group mode -> key columns + (mode_value, n): the group's most
+    frequent value, ties broken by smallest value so the result is
+    deterministic in every engine (the SQL ``mode()`` aggregate leaves
+    ties implementation-defined — unusable under cross-engine replay).
+
+    Scale shape: one (key, value)-keyed count with map-side partials,
+    then a key-keyed argmax window over the (small) distinct-value
+    counts — the window input is one row per distinct value, not per
+    input row.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*key_cols, value_col).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("n").desc(), F.col(value_col).asc()
+    )
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            *key_cols, F.col(value_col).alias("mode_value"), "n"
+        )
+    )

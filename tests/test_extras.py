@@ -1614,3 +1614,15 @@ def test_predicate_symmetry_and_functionality(spark):
     assert fun["born"] == (2, 1.0, 1, 1)
     assert fun["likes"] == (1, 2.0, 2, 0)
     assert fun["knows"] == (2, 1.5, 2, 0)
+
+
+def test_group_mode_deterministic_ties(spark):
+    from ahrd_spark.operators.profile import group_mode
+
+    rows = [("u", "b"), ("u", "b"), ("u", "a"), ("u", "a"), ("u", "c"),
+            ("v", "z")]
+    df = spark.createDataFrame(rows, "k string, v string")
+    got = {r["k"]: (r["mode_value"], r["n"])
+           for r in group_mode(df, ["k"], "v").collect()}
+    assert got["u"] == ("a", 2)   # tie a/b at 2 -> smallest value wins
+    assert got["v"] == ("z", 1)
