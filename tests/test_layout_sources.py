@@ -81,3 +81,18 @@ def test_sqlsh_registers_views_and_runs(spark):
     assert sum(rows.values()) == spark.read.parquet(
         "/root/testdata/sf0.001/lineitem.parquet"
     ).count()
+
+
+def test_admission_report_shape(spark):
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from admission_report import build_report
+
+    rep = build_report(spark, "/root/testdata/sf0.001")
+    assert rep["docs"] == 500
+    assert 0.0 <= rep["exact_dup_rate"] <= 1.0
+    assert rep["total_tokens"] > 0
+    assert set(rep["quality_quartiles"]) == {"q25", "q50", "q75"}
+    assert sum(rep["languages"].values()) == 500
+    cols = {c["col_name"] for c in rep["columns"]}
+    assert {"doc_id", "text"} <= cols
