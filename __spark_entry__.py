@@ -1561,6 +1561,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["group_mode"] = group_mode_q
 
+    def containment_q(spark, sf):
+        from ahrd_spark.operators.dedup import containment_pairs
+
+        docs = _docs(spark, sf)
+        pairs = docs.select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + 1).alias("doc_b"),
+        ).join(
+            docs.select(F.col("doc_id").alias("doc_b")), "doc_b",
+            "left_semi",
+        )
+        return containment_pairs(docs, pairs).select(
+            "doc_a",
+            "doc_b",
+            F.round("containment_a", 6).alias("containment_a_r"),
+            F.round("containment_b", 6).alias("containment_b_r"),
+            F.round("jaccard", 6).alias("jaccard_r"),
+        )
+
+    q["dedup_containment"] = containment_q
+
     def ann_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -4448,6 +4469,24 @@ r AS (SELECT *, row_number() OVER (PARTITION BY user_id
       FROM c)
 SELECT user_id, event_type AS mode_value, CAST(n AS BIGINT) AS n
 FROM r WHERE rn = 1
+"""
+
+    # asymmetric containment replay (dedup.py::containment_pairs)
+    o["dedup_containment"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))
+           AS toks
+  FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(a.toks), 6) AS containment_a_r,
+       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(b.toks), 6) AS containment_b_r,
+       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.toks, b.toks))), 6)
+         AS jaccard_r
+FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
 """
 
     # star-schema revenue rollup (queries()::olap_star_revenue)

@@ -559,3 +559,53 @@ def remove_duplicate_spans(
         F.size("toks").cast("long").alias("n_tokens"),
         (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
     )
+
+
+def containment_pairs(
+    df: DataFrame, pairs: DataFrame, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Asymmetric token-set containment for (doc_a, doc_b) candidate
+    pairs -> (doc_a, doc_b, containment_a, containment_b, jaccard) with
+    ``containment_a = |A∩B| / |A|``.
+
+    Containment catches what Jaccard structurally cannot: a short
+    article fully embedded in a long boilerplate-heavy page scores
+    Jaccard ≈ |A|/|B| (tiny) but containment_a = 1.0 — the doc-inside-doc
+    pattern that dominates web-scrape near-duplication.  Keep the pair
+    when EITHER direction exceeds the threshold, not just the symmetric
+    score.
+
+    Same shape as ``jaccard_pairs``: two id-keyed joins against the
+    token-set projection (AQE broadcasts whichever side is small), one
+    intersect per pair.
+    """
+    toksets = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("toks"),
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    return (
+        pairs.join(
+            toksets.withColumnRenamed("doc_id", "doc_a")
+            .withColumnRenamed("toks", "toks_a"),
+            "doc_a",
+        )
+        .join(
+            toksets.withColumnRenamed("doc_id", "doc_b")
+            .withColumnRenamed("toks", "toks_b"),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter / F.size("toks_a")).alias("containment_a"),
+            (inter / F.size("toks_b")).alias("containment_b"),
+            (
+                inter
+                / F.size(F.array_union("toks_a", "toks_b"))
+            ).alias("jaccard"),
+        )
+    )
