@@ -359,3 +359,44 @@ def sample_frames(media: DataFrame, every_n: int = 30, max_frames: int = 8
             )
 
     return media.mapInPandas(frame_batches, FRAME_SCHEMA)
+
+
+def wav_pcm_stats(b: bytes) -> dict:
+    """Sample-level stats for a 16-bit PCM RIFF/WAVE payload ->
+    {rms, peak, duration_s}: vectorized NumPy over the raw data chunk
+    (no audio library needed for canonical PCM).  ``rms``/``peak`` are
+    normalized to [-1, 1] full scale; raises for non-PCM or non-16-bit
+    payloads (the documented seam: swap in ``soundfile`` for compressed
+    codecs on a cluster that has it)."""
+    import struct
+
+    import numpy as np
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        size = struct.unpack("<I", b[pos + 4:pos + 8])[0]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", b[pos + 8:pos + 24])
+        elif cid == b"data":
+            data = b[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, _ch, sample_rate, _br, block_align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"not 16-bit PCM (format={audio_format}, bits={bits})")
+    x = np.frombuffer(data[: len(data) - (len(data) % 2)], dtype="<i2")
+    if x.size == 0:
+        return {"rms": 0.0, "peak": 0.0,
+                "duration_s": 0.0}
+    xf = x.astype(np.float64) / 32768.0
+    return {
+        "rms": float(np.sqrt(np.mean(xf * xf))),
+        "peak": float(np.max(np.abs(xf))),
+        "duration_s": float(
+            (len(data) // block_align) / sample_rate
+        ),
+    }

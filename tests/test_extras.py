@@ -1626,3 +1626,31 @@ def test_group_mode_deterministic_ties(spark):
            for r in group_mode(df, ["k"], "v").collect()}
     assert got["u"] == ("a", 2)   # tie a/b at 2 -> smallest value wins
     assert got["v"] == ("z", 1)
+
+
+def test_wav_pcm_stats_on_synth_sine():
+    import math
+    import struct
+
+    from ahrd_spark.operators.multimodal import wav_info, wav_pcm_stats
+
+    sr, n = 8000, 8000  # 1 second
+    samples = [int(32767 * 0.5 * math.sin(2 * math.pi * 440 * t / sr))
+               for t in range(n)]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+           + b"data" + struct.pack("<I", len(data)))
+    wav = hdr + data
+    assert wav_info(wav) == {"channels": 1, "sample_rate": sr, "frames": n}
+    s = wav_pcm_stats(wav)
+    # 0.5-amplitude sine: rms = 0.5/sqrt(2), peak ~0.5, 1.0 s
+    assert abs(s["rms"] - 0.5 / math.sqrt(2)) < 1e-3
+    assert abs(s["peak"] - 0.5) < 1e-3
+    assert abs(s["duration_s"] - 1.0) < 1e-9
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        wav_pcm_stats(b"RIFFxxxxWAVE")          # missing chunks
+    with _pytest.raises(ValueError):
+        wav_pcm_stats(b"nope")
