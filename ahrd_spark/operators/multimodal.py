@@ -400,3 +400,25 @@ def wav_pcm_stats(b: bytes) -> dict:
             (len(data) // block_align) / sample_rate
         ),
     }
+
+
+def ppm_pixel_stats(b: bytes) -> dict:
+    """Pixel-level stats for a P6 PPM payload -> {mean_r, mean_g,
+    mean_b, luma_mean, luma_std}: vectorized NumPy over the raster
+    (Rec.601 luma weights).  The per-image feature vector behind
+    brightness/contrast curation filters — an all-black or blown-out
+    image is as useless to training as boilerplate text."""
+    import numpy as np
+
+    arr = ppm_decode(b)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("pixel stats need a 3-channel P6 raster")
+    xf = arr.astype(np.float64)
+    luma = 0.299 * xf[..., 0] + 0.587 * xf[..., 1] + 0.114 * xf[..., 2]
+    return {
+        "mean_r": float(xf[..., 0].mean()),
+        "mean_g": float(xf[..., 1].mean()),
+        "mean_b": float(xf[..., 2].mean()),
+        "luma_mean": float(luma.mean()),
+        "luma_std": float(luma.std()),
+    }

@@ -1654,3 +1654,20 @@ def test_wav_pcm_stats_on_synth_sine():
         wav_pcm_stats(b"RIFFxxxxWAVE")          # missing chunks
     with _pytest.raises(ValueError):
         wav_pcm_stats(b"nope")
+
+
+def test_ppm_pixel_stats():
+    import numpy as np
+
+    from ahrd_spark.operators.multimodal import ppm_encode, ppm_pixel_stats
+
+    # left half pure red, right half pure blue, 4x2
+    arr = np.zeros((2, 4, 3), dtype=np.uint8)
+    arr[:, :2, 0] = 255
+    arr[:, 2:, 2] = 255
+    s = ppm_pixel_stats(ppm_encode(arr))
+    assert s["mean_r"] == 127.5 and s["mean_b"] == 127.5 and s["mean_g"] == 0
+    # luma: half 0.299*255, half 0.114*255
+    expect = 255 * (0.299 + 0.114) / 2
+    assert abs(s["luma_mean"] - expect) < 1e-9
+    assert s["luma_std"] > 0
