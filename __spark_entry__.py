@@ -1582,6 +1582,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_containment"] = containment_q
 
+    def shard_assign_q(spark, sf):
+        from ahrd_spark.operators.sampling import shard_assign
+
+        docs = _docs(spark, sf)
+        return shard_assign(docs, 16).groupBy("shard").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+        )
+
+    q["shard_assign"] = shard_assign_q
+
+    def mixture_materialize_q(spark, sf):
+        from ahrd_spark.operators.corpus import mixture_plan
+        from ahrd_spark.operators.sampling import mixture_materialize
+
+        docs = _docs(spark, sf)
+        plan = mixture_plan(docs, MIXTURE_WEIGHTS, MIXTURE_BUDGET)
+        return mixture_materialize(docs, plan).groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+
+    q["mixture_materialize"] = mixture_materialize_q
+
     def ann_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -3111,6 +3136,36 @@ SELECT source, n_docs, n_tokens, target_tokens,
        round(least(target_tokens / n_tokens, 1.0), 6) AS sample_fraction_r,
        round(target_tokens / n_tokens, 6) AS epochs_r
 FROM per
+"""
+
+    # deterministic output sharding replay (sampling.py::shard_assign)
+    o["shard_assign"] = """
+SELECT CAST(('0x' || substr(md5(doc_id::VARCHAR || ':shard'), 1, 15))::BIGINT
+            % 16 AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS min_doc
+FROM documents GROUP BY 1
+"""
+
+    # mixture materialization replay (sampling.py::mixture_materialize):
+    # the plan CTE is mixture_plan's, the filter is the md5 hash-bucket
+    o["mixture_materialize"] = f"""
+WITH per AS (
+  SELECT source,
+         CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END)
+              AS BIGINT) AS n_tokens,
+         ({mix_case}) * CAST({MIXTURE_BUDGET} AS DOUBLE) AS target_tokens
+  FROM documents GROUP BY source),
+thr AS (SELECT source,
+               CAST(round(least(target_tokens / n_tokens, 1.0) * 10000)
+                    AS BIGINT) AS t
+        FROM per)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_sampled,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM documents d JOIN thr USING (source)
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':mix'), 1, 15))::BIGINT
+      % 10000 < thr.t
+GROUP BY d.source
 """
 
     # decontamination: same whitespace tokenization + positional 5-grams

@@ -151,3 +151,62 @@ def weighted_sample(
         .limit(k)
         .drop("_ws_score")
     )
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+) -> DataFrame:
+    """Deterministic output sharding -> input columns + ``shard`` in
+    [0, n_shards): the data-loader bucketing step.  The shard id is a
+    pure function of the row id (portable md5 arithmetic, replayable in
+    any engine), so re-running the pipeline lands every document in the
+    same shard — which is what makes shard-level caching and resumable
+    training-data publication work.  Uniformity comes from the hash, so
+    shards balance to ~1/sqrt(rows-per-shard) relative error with no
+    shuffle at all (the column is computed map-side; writers partition
+    by it).
+    """
+    from ahrd_spark.functions.hashing import md5_prefix60
+
+    h = F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))
+    return df.withColumn(
+        "shard", (md5_prefix60(h) % F.lit(n_shards)).cast("int")
+    )
+
+
+def mixture_materialize(
+    docs: DataFrame,
+    plan: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "mix",
+) -> DataFrame:
+    """Materialize a training mixture: apply each source's planned
+    ``sample_fraction`` (from :func:`ahrd_spark.operators.corpus.
+    mixture_plan`) as a deterministic hash filter -> the sampled docs.
+    Sources absent from the plan are dropped (inner join — an unplanned
+    source in the mixture is a bug, not a default).
+
+    The per-source threshold is computed IN the plan frame
+    (``round(fraction * buckets)``), so the filter is one broadcast-able
+    join plus a map-side predicate — no shuffle of the corpus, same
+    nested-sample guarantees as ``hash_sample`` (same salt -> a smaller
+    fraction is a subset of a larger one).
+    """
+    from ahrd_spark.functions.hashing import md5_prefix60
+
+    thr = plan.select(
+        source_col,
+        F.round(F.col("sample_fraction") * SAMPLE_BUCKETS)
+        .cast("bigint")
+        .alias("_thr"),
+    )
+    h = F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))
+    return (
+        docs.join(thr, source_col)
+        .filter((md5_prefix60(h) % SAMPLE_BUCKETS) < F.col("_thr"))
+        .drop("_thr")
+    )

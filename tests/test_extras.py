@@ -1671,3 +1671,39 @@ def test_ppm_pixel_stats():
     expect = 255 * (0.299 + 0.114) / 2
     assert abs(s["luma_mean"] - expect) < 1e-9
     assert s["luma_std"] > 0
+
+
+def test_shard_assign_stable_and_balanced(spark):
+    from ahrd_spark.operators.sampling import shard_assign
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = shard_assign(df, 8)
+    counts = {r["shard"]: r["count"]
+              for r in out.groupBy("shard").count().collect()}
+    assert set(counts) == set(range(8))
+    assert max(counts.values()) < 2 * min(counts.values())
+    # pure function of the id: re-computation matches exactly
+    a = {(r["doc_id"], r["shard"]) for r in out.collect()}
+    b = {(r["doc_id"], r["shard"]) for r in shard_assign(df, 8).collect()}
+    assert a == b
+
+
+def test_mixture_materialize_is_nested_hash_sample(spark):
+    from ahrd_spark.operators.corpus import mixture_plan
+    from ahrd_spark.operators.sampling import mixture_materialize
+
+    rows = [(i, "s0" if i % 2 == 0 else "s1", "tok " * 10)
+            for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    # s0 wants ~40% of its tokens, s1 none
+    plan = mixture_plan(docs, {"s0": 0.4, "s1": 0.0}, token_budget=2000)
+    out = mixture_materialize(docs, plan)
+    per = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert "s1" not in per
+    assert 0 < per["s0"] < 500
+    # nested-sample property: halving the budget yields a subset
+    plan2 = mixture_plan(docs, {"s0": 0.4, "s1": 0.0}, token_budget=1000)
+    ids2 = {r["doc_id"] for r in mixture_materialize(docs, plan2).collect()}
+    ids1 = {r["doc_id"] for r in out.collect()}
+    assert ids2 <= ids1
