@@ -1607,6 +1607,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mixture_materialize"] = mixture_materialize_q
 
+    def histogram_q(spark, sf):
+        from ahrd_spark.operators.profile import fixed_histogram
+
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        return fixed_histogram(
+            li, "l_extendedprice", lo=0.0, width=5000.0, n_bins=20,
+            key_cols=["l_returnflag"],
+        )
+
+    q["fixed_histogram"] = histogram_q
+
+    def global_topk_q(spark, sf):
+        # exact global top-k: TakeOrderedAndProject — no full sort, no
+        # single-reducer shuffle (each partition keeps k, driver merges)
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        return (
+            li.select(
+                "l_orderkey",
+                "l_linenumber",
+                F.round("l_extendedprice", 6).alias("price_r"),
+            )
+            .orderBy(
+                F.col("price_r").desc(),
+                F.col("l_orderkey").asc(),
+                F.col("l_linenumber").asc(),
+            )
+            .limit(20)
+        )
+
+    q["global_topk"] = global_topk_q
+
     def ann_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -3166,6 +3197,27 @@ FROM documents d JOIN thr USING (source)
 WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':mix'), 1, 15))::BIGINT
       % 10000 < thr.t
 GROUP BY d.source
+"""
+
+    # fixed-width histogram replay (profile.py::fixed_histogram)
+    o["fixed_histogram"] = """
+WITH b AS (
+  SELECT l_returnflag,
+         CAST(least(greatest(CAST(floor(l_extendedprice / 5000.0)
+                                  AS BIGINT), 0), 19) AS INT) AS bin
+  FROM lineitem WHERE l_extendedprice IS NOT NULL)
+SELECT l_returnflag, bin, round(bin * 5000.0, 6) AS bin_lo,
+       CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY l_returnflag, bin
+"""
+
+    # exact global top-k replay (queries()::global_topk); the ORDER is
+    # deterministic (price desc, key asc) and the driver compares sets
+    o["global_topk"] = """
+SELECT l_orderkey, l_linenumber, round(l_extendedprice, 6) AS price_r
+FROM lineitem
+ORDER BY price_r DESC, l_orderkey ASC, l_linenumber ASC
+LIMIT 20
 """
 
     # decontamination: same whitespace tokenization + positional 5-grams

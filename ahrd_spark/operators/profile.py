@@ -231,3 +231,40 @@ def group_mode(
             *key_cols, F.col(value_col).alias("mode_value"), "n"
         )
     )
+
+
+def fixed_histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    width: float,
+    n_bins: int,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fixed-width histogram -> (key columns..., bin, bin_lo, n): counts
+    per ``[lo + i*width, lo + (i+1)*width)`` bucket, with underflow
+    clamped to bin 0 and overflow to bin ``n_bins - 1`` (edge buckets
+    absorb the tails, so the bin count — and the output size — is fixed
+    no matter what garbage arrives).  NULL values are dropped.
+
+    One aggregation with map-side partials; output is ``n_bins`` rows
+    per key.  Fixed-width beats quantile bins when histograms must be
+    MERGEABLE across shards/days — identical bin edges everywhere.
+    """
+    if width <= 0 or n_bins < 1:
+        raise ValueError("width must be > 0 and n_bins >= 1")
+    keys = key_cols or []
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+    b = F.least(
+        F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)
+    ).cast("int")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "bin_lo",
+            F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6),
+        )
+        .select(*keys, "bin", "bin_lo", "n")
+    )

@@ -1707,3 +1707,33 @@ def test_mixture_materialize_is_nested_hash_sample(spark):
     ids2 = {r["doc_id"] for r in mixture_materialize(docs, plan2).collect()}
     ids1 = {r["doc_id"] for r in out.collect()}
     assert ids2 <= ids1
+
+
+def test_fixed_histogram_clamps_tails(spark):
+    from ahrd_spark.operators.profile import fixed_histogram
+
+    rows = [(-5.0,), (0.0,), (9.9,), (10.0,), (25.0,), (999.0,), (None,)]
+    df = spark.createDataFrame(rows, "v double")
+    got = {r["bin"]: (r["bin_lo"], r["n"])
+           for r in fixed_histogram(df, "v", lo=0.0, width=10.0,
+                                    n_bins=3).collect()}
+    # -5 clamps into bin 0; 25 in bin 2; 999 clamps into bin 2; NULL drops
+    assert got[0] == (0.0, 3)
+    assert got[1] == (10.0, 1)
+    assert got[2] == (20.0, 2)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        fixed_histogram(df, "v", lo=0.0, width=0.0, n_bins=3)
+
+
+def test_global_topk_plan_avoids_full_sort(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["global_topk"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert len(rows) == 20
+    prices = [r["price_r"] for r in rows]
+    assert prices == sorted(prices, reverse=True)
