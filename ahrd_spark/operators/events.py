@@ -87,7 +87,11 @@ def funnel_counts(
             F.lit(i).alias("step_idx"),
             F.lit(step).alias("step"),
             F.col(f"c{i}").alias("keys_cnt"),
-            F.round(F.col(f"c{i}") / F.col("c1"), 6).alias("conv_r"),
+            # guarded: an empty funnel (c1 = 0) must yield NULL, not an
+            # ANSI divide-by-zero (hypothesis-caught on empty corpora)
+            F.round(
+                F.when(F.col("c1") > 0, F.col(f"c{i}") / F.col("c1")), 6
+            ).alias("conv_r"),
         )
         for i, step in enumerate(steps, start=1)
     ]

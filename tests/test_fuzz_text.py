@@ -83,3 +83,66 @@ def test_exact_dedup_partitions_corpus(_spark, texts):
     assert sum(r["dup_count"] for r in out) == len(texts)
     assert len({r["canonical_id"] for r in out}) == len(out)
     assert len(out) == len(set(texts))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.sampled_from(["u1", "u2", "u3"]),
+            st.sampled_from(["a", "b", "c", "x"]),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_funnel_matches_python_reference(_spark, events):
+    """Anchored-funnel property: the distributed operator equals a
+    straightforward per-key Python simulation on arbitrary event sets."""
+    from ahrd_spark.operators.events import funnel_counts
+
+    steps, within = ["a", "b", "c"], 20
+    # make timestamps unique per key so ordering is total (the operator's
+    # documented contract: ties need a tiebreaker)
+    seen, rows = set(), []
+    for k, t, ts in events:
+        while (k, ts) in seen:
+            ts += 100
+        seen.add((k, ts))
+        rows.append((k, t, ts))
+
+    def simulate():
+        per = {}
+        for k, t, ts in rows:
+            per.setdefault(k, []).append((ts, t))
+        counts = [0, 0, 0]
+        for k, evs in per.items():
+            evs.sort()
+            t1 = min((ts for ts, t in evs if t == steps[0]), default=None)
+            if t1 is None:
+                continue
+            counts[0] += 1
+            prev = t1
+            for i, s in enumerate(steps[1:], start=1):
+                nxt = min(
+                    (ts for ts, t in evs
+                     if t == s and ts > prev and ts <= t1 + within),
+                    default=None,
+                )
+                if nxt is None:
+                    break
+                counts[i] += 1
+                prev = nxt
+        return counts
+
+    df = _spark.createDataFrame(rows, "k string, t string, ts long")
+    got = {r["step_idx"]: r["keys_cnt"]
+           for r in funnel_counts(df, "k", "ts", "t", steps, within).collect()}
+    expect = simulate()
+    # ungrouped agg: even an empty funnel yields the three step rows
+    assert [got[1], got[2], got[3]] == expect
