@@ -85,3 +85,62 @@ def test_kcore_fixpoint_invariant(_spark, edges, k):
                 adj[m].discard(n)
     assert got == {n: len(ns) for n, ns in adj.items()}
     assert all(d >= k for d in got.values())
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seq=st.lists(
+        st.sampled_from(["a", "b", None]), min_size=1, max_size=25
+    )
+)
+def test_scd2_runs_match_python_rle(_spark, seq):
+    from ahrd_spark.operators.sequences import scd2_intervals
+
+    rows = [("k", i, i, v) for i, v in enumerate(seq)]
+    df = _spark.createDataFrame(
+        rows, "k string, t long, eid long, attr string"
+    )
+    out = scd2_intervals(df, ["k"], ["t", "eid"], "attr").collect()
+    got = sorted(
+        (r["valid_from"], r["attr"], r["valid_to"], r["n_events"])
+        for r in out
+    )
+    # python run-length encoding reference
+    runs, start = [], 0
+    for i in range(1, len(seq) + 1):
+        if i == len(seq) or seq[i] != seq[start]:
+            runs.append((start, seq[start], i - start))
+            start = i
+    expect = sorted(
+        (s, v, (s + n) if (s + n) < len(seq) else None, n)
+        for s, v, n in runs
+    )
+    assert got == expect
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ts=st.lists(st.integers(0, 100), min_size=1, max_size=25),
+    w=st.sampled_from([1, 5, 20]),
+)
+def test_rolling_features_match_python_window(_spark, ts, w):
+    from ahrd_spark.operators.sequences import rolling_window_features
+
+    rows = [("k", t, float(i)) for i, t in enumerate(ts)]
+    df = _spark.createDataFrame(rows, "k string, t long, v double")
+    out = rolling_window_features(df, ["k"], "t", windows_s=[w],
+                                  value_col="v").collect()
+    for r in out:
+        # RANGE semantics: every row with ts in [t-w, t] is in the frame,
+        # including same-timestamp peers
+        inside = [(t, v) for (_, t, v) in rows if r["t"] - w <= t <= r["t"]]
+        assert r[f"cnt_{w}s"] == len(inside)
+        assert abs(r[f"sum_{w}s"] - sum(v for _, v in inside)) < 1e-9
