@@ -144,3 +144,87 @@ def test_rolling_features_match_python_window(_spark, ts, w):
         inside = [(t, v) for (_, t, v) in rows if r["t"] - w <= t <= r["t"]]
         assert r[f"cnt_{w}s"] == len(inside)
         assert abs(r[f"sum_{w}s"] - sum(v for _, v in inside)) < 1e-9
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(st.sampled_from(["u", "v", "w"]), st.integers(0, 99)),
+        min_size=1,
+        max_size=30,
+    ),
+    period=st.sampled_from([7, 10, 25]),
+)
+def test_cohort_retention_matches_python(_spark, events, period):
+    from ahrd_spark.operators.events import cohort_retention
+
+    df = _spark.createDataFrame(events, "k string, ts long")
+    got = {(r["cohort_period"], r["period_offset"]): r["active_cnt"]
+           for r in cohort_retention(df, "k", "ts", period=period).collect()}
+    first = {}
+    for k, ts in events:
+        p = ts // period
+        first[k] = min(first.get(k, p), p)
+    cells = {}
+    for k, ts in set(events):
+        cell = (first[k], ts // period - first[k])
+        cells.setdefault(cell, set()).add(k)
+    assert got == {c: len(ks) for c, ks in cells.items()}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seq=st.lists(st.sampled_from("abcd"), min_size=1, max_size=25)
+)
+def test_novelty_curve_matches_python(_spark, seq):
+    from ahrd_spark.operators.sequences import novelty_curve
+
+    rows = [("k", i, i, s) for i, s in enumerate(seq)]
+    df = _spark.createDataFrame(rows, "k string, t long, eid long, s string")
+    got = {r["eid"]: (r["is_new"], r["distinct_so_far"])
+           for r in novelty_curve(df, ["k"], ["t", "eid"], "s").collect()}
+    seen = set()
+    for i, s in enumerate(seq):
+        new = int(s not in seen)
+        seen.add(s)
+        assert got[i] == (new, len(seen))
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=20),
+        min_size=1,
+        max_size=20,
+    ),
+    cap=st.sampled_from([1, 3, 10]),
+)
+def test_inverted_index_cap_is_prefix_of_uncapped(_spark, docs, cap):
+    """The salted two-phase cap must equal the global first-N prefix for
+    ANY doc distribution (the merge-of-salted-minima argument)."""
+    from ahrd_spark.operators.retrieval import inverted_index
+
+    df = _spark.createDataFrame(
+        list(enumerate(docs)), "doc_id bigint, text string"
+    )
+    full = {r["term"]: (r["df"], r["postings"])
+            for r in inverted_index(df).collect()}
+    capped = {r["term"]: (r["df"], r["postings"])
+              for r in inverted_index(df, max_postings=cap).collect()}
+    assert set(full) == set(capped)
+    for term, (n, postings) in full.items():
+        cn, cp = capped[term]
+        assert cn == n
+        assert cp == postings[:cap]
