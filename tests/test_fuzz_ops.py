@@ -228,3 +228,104 @@ def test_inverted_index_cap_is_prefix_of_uncapped(_spark, docs, cap):
         cn, cp = capped[term]
         assert cn == n
         assert cp == postings[:cap]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(st.sampled_from(["u", "v"]), st.sampled_from("abc")),
+        min_size=1,
+        max_size=25,
+    ),
+    gap=st.sampled_from([1, 3, 10]),
+)
+def test_session_paths_match_python(_spark, events, gap):
+    from ahrd_spark.operators.sequences import session_paths
+
+    # timestamps = index*2 so gaps of 2 are constant; vary gap threshold
+    rows = [(k, i * 2, i, s) for i, (k, s) in enumerate(events)]
+    df = _spark.createDataFrame(rows, "k string, t long, eid long, s string")
+    got = {r["path"]: r["n_sessions"]
+           for r in session_paths(df, ["k"], ["t", "eid"], "s",
+                                  gap=gap).collect()}
+    per = {}
+    for k, t, _i, s in rows:
+        per.setdefault(k, []).append((t, s))
+    paths = {}
+    for k, evs in per.items():
+        evs.sort()
+        cur, prev_t = [], None
+        for t, s in evs:
+            if prev_t is not None and t - prev_t > gap:
+                p = ">".join(cur)
+                paths[p] = paths.get(p, 0) + 1
+                cur = []
+            cur.append(s)
+            prev_t = t
+        p = ">".join(cur)
+        paths[p] = paths.get(p, 0) + 1
+    assert got == paths
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_winsorize_bounds_and_identity_inside_band(_spark, vals):
+    from ahrd_spark.operators.profile import winsorize
+
+    df = _spark.createDataFrame([("g", float(v)) for v in vals],
+                                "k string, v double")
+    out = winsorize(df, ["k"], "v", lo_q=0.1, hi_q=0.9).collect()
+    assert len(out) == len(vals)
+    lo = min(r["clipped"] for r in out)
+    hi = max(r["clipped"] for r in out)
+    for r in out:
+        assert lo <= r["clipped"] <= hi
+        if r["was_clipped"] == 0:
+            assert r["clipped"] == r["v"]
+        else:
+            assert r["clipped"] in (lo, hi) or abs(r["v"]) >= abs(r["clipped"])
+    # clipping never widens the range
+    assert lo >= min(vals) and hi <= max(vals)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.tuples(st.sampled_from(["g", "h"]), st.sampled_from("abcd")),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_group_mode_matches_python(_spark, vals):
+    from collections import Counter
+
+    from ahrd_spark.operators.profile import group_mode
+
+    df = _spark.createDataFrame(vals, "k string, v string")
+    got = {r["k"]: (r["mode_value"], r["n"])
+           for r in group_mode(df, ["k"], "v").collect()}
+    per = {}
+    for k, v in vals:
+        per.setdefault(k, []).append(v)
+    for k, vs in per.items():
+        c = Counter(vs)
+        best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert got[k] == best
