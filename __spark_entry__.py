@@ -1638,6 +1638,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["global_topk"] = global_topk_q
 
+    def dedup_clusters_q(spark, sf):
+        # composition: LSH blocking -> connected components -> cluster
+        # size histogram — the shape of the dedup problem in one table
+        from ahrd_spark.operators.connected_components import (
+            connected_components,
+        )
+
+        sig = minhash_signature(_docs(spark, sf), num_hashes=4)
+        pairs = lsh_candidate_pairs(sig, bands=2, rows_per_band=2)
+        edges = pairs.select(
+            F.col("doc_a").cast("string").alias("u"),
+            F.col("doc_b").cast("string").alias("v"),
+        )
+        comp = connected_components(edges)
+        sizes = comp.groupBy("component").agg(
+            F.count(F.lit(1)).alias("cluster_size")
+        )
+        return sizes.groupBy("cluster_size").agg(
+            F.count(F.lit(1)).alias("n_clusters")
+        )
+
+    q["dedup_clusters"] = dedup_clusters_q
+
     def ann_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -2622,6 +2645,38 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 """
+
+    # LSH -> components -> size histogram (queries()::dedup_clusters);
+    # recursive reachability like cc_components, over the pair graph
+    o["dedup_clusters"] = (
+        "WITH RECURSIVE "
+        + minhash_cte.split("WITH ", 1)[1]
+        + """
+, banded AS (
+  SELECT doc_id, 0 AS band,
+         md5(h0::VARCHAR || '|' || h1::VARCHAR) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band,
+         md5(h2::VARCHAR || '|' || h3::VARCHAR) AS bucket FROM sig),
+prs AS (
+  SELECT DISTINCT a.doc_id::VARCHAR AS u, b.doc_id::VARCHAR AS v
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+sym AS (SELECT u, v FROM prs WHERE u <> v
+        UNION SELECT v, u FROM prs WHERE u <> v),
+nodes AS (SELECT DISTINCT u AS n FROM sym),
+reach AS (
+  SELECT n AS node, n AS r FROM nodes
+  UNION
+  SELECT reach.node, sym.v AS r
+  FROM reach JOIN sym ON sym.u = reach.r),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM comp GROUP BY component)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY cluster_size
+"""
+    )
 
     # edit-distance verification over the SAME banded candidate pairs
     o["dedup_editdist"] = minhash_cte + """
