@@ -1661,6 +1661,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_clusters"] = dedup_clusters_q
 
+    def cube_q(spark, sf):
+        from ahrd_spark.operators.events import cube_counts
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        base = ev.select(
+            "event_type",
+            (F.col("user_id") % 4).cast("int").alias("user_bucket"),
+            "value",
+        )
+        return cube_counts(
+            base, ["event_type", "user_bucket"], value_col="value"
+        )
+
+    q["events_cube"] = cube_q
+
+    def conversion_latency_q(spark, sf):
+        from ahrd_spark.operators.events import funnel_reach
+        from ahrd_spark.operators.profile import group_quantiles
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        base = ev.select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        )
+        reach = funnel_reach(
+            base, "user_id", "tus", "event_type",
+            steps=["view", "click"], within=7 * 86_400_000_000,
+        )
+        lat = reach.filter(F.col("t2").isNotNull()).select(
+            F.lit(1).alias("_g"),
+            (F.col("t2") - F.col("t1")).cast("double").alias("latency_us"),
+        )
+        out = group_quantiles(lat, ["_g"], "latency_us", [0.5, 0.9])
+        return out.select(
+            "q", F.round("quantile", 6).alias("latency_us_r")
+        )
+
+    q["conversion_latency"] = conversion_latency_q
+
     def ann_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -4649,6 +4689,37 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              / len(list_distinct(list_concat(a.toks, b.toks))), 6)
          AS jaccard_r
 FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+"""
+
+    # CUBE grouping-set replay (events.py::cube_counts)
+    o["events_cube"] = """
+WITH b AS (SELECT event_type,
+                  CAST(user_id % 4 AS INT) AS user_bucket, value
+           FROM events)
+SELECT event_type, user_bucket,
+       CAST(grouping(event_type) AS INT) AS g_event_type,
+       CAST(grouping(user_bucket) AS INT) AS g_user_bucket,
+       count(*) AS n, round(sum(value), 6) AS sum_value_r
+FROM b GROUP BY CUBE (event_type, user_bucket)
+"""
+
+    # view->click latency quantiles (funnel_reach + group_quantiles)
+    o["conversion_latency"] = """
+WITH b AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+s1 AS (SELECT user_id, min(tus) AS t1 FROM b
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT b.user_id, min(tus) AS t2
+       FROM b JOIN s1 USING (user_id)
+       WHERE event_type = 'click'
+         AND tus > t1 AND tus <= t1 + 604800000000
+       GROUP BY b.user_id),
+lat AS (SELECT CAST(s2.t2 - s1.t1 AS DOUBLE) AS latency_us
+        FROM s2 JOIN s1 USING (user_id))
+SELECT CAST(0.5 AS DOUBLE) AS q,
+       round(quantile_cont(latency_us, 0.5), 6) AS latency_us_r FROM lat
+UNION ALL
+SELECT CAST(0.9 AS DOUBLE) AS q,
+       round(quantile_cont(latency_us, 0.9), 6) AS latency_us_r FROM lat
 """
 
     # star-schema revenue rollup (queries()::olap_star_revenue)

@@ -147,6 +147,26 @@ def rollup_counts(
     )
 
 
+def cube_counts(
+    df: DataFrame, dims: list[str], value_col: str | None = None
+) -> DataFrame:
+    """CUBE aggregate over ``dims`` — every grouping-set combination
+    (2^len(dims) sets), same output contract as :func:`rollup_counts`
+    (per-dim ``g_<dim>`` flags disambiguate real NULL keys).  Use CUBE
+    when slices along EVERY dim combination are wanted (dashboards);
+    ROLLUP when only the drill-down chain is."""
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 6).alias("sum_value_r"))
+    out = df.cube(*dims).agg(
+        *[F.grouping(d).cast("int").alias(f"g_{d}") for d in dims], *aggs
+    )
+    return out.select(
+        *dims, *[f"g_{d}" for d in dims], "n",
+        *(["sum_value_r"] if value_col is not None else []),
+    )
+
+
 def pivot_counts(
     df: DataFrame,
     key_cols: list[str],

@@ -1737,3 +1737,17 @@ def test_global_topk_plan_avoids_full_sort(spark):
     assert len(rows) == 20
     prices = [r["price_r"] for r in rows]
     assert prices == sorted(prices, reverse=True)
+
+
+def test_cube_counts_all_grouping_sets(spark):
+    from ahrd_spark.operators.events import cube_counts
+
+    rows = [("a", 1, 1.0), ("a", 2, 2.0), ("b", 1, 4.0)]
+    df = spark.createDataFrame(rows, "d1 string, d2 int, v double")
+    got = {(r["d1"], r["d2"], r["g_d1"], r["g_d2"]): (r["n"], r["sum_value_r"])
+           for r in cube_counts(df, ["d1", "d2"], value_col="v").collect()}
+    assert got[(None, 1, 1, 0)] == (2, 5.0)      # d2 slice: CUBE-only cell
+    assert got[("a", None, 0, 1)] == (2, 3.0)    # d1 slice
+    assert got[(None, None, 1, 1)] == (3, 7.0)   # grand total
+    assert got[("b", 1, 0, 0)] == (1, 4.0)
+    assert len(got) == 3 + 2 + 2 + 1             # cells+d1s+d2s+total
