@@ -329,3 +329,68 @@ def test_group_mode_matches_python(_spark, vals):
         c = Counter(vs)
         best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
         assert got[k] == best
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    iv=st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 20)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_merge_intervals_matches_python(_spark, iv):
+    from ahrd_spark.operators.intervals import merge_intervals
+
+    rows = [("k", lo, lo + ln) for lo, ln in iv]
+    df = _spark.createDataFrame(rows, "k string, lo long, hi long")
+    got = sorted(
+        (r["lo"], r["hi"], r["n_merged"])
+        for r in merge_intervals(df, ["k"]).collect()
+    )
+    ivs = sorted((lo, hi) for _, lo, hi in rows)
+    blocks = []
+    for lo, hi in ivs:
+        if blocks and lo <= blocks[-1][1]:
+            blocks[-1][1] = max(blocks[-1][1], hi)
+            blocks[-1][2] += 1
+        else:
+            blocks.append([lo, hi, 1])
+    assert got == sorted((lo, hi, n) for lo, hi, n in blocks)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lts=st.lists(st.integers(0, 50), min_size=1, max_size=15),
+    rts=st.lists(st.integers(0, 50), min_size=1, max_size=15),
+)
+def test_asof_join_matches_python(_spark, lts, rts):
+    from ahrd_spark.operators.asof import asof_join
+
+    left = _spark.createDataFrame(
+        [("k", t, i) for i, t in enumerate(lts)],
+        "k string, ts long, lid bigint",
+    )
+    # unique right timestamps: latest-preceding is then unambiguous
+    right = _spark.createDataFrame(
+        [("k", t, float(t)) for t in sorted(set(rts))],
+        "k string, ts long, payload double",
+    )
+    out = asof_join(left, right, keys=["k"]).collect()
+    rset = sorted(set(rts))
+    for r in out:
+        preceding = [t for t in rset if t <= r["ts"]]
+        if preceding:
+            assert r["asof_ts"] == preceding[-1]
+            assert r["asof_payload"] == float(preceding[-1])
+        else:
+            assert r["asof_ts"] is None and r["asof_payload"] is None
+    assert len(out) == len(lts)
