@@ -1701,6 +1701,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["conversion_latency"] = conversion_latency_q
 
+    def top_terms_q(spark, sf):
+        from ahrd_spark.operators.textstats import top_terms_expr
+
+        return _docs(spark, sf).select(
+            "doc_id",
+            F.array_join(top_terms_expr(F.col("text"), k=3), ",").alias(
+                "top_terms_csv"
+            ),
+        )
+
+    q["top_terms"] = top_terms_q
+
     def ann_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -4720,6 +4732,28 @@ SELECT CAST(0.5 AS DOUBLE) AS q,
 UNION ALL
 SELECT CAST(0.9 AS DOUBLE) AS q,
        round(quantile_cont(latency_us, 0.9), 6) AS latency_us_r FROM lat
+"""
+
+    # higher-order per-doc top-terms replay (textstats.py::top_terms_expr)
+    o["top_terms"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+k AS (
+  SELECT doc_id,
+         list_transform(
+           list_distinct(toks),
+           u -> lpad((9999999999 - len(list_filter(toks, x -> x = u)))
+                     ::VARCHAR, 10, '0') || chr(9) || u) AS keyed
+  FROM t)
+SELECT doc_id,
+       array_to_string(
+         list_transform(list_sort(keyed)[1:3],
+                        s -> string_split(s, chr(9))[2]), ',')
+         AS top_terms_csv
+FROM k
 """
 
     # star-schema revenue rollup (queries()::olap_star_revenue)

@@ -263,3 +263,38 @@ def fingerprint_expr(text: Column) -> Column:
     (sorted-unique-token) form — T2 patternize lifted to documents; equal
     fingerprints <=> equal token sets (mod hash collisions)."""
     return F.md5(patternize_expr(tokenize_expr(text)))
+
+
+def top_terms_expr(text, k: int = 3):
+    """Per-document top-``k`` terms by in-document frequency, ties by
+    term (ascending) -> ARRAY<STRING>, computed ENTIRELY with
+    higher-order array functions — no explode, no shuffle: the whole
+    per-doc ranking runs inside the row's projection, which is what
+    keeps a 10^12-doc pass embarrassingly parallel.
+
+    Formulation: distinct tokens -> (count, term) pairs -> array_sort by
+    (-count, term) via a comparator encoded in the sort key (zero-padded
+    count descending) -> slice -> strip keys.
+    """
+    from pyspark.sql import functions as F
+
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    toks = F.filter(toks, lambda t: t != F.lit(""))
+    uniq = F.array_distinct(toks)
+    # key: (9999999999 - count) zero-padded, then the term -> lexicographic
+    # sort of the key IS (count desc, term asc)
+    keyed = F.transform(
+        uniq,
+        lambda u: F.concat(
+            F.lpad(
+                (F.lit(9999999999) - F.size(F.filter(toks, lambda t: t == u)))
+                .cast("string"),
+                10,
+                "0",
+            ),
+            F.lit("\t"),
+            u,
+        ),
+    )
+    top = F.slice(F.array_sort(keyed), 1, k)
+    return F.transform(top, lambda s: F.element_at(F.split(s, "\t"), 2))

@@ -1751,3 +1751,18 @@ def test_cube_counts_all_grouping_sets(spark):
     assert got[(None, None, 1, 1)] == (3, 7.0)   # grand total
     assert got[("b", 1, 0, 0)] == (1, 4.0)
     assert len(got) == 3 + 2 + 2 + 1             # cells+d1s+d2s+total
+
+
+def test_top_terms_expr_order_and_ties(spark):
+    from ahrd_spark.operators.textstats import top_terms_expr
+
+    df = spark.createDataFrame(
+        [(1, "b b b a a c z z"), (2, ""), (3, "  x  ")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["t"] for r in df.select(
+        "doc_id", top_terms_expr(F.col("text"), k=3).alias("t")).collect()}
+    # b(3) first; a and z tie at 2 -> lexicographic a before z
+    assert got[1] == ["b", "a", "z"]
+    assert got[2] == []
+    assert got[3] == ["x"]
