@@ -394,3 +394,97 @@ def test_asof_join_matches_python(_spark, lts, rts):
         else:
             assert r["asof_ts"] is None and r["asof_payload"] is None
     assert len(out) == len(lts)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seqs=st.dictionaries(
+        st.sampled_from(["u", "v"]),
+        st.lists(st.sampled_from("abc"), min_size=1, max_size=15),
+        min_size=1,
+    )
+)
+def test_transition_matrix_matches_python(_spark, seqs):
+    from collections import Counter
+
+    from ahrd_spark.operators.sequences import transition_matrix
+
+    rows = [(k, i, i, s)
+            for k, seq in seqs.items() for i, s in enumerate(seq)]
+    df = _spark.createDataFrame(rows, "k string, t long, eid long, s string")
+    got = {(r["from_state"], r["to_state"]): (r["n"], r["p"])
+           for r in transition_matrix(df, ["k"], ["t", "eid"],
+                                      state_col="s").collect()}
+    c = Counter()
+    for seq in seqs.values():
+        for a, b in zip(seq, seq[1:]):
+            c[(a, b)] += 1
+    row_tot = Counter()
+    for (a, _b), n in c.items():
+        row_tot[a] += n
+    assert set(got) == set(c)
+    for (a, b), n in c.items():
+        gn, gp = got[(a, b)]
+        assert gn == n and abs(gp - n / row_tot[a]) < 1e-12
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 100),
+                  st.floats(min_value=-10, max_value=10, allow_nan=False)),
+        min_size=1,
+        max_size=20,
+    ),
+    hl=st.sampled_from([5.0, 20.0]),
+)
+def test_decayed_sum_matches_python(_spark, pts, hl):
+    from ahrd_spark.operators.sequences import decayed_sum
+
+    df = _spark.createDataFrame([("k", t, v) for t, v in pts],
+                                "k string, t long, v double")
+    r = decayed_sum(df, ["k"], "t", "v", half_life=hl).collect()[0]
+    last = max(t for t, _ in pts)
+    expect = sum(v * 0.5 ** ((last - t) / hl) for t, v in pts)
+    assert r["last_ts"] == last and r["n"] == len(pts)
+    assert abs(r["decayed_value"] - expect) < 1e-9
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    act=st.lists(
+        st.tuples(st.sampled_from("abcde"), st.integers(0, 15)),
+        min_size=1,
+        max_size=30,
+    ),
+    w=st.sampled_from([1, 3, 7]),
+)
+def test_active_users_matches_python(_spark, act, w):
+    from ahrd_spark.operators.events import active_users_window
+
+    df = _spark.createDataFrame(act, "k string, day bigint")
+    got = {r["day"]: (r["dau"], r["wau"])
+           for r in active_users_window(df, "k", "day",
+                                        window_days=w).collect()}
+    days = {d for _, d in act}
+    max_day = max(days)
+    for d in range(min(days), max_day + 1):
+        dau = len({k for k, dd in act if dd == d})
+        wau = len({k for k, dd in act if d - w + 1 <= dd <= d})
+        if wau == 0:
+            assert d not in got
+        else:
+            assert got[d] == (dau, wau)
+    assert max(got) <= max_day
