@@ -1713,6 +1713,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["top_terms"] = top_terms_q
 
+    def gopher_rules_q(spark, sf):
+        from ahrd_spark.operators.textstats import gopher_rules_expr
+
+        g = gopher_rules_expr(F.col("text"))
+        return _docs(spark, sf).withColumn("g", g).select(
+            "doc_id",
+            F.col("g.n_words").alias("n_words"),
+            F.round("g.mean_word_len", 6).alias("mean_word_len_r"),
+            F.round("g.symbol_ratio", 6).alias("symbol_ratio_r"),
+            F.round("g.bullet_ratio", 6).alias("bullet_ratio_r"),
+            F.col("g.passes").alias("passes"),
+        )
+
+    q["gopher_rules"] = gopher_rules_q
+
+    def zipf_slope_q(spark, sf):
+        """Corpus-health check: OLS slope of ln(freq) on ln(rank) over
+        the corpus term-frequency distribution — natural text sits near
+        -1; strong deviation flags synthetic/boilerplate corpora.  The
+        global rank window is single-partition by construction; the
+        frame it ranks is the aggregated term table (vocabulary-sized,
+        not corpus-sized) — at 10^12 docs rank only the top-N terms."""
+        from pyspark.sql import Window
+
+        toks = _docs(spark, sf).select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("tok")
+        )
+        freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+        w = Window.orderBy(F.col("f").desc(), F.col("tok").asc())
+        ranked = freq.select(
+            F.log(F.row_number().over(w).cast("double")).alias("lr"),
+            F.log(F.col("f").cast("double")).alias("lf"),
+        )
+        return ranked.agg(
+            F.round(F.regr_slope(F.col("lf"), F.col("lr")), 6).alias(
+                "zipf_slope_r"
+            ),
+            F.round(
+                F.regr_intercept(F.col("lf"), F.col("lr")), 6
+            ).alias("intercept_r"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+
+    q["zipf_slope"] = zipf_slope_q
+
     def ann_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -4754,6 +4804,61 @@ SELECT doc_id,
                         s -> string_split(s, chr(9))[2]), ',')
          AS top_terms_csv
 FROM k
+"""
+
+    # Gopher quality-gate replay (textstats.py::gopher_rules_expr)
+    o["gopher_rules"] = """
+WITH b AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     w -> w <> '') AS words,
+         string_split(text, chr(10)) AS lines
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         CASE WHEN len(words) > 0
+              THEN CAST(list_sum(list_transform(words, w -> strlen(w)))
+                        AS DOUBLE) / len(words) END AS mean_word_len,
+         CASE WHEN len(words) > 0 THEN
+           CAST((strlen(text) - strlen(replace(text, '#', '')))
+                + (strlen(text) - strlen(replace(text, '...', ''))) / 3
+                AS DOUBLE) / len(words) END AS symbol_ratio,
+         CASE WHEN len(lines) > 0 THEN
+           CAST(len(list_filter(lines,
+                                l -> trim(l) LIKE '-%'
+                                     OR trim(l) LIKE '*%')) AS DOUBLE)
+           / len(lines) END AS bullet_ratio
+  FROM b)
+SELECT doc_id, CAST(n_words AS INT) AS n_words,
+       round(mean_word_len, 6) AS mean_word_len_r,
+       round(symbol_ratio, 6) AS symbol_ratio_r,
+       round(bullet_ratio, 6) AS bullet_ratio_r,
+       CAST(coalesce(n_words BETWEEN 50 AND 100000
+                     AND mean_word_len BETWEEN 3.0 AND 10.0
+                     AND symbol_ratio <= 0.1
+                     AND bullet_ratio < 0.9, false) AS INT) AS passes
+FROM m
+"""
+
+    # Zipf-slope replay (queries()::zipf_slope)
+    o["zipf_slope"] = """
+WITH toks AS (
+  SELECT u.tok
+  FROM (SELECT list_filter(regexp_split_to_array(lower(trim(text)),
+                                                 '\\s+'),
+                           t -> t <> '') AS ts
+        FROM documents) d, unnest(d.ts) AS u(tok)),
+freq AS (SELECT tok, count(*) AS f FROM toks GROUP BY tok),
+ranked AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY f DESC, tok ASC) AS DOUBLE))
+           AS lr,
+         ln(CAST(f AS DOUBLE)) AS lf
+  FROM freq)
+SELECT round(regr_slope(lf, lr), 6) AS zipf_slope_r,
+       round(regr_intercept(lf, lr), 6) AS intercept_r,
+       CAST(count(*) AS BIGINT) AS n_terms
+FROM ranked
 """
 
     # star-schema revenue rollup (queries()::olap_star_revenue)

@@ -298,3 +298,89 @@ def top_terms_expr(text, k: int = 3):
     )
     top = F.slice(F.array_sort(keyed), 1, k)
     return F.transform(top, lambda s: F.element_at(F.split(s, "\t"), 2))
+
+
+def gopher_rules_expr(text):
+    """Gopher-style document quality gate (the published heuristic
+    bundle from the Gopher corpus paper, arXiv:2112.11446 Appendix A)
+    -> STRUCT<n_words, mean_word_len, symbol_ratio, bullet_ratio,
+    passes:int>.  A doc passes when: 50 <= words <= 100000, mean word
+    length in [3, 10], symbol-to-word ratio (# or ellipsis) <= 0.1, and
+    < 90% of lines start with a bullet.  Pure codegen expressions —
+    the gate costs one projection at any corpus size."""
+    from pyspark.sql import functions as F
+
+    words = F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(words)
+    mean_len = F.when(
+        n_words > 0,
+        F.aggregate(
+            words, F.lit(0).cast("double"),
+            lambda acc, w: acc + F.length(w),
+        ) / n_words,
+    )
+    n_symbols = (
+        F.size(F.split(text, r"#", -1)) - 1
+        + F.size(F.split(text, r"\.\.\.", -1)) - 1
+    )
+    symbol_ratio = F.when(n_words > 0, n_symbols / n_words)
+    lines = F.split(text, r"\n", -1)
+    n_lines = F.size(lines)
+    n_bullets = F.size(
+        F.filter(lines, lambda l: F.trim(l).startswith("-")
+                 | F.trim(l).startswith("*"))
+    )
+    bullet_ratio = F.when(n_lines > 0, n_bullets / n_lines)
+    passes = (
+        (n_words >= 50) & (n_words <= 100_000)
+        & mean_len.between(3.0, 10.0)
+        & (symbol_ratio <= 0.1)
+        & (bullet_ratio < 0.9)
+    ).cast("int")
+    return F.struct(
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_ratio"),
+        F.coalesce(passes, F.lit(0)).alias("passes"),
+    )
+
+
+def compression_ratio(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-doc zlib compression ratio -> (id, n_bytes, n_compressed,
+    ratio) — the classic redundancy gate (highly repetitive/boilerplate
+    text compresses far below natural text's ~0.3-0.5; near-random
+    payloads sit near 1.0).  zlib level 6, deterministic across runs.
+
+    Arrow-batched ``mapInPandas`` (no per-row Python, no JVM round-trip
+    of the text beyond the one Arrow transfer); the only non-codegen
+    text op in the curation family, kept Python-side because no SQL
+    engine exposes a deterministic compressor."""
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+
+    schema = (
+        f"{id_col} bigint, n_bytes int, n_compressed int, ratio double"
+    )
+
+    def batches(it):
+        import zlib
+
+        for pdf in it:
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
+            nb = raw.str.len().astype("int32")
+            nc = raw.map(lambda b: len(zlib.compress(b, 6))).astype("int32")
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": nb,
+                    "n_compressed": nc,
+                    "ratio": (nc / nb.where(nb > 0)).astype("float64"),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(batches, schema)

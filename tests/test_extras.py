@@ -1766,3 +1766,24 @@ def test_top_terms_expr_order_and_ties(spark):
     assert got[1] == ["b", "a", "z"]
     assert got[2] == []
     assert got[3] == ["x"]
+
+
+def test_compression_ratio_separates_repetitive_text(spark):
+    import zlib
+
+    from ahrd_spark.operators.textstats import compression_ratio
+
+    rows = [(1, "spam " * 400),                       # hyper-repetitive
+            (2, "the quick brown fox jumps over the lazy dog. " * 40),
+            (3, ""),                                   # empty -> NULL ratio
+            (4, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    assert got[1]["ratio"] < 0.05                     # collapses
+    assert got[1]["n_compressed"] == len(zlib.compress(
+        ("spam " * 400).encode(), 6))                 # deterministic
+    assert got[2]["ratio"] < 0.2
+    assert got[1]["ratio"] < got[2]["ratio"]
+    assert got[3]["ratio"] is None and got[3]["n_bytes"] == 0
+    assert got[4]["ratio"] is None                    # NULL text == empty
+    assert len(got) == 4
