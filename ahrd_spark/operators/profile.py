@@ -268,3 +268,32 @@ def fixed_histogram(
         )
         .select(*keys, "bin", "bin_lo", "n")
     )
+
+
+def geometric_mean_udaf():
+    """Arrow-vectorized grouped aggregation (``pandas_udf`` GROUPED_AGG)
+    computing the geometric mean of positive values — the remaining
+    sanctioned Python surface after mapInPandas (codecs/scorers) and
+    applyInPandasWithState (streaming): partial batches stream through
+    as NumPy arrays, never Python rows.
+
+    For plain geometric means PREFER the codegen identity
+    ``exp(avg(ln(x)))`` (which the oracle uses); this UDAF exists as the
+    template for aggregates that genuinely need NumPy/SciPy bodies.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _gmean(v):
+        x = v.to_numpy(dtype="float64")
+        x = x[x > 0]
+        if x.size == 0:
+            return float("nan")
+        return float(np.exp(np.mean(np.log(x))))
+
+    # real annotation objects (the module's `from __future__ import
+    # annotations` stringizes inline hints, which pandas_udf can't
+    # resolve from its own scope)
+    _gmean.__annotations__ = {"v": pd.Series, "return": float}
+    return pandas_udf(_gmean, "double")

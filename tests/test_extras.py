@@ -1787,3 +1787,21 @@ def test_compression_ratio_separates_repetitive_text(spark):
     assert got[3]["ratio"] is None and got[3]["n_bytes"] == 0
     assert got[4]["ratio"] is None                    # NULL text == empty
     assert len(got) == 4
+
+
+def test_geometric_mean_udaf_matches_codegen_identity(spark):
+    from ahrd_spark.operators.profile import geometric_mean_udaf
+
+    rows = [("g", 2.0), ("g", 8.0), ("g", -1.0),     # non-positive ignored
+            ("h", 5.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    gmean = geometric_mean_udaf()
+    got = {r["k"]: r["gm"] for r in
+           df.groupBy("k").agg(gmean("v").alias("gm")).collect()}
+    assert abs(got["g"] - 4.0) < 1e-12               # sqrt(2*8)
+    assert abs(got["h"] - 5.0) < 1e-12               # exp(ln(5)) round-trip
+    # parity with the codegen identity exp(avg(ln(x)))
+    ref = {r["k"]: r["gm"] for r in
+           df.filter(F.col("v") > 0).groupBy("k")
+             .agg(F.exp(F.avg(F.log("v"))).alias("gm")).collect()}
+    assert all(abs(got[k] - ref[k]) < 1e-12 for k in ref)
