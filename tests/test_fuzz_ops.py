@@ -488,3 +488,60 @@ def test_active_users_matches_python(_spark, act, w):
         else:
             assert got[d] == (dau, wau)
     assert max(got) <= max_day
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-30, max_value=130, allow_nan=False),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_fixed_histogram_matches_python(_spark, vals):
+    from collections import Counter
+
+    from ahrd_spark.operators.profile import fixed_histogram
+
+    df = _spark.createDataFrame([(float(v),) for v in vals], "v double")
+    got = {r["bin"]: r["n"]
+           for r in fixed_histogram(df, "v", lo=0.0, width=10.0,
+                                    n_bins=10).collect()}
+    ref = Counter(min(max(int(v // 10), 0), 9) for v in vals)
+    assert got == dict(ref)
+    assert sum(got.values()) == len(vals)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    baskets=st.lists(
+        st.tuples(st.integers(0, 6), st.sampled_from("pqrs")),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_cooccurrence_matches_python(_spark, baskets):
+    from collections import Counter
+    from itertools import combinations
+
+    from ahrd_spark.operators.graph import cooccurrence_projection
+
+    df = _spark.createDataFrame(baskets, "g bigint, i string")
+    got = {(r["item_a"], r["item_b"]): r["n"]
+           for r in cooccurrence_projection(df, "g", "i").collect()}
+    per = {}
+    for g, i in set(baskets):
+        per.setdefault(g, set()).add(i)
+    ref = Counter()
+    for items in per.values():
+        for a, b in combinations(sorted(items), 2):
+            ref[(a, b)] += 1
+    assert got == dict(ref)
