@@ -1763,6 +1763,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["zipf_slope"] = zipf_slope_q
 
+    def mad_outliers_q(spark, sf):
+        from ahrd_spark.operators.profile import mad_outliers
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        base = ev.select("event_id", "event_type", "value")
+        out = mad_outliers(base, ["event_type"], "value", k=3.5)
+        return out.select(
+            "event_id",
+            "event_type",
+            F.round("med", 6).alias("med_r"),
+            F.round("mad", 6).alias("mad_r"),
+            F.round("mad_z", 6).alias("mad_z_r"),
+            "is_outlier",
+        )
+
+    q["mad_outliers"] = mad_outliers_q
+
     def ann_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -4859,6 +4876,26 @@ SELECT round(regr_slope(lf, lr), 6) AS zipf_slope_r,
        round(regr_intercept(lf, lr), 6) AS intercept_r,
        CAST(count(*) AS BIGINT) AS n_terms
 FROM ranked
+"""
+
+    # MAD modified-z outlier replay (profile.py::mad_outliers)
+    o["mad_outliers"] = """
+WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+             FROM events GROUP BY event_type),
+mad AS (SELECT e.event_type,
+               quantile_cont(abs(e.value - med.med), 0.5) AS mad
+        FROM events e JOIN med USING (event_type)
+        GROUP BY e.event_type),
+z AS (SELECT e.event_id, e.event_type, med.med, mad.mad,
+             CASE WHEN mad.mad > 0
+                  THEN CAST(0.6745 AS DOUBLE) * (e.value - med.med)
+                       / mad.mad END AS mz
+      FROM events e JOIN med USING (event_type)
+                    JOIN mad USING (event_type))
+SELECT event_id, event_type, round(med, 6) AS med_r,
+       round(mad, 6) AS mad_r, round(mz, 6) AS mad_z_r,
+       CAST(coalesce(abs(mz) > 3.5, false) AS INT) AS is_outlier
+FROM z
 """
 
     # star-schema revenue rollup (queries()::olap_star_revenue)

@@ -127,7 +127,10 @@ def ref_integrity(
     )
 
 
-__all__ = ["table_profile", "ref_integrity"]
+__all__ = [
+    "table_profile", "ref_integrity", "group_quantiles", "winsorize",
+    "group_mode", "fixed_histogram", "geometric_mean_udaf", "mad_outliers",
+]
 
 
 def group_quantiles(
@@ -297,3 +300,47 @@ def geometric_mean_udaf():
     # resolve from its own scope)
     _gmean.__annotations__ = {"v": pd.Series, "return": float}
     return pandas_udf(_gmean, "double")
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    k: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outlier flags via median absolute deviation ->
+    input columns + (med, mad, mad_z, is_outlier).  ``mad_z`` is the
+    0.6745-scaled modified z-score (Iglewicz-Hoaglin); rows with
+    ``|mad_z| > k`` flag.  MAD survives what wrecks mean/std outlier
+    rules (one gigantic value inflates std enough to hide itself) and
+    complements the Tukey-fence IQR operator with a tighter robust
+    scale.  NULL ``mad_z`` when MAD is 0 (constant-majority groups) —
+    guarded division, no engine-specific x/0.
+
+    Two grouped percentile passes joined back on the key (AQE
+    broadcasts the group-level frames); exact medians buffer per group
+    — same bounded-groups contract as :func:`group_quantiles`.
+    """
+    med = df.groupBy(*key_cols).agg(
+        F.percentile(F.col(value_col), F.lit(0.5)).alias("med")
+    )
+    dev = df.join(med, key_cols).withColumn(
+        "_ad", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = dev.groupBy(*key_cols).agg(
+        F.percentile(F.col("_ad"), F.lit(0.5)).alias("mad")
+    )
+    z = F.when(
+        F.col("mad") > 0,
+        F.lit(0.6745) * (F.col(value_col) - F.col("med")) / F.col("mad"),
+    )
+    return (
+        dev.join(mad, key_cols)
+        .withColumn("mad_z", z)
+        .withColumn(
+            "is_outlier",
+            F.coalesce(F.abs(F.col("mad_z")) > F.lit(k), F.lit(False))
+            .cast("int"),
+        )
+        .drop("_ad")
+    )

@@ -1805,3 +1805,22 @@ def test_geometric_mean_udaf_matches_codegen_identity(spark):
            df.filter(F.col("v") > 0).groupBy("k")
              .agg(F.exp(F.avg(F.log("v"))).alias("gm")).collect()}
     assert all(abs(got[k] - ref[k]) < 1e-12 for k in ref)
+
+
+def test_mad_outliers_flags_robustly(spark):
+    from ahrd_spark.operators.profile import mad_outliers
+
+    # nine values near 10 plus one wild point: std-based z would be
+    # dragged by the outlier; MAD flags it cleanly
+    rows = [("g", float(v)) for v in (9, 9, 10, 10, 10, 10, 11, 11, 12)]
+    rows.append(("g", 1000.0))
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = {r["v"]: (r["is_outlier"], r["med"], r["mad"])
+           for r in mad_outliers(df, ["k"], "v").collect()}
+    assert out[1000.0][0] == 1
+    assert all(flag == 0 for v, (flag, _, _) in out.items() if v != 1000.0)
+    assert out[10.0][1] == 10.0 and out[10.0][2] == 1.0
+    # constant group: MAD = 0 -> no flags, NULL z
+    const = spark.createDataFrame([("c", 5.0)] * 4, "k string, v double")
+    rows2 = mad_outliers(const, ["k"], "v").collect()
+    assert all(r["is_outlier"] == 0 and r["mad_z"] is None for r in rows2)
