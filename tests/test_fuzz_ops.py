@@ -545,3 +545,68 @@ def test_cooccurrence_matches_python(_spark, baskets):
         for a, b in combinations(sorted(items), 2):
             ref[(a, b)] += 1
     assert got == dict(ref)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=1,
+        max_size=25,
+    ),
+    k=st.sampled_from([2.0, 3.5]),
+)
+def test_mad_outliers_matches_python(_spark, vals, k):
+    import statistics
+
+    from ahrd_spark.operators.profile import mad_outliers
+
+    df = _spark.createDataFrame([("g", float(v)) for v in vals],
+                                "k string, v double")
+    out = mad_outliers(df, ["k"], "v", k=k).collect()
+    med = statistics.median(vals)
+    mad = statistics.median(abs(v - med) for v in vals)
+    for r in out:
+        assert abs(r["med"] - med) < 1e-9
+        assert abs(r["mad"] - mad) < 1e-9
+        if mad > 0:
+            import math
+
+            mz = 0.6745 * (r["v"] - med) / mad
+            # subnormal MADs overflow to inf identically on both sides
+            if math.isinf(mz):
+                assert r["mad_z"] == mz
+            else:
+                assert abs(r["mad_z"] - mz) < 1e-9 * max(1.0, abs(mz))
+            assert r["is_outlier"] == int(abs(mz) > k)
+        else:
+            assert r["mad_z"] is None and r["is_outlier"] == 0
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    counts=st.lists(
+        st.tuples(st.sampled_from(["g", "h"]), st.sampled_from("xyz")),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_pivot_counts_matches_python(_spark, counts):
+    from collections import Counter
+
+    from ahrd_spark.operators.events import pivot_counts
+
+    df = _spark.createDataFrame(counts, "k string, t string")
+    got = {r["k"]: (r["n_x"], r["n_y"], r["n_z"])
+           for r in pivot_counts(df, ["k"], "t", ["x", "y", "z"]).collect()}
+    ref = Counter(counts)
+    for k in {k for k, _ in counts}:
+        assert got[k] == (ref[(k, "x")], ref[(k, "y")], ref[(k, "z")])
