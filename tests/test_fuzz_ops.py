@@ -610,3 +610,41 @@ def test_pivot_counts_matches_python(_spark, counts):
     ref = Counter(counts)
     for k in {k for k, _ in counts}:
         assert got[k] == (ref[(k, "x")], ref[(k, "y")], ref[(k, "z")])
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=25),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_containment_matches_python(_spark, texts):
+    from ahrd_spark.operators.dedup import containment_pairs
+
+    docs = _spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    pairs = _spark.createDataFrame(
+        [(i, i + 1) for i in range(len(texts) - 1)],
+        "doc_a bigint, doc_b bigint",
+    )
+    out = containment_pairs(docs, pairs).collect()
+
+    def toks(t):
+        # mirror the operator: split lower(trim) on \s+ (empty text -> {''})
+        import re
+        return set(re.split(r"\s+", t.strip().lower()))
+
+    for r in out:
+        a, b = toks(texts[r["doc_a"]]), toks(texts[r["doc_b"]])
+        inter = len(a & b)
+        assert abs(r["containment_a"] - inter / len(a)) < 1e-12
+        assert abs(r["containment_b"] - inter / len(b)) < 1e-12
+        assert abs(r["jaccard"] - inter / len(a | b)) < 1e-12
+    assert len(out) == len(texts) - 1
