@@ -78,6 +78,12 @@ class AhrdConfig:
     f_measure_beta_parameter: float = 1.0
     evaluate_valid_tokens: bool = True
     references_fasta: str | None = None
+    # eval-reference description filtering (Settings.java:66-68,
+    # ReferenceDescription.java:30-45); same regex-list file format as the
+    # per-DB blacklist/filter knobs
+    references_description_blacklist: tuple[str, ...] = ()
+    references_description_filter: tuple[str, ...] = ()
+    references_token_blacklist: tuple[str, ...] = ()
     blast2go: str | None = None
     output: str | None = None
     output_fasta: bool = False
@@ -228,6 +234,15 @@ def load_config(
         interpro_database=_path(raw.get("interpro_database")),
         interpro_result=_path(raw.get("interpro_result")),
         references_fasta=_path(raw.get("references_fasta")),
+        references_description_blacklist=_read_regex_list(
+            raw.get("references_description_blacklist"), base_dir
+        ),
+        references_description_filter=_read_regex_list(
+            raw.get("references_description_filter"), base_dir
+        ),
+        references_token_blacklist=_read_regex_list(
+            raw.get("references_token_blacklist"), base_dir
+        ),
         blast2go=_path(raw.get("blast2go")),
         output=_path(raw.get("output")),
         path_log=_path(raw.get("path_log")),

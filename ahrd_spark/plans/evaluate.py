@@ -41,7 +41,13 @@ def run_evaluate(spark: SparkSession, cfg: AhrdConfig) -> DataFrame:
     proteins = read_query_fasta(spark, cfg.proteins_fasta).select(
         F.col("accession").alias("protein_acc")
     )
-    refs = read_references_fasta(spark, cfg.references_fasta).select(
+    refs = read_references_fasta(
+        spark,
+        cfg.references_fasta,
+        description_blacklist=cfg.references_description_blacklist,
+        description_filter=cfg.references_description_filter,
+        token_blacklist=cfg.references_token_blacklist,
+    ).select(
         F.col("accession").alias("protein_acc"),
         F.col("description").alias("ref_description"),
         F.col("tokens").alias("ref_tokens"),

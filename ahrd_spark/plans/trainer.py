@@ -242,7 +242,13 @@ class Trainer:
             .cache()
         )
         self.refs = (
-            read_references_fasta(spark, cfg.references_fasta)
+            read_references_fasta(
+                spark,
+                cfg.references_fasta,
+                description_blacklist=cfg.references_description_blacklist,
+                description_filter=cfg.references_description_filter,
+                token_blacklist=cfg.references_token_blacklist,
+            )
             .select(
                 F.col("accession").alias("protein_acc"),
                 F.col("tokens").alias("ref_tokens"),

@@ -25,7 +25,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ahrd_spark.config import DEFAULT_FASTA_HEADER_REGEX
-from ahrd_spark.functions.text import named_group_index, tokenize_expr
+from ahrd_spark.functions.text import (
+    apply_filter_regexes,
+    blacklist_fails_expr,
+    named_group_index,
+    tokenize_expr,
+)
 
 
 def _fasta_records(spark: SparkSession, path: str) -> DataFrame:
@@ -98,20 +103,45 @@ def read_subject_fasta_db(
     )
 
 
-def read_references_fasta(spark: SparkSession, path: str) -> DataFrame:
+def read_references_fasta(
+    spark: SparkSession,
+    path: str,
+    description_blacklist: tuple[str, ...] = (),
+    description_filter: tuple[str, ...] = (),
+    token_blacklist: tuple[str, ...] = (),
+) -> DataFrame:
     """A9: references(accession, description, tokens).
 
     Header = ``>accession description...``; description is everything after
-    the first whitespace token (ReferenceDescription.java:17-47).  Tokens are
-    produced with an EMPTY blacklist (evaluation tokenization).
+    the first whitespace token (ReferenceDescription.java:17-47).
+
+    Filtering knobs (ReferenceDescription.java:30-45, keys at
+    Settings.java:66-68), with the reference's exact nesting:
+
+    - ``references_description_blacklist`` non-empty: a description that
+      FAILS the blacklist is blanked to "" (the reference keeps the row —
+      its tokens become the empty set, making every prediction for that
+      protein score FP-only).  Only when it PASSES is
+      ``references_description_filter`` applied (an empty blacklist means
+      NO filtering at all, even if a filter is configured).
+    - ``references_token_blacklist`` is always threaded into tokenization
+      (TokenScoreCalculator.tokenize with the blacklist).
     """
     rec = _fasta_records(spark, path)
     acc = F.split(F.col("header"), " ")[0]
     desc = F.trim(
         F.expr("substring(header, length(split(header, ' ')[0]) + 1)")
     )
+    if description_blacklist:
+        passes = ~blacklist_fails_expr(desc, description_blacklist)
+        if description_filter:
+            desc = F.when(
+                passes, apply_filter_regexes(desc, description_filter)
+            ).otherwise(F.lit(""))
+        else:
+            desc = F.when(passes, desc).otherwise(F.lit(""))
     return rec.select(
         acc.alias("accession"),
         desc.alias("description"),
-        tokenize_expr(desc).alias("tokens"),
+        tokenize_expr(desc, token_blacklist).alias("tokens"),
     ).filter(F.col("accession") != "")

@@ -50,10 +50,10 @@ def test_tpr_fpr(spark):
     assert one(spark, fpr_expr(arr("a"), arr("a"), arr("a"))) == 0.0
 
 
-def load_golden_eval():
+def load_golden_eval(fname="golden_evaluator.tsv"):
     """Positional parse — the reference header repeats 'Length' and
     'Evaluation-Score' for each per-db best-hit block."""
-    with open(f"{FIXDIR}/golden_evaluator.tsv") as fh:
+    with open(f"{FIXDIR}/{fname}") as fh:
         lines = [ln.rstrip("\n") for ln in fh
                  if ln.strip() and not ln.startswith("#")]
     rows = list(csv.reader(lines, delimiter="\t"))
@@ -110,3 +110,78 @@ def test_evaluator_best_unchanged_hits(eval_result):
             cell = g[f"Best BlastHit against '{db}'"].strip('"')
             exp_hit = cell.split(" ")[0]
             assert by_db[db]["hit_acc"] == exp_hit, (acc, db)
+
+
+def load_golden_filter_refs():
+    """Golden from running the compiled reference Evaluator on
+    test/resources/evaluator_filter_references_example_input.yml — the config
+    that exercises references_description_blacklist / _filter /
+    _token_blacklist (ReferenceDescription.java:30-45).  Differs from
+    golden_evaluator.tsv on Ref-Lenght / Evaluation-Score rows, so it pins the
+    knobs, not just the shared plumbing.  Same header/column layout as
+    golden_evaluator.tsv (verified identical header line)."""
+    return load_golden_eval("golden_evaluator_filter_refs.tsv")
+
+
+def test_evaluator_filter_references_e2e(spark):
+    cfg = load_config(
+        f"{REF}/test/resources/evaluator_filter_references_example_input.yml",
+        base_dir=REF,
+    )
+    assert cfg.references_description_blacklist  # knobs actually parsed
+    assert cfg.references_description_filter
+    assert cfg.references_token_blacklist
+    out = {r["protein_acc"]: r for r in run_evaluate(spark, cfg).collect()}
+    golden = load_golden_filter_refs()
+    assert len(golden) == len(out)
+    for g in golden:
+        r = out[g["Protein-Accession"]]
+        acc = g["Protein-Accession"]
+        assert r["hit_acc"] == g["Blast-Hit-Accession"], acc
+        assert r["description"] == g["Human-Readable-Description"], acc
+        assert r["ref_description"] == g["Reference-Description"], acc
+        assert r["ref_length"] == int(g["Ref-Lenght"]), acc
+        assert r["eval_score"] == pytest.approx(
+            float(g["Evaluation-Score"]), abs=5e-4), acc
+        assert r["diff_to_best_competitor"] == pytest.approx(
+            float(g["Diff-to-bestCompetitor"]), abs=5e-4), acc
+        assert r["tpr"] == pytest.approx(float(g["TPR"]), abs=5e-4), acc
+        assert r["fpr"] == pytest.approx(float(g["FPR"]), abs=5e-4), acc
+
+
+def test_reference_filter_knob_semantics(spark):
+    """ReferenceDescription.java:30-45 nesting: blacklist fail -> "" (row
+    kept, empty tokens); filter applies ONLY when a blacklist is configured
+    AND passes; empty blacklist -> no filtering even if a filter is set."""
+    from ahrd_spark.sources.fasta import read_references_fasta
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "refs.fasta")
+        with open(p, "w") as fh:
+            fh.write(">P1 Putative kinase protein\nMA\n")
+            fh.write(">P2 Uncharacterized protein fragment\nMA\n")
+        rows = {
+            r["accession"]: r
+            for r in read_references_fasta(
+                spark, p,
+                description_blacklist=("[Uu]ncharacterized",),
+                description_filter=(r"\b[Pp]utative\b",),
+                token_blacklist=(r"^protein$",),
+            ).collect()
+        }
+        # P2 fails the blacklist -> blanked, empty token set
+        assert rows["P2"]["description"] == ""
+        assert rows["P2"]["tokens"] == []
+        # P1 passes -> filter strips "Putative", token blacklist drops protein
+        assert rows["P1"]["description"] == "kinase protein"
+        assert rows["P1"]["tokens"] == ["kinase"]
+
+        # empty blacklist -> filter NOT applied
+        rows2 = {
+            r["accession"]: r
+            for r in read_references_fasta(
+                spark, p, description_filter=(r"\b[Pp]utative\b",),
+            ).collect()
+        }
+        assert rows2["P1"]["description"] == "Putative kinase protein"
