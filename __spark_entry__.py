@@ -439,8 +439,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
             F.concat(
                 F.substring("text", 1, 40),
-                F.lit(" Café "),
-                F.when(d % 2 == 0, F.lit("")).otherwise(F.lit("")),
+                # chr()-built literals (repo convention): a raw U+0301 /
+                # \x01\x02 in source can be silently re-encoded by an
+                # editor roundtrip and break oracle byte-parity invisibly
+                F.lit(" Cafe" + chr(0x301) + " "),
+                F.when(d % 2 == 0, F.lit(chr(1) + chr(2))).otherwise(F.lit("")),
                 F.lit("  tail   end"),
             ).alias("text"),
         )
@@ -4303,17 +4306,19 @@ er AS (SELECT entity,
                               % 64)::INT
                 ORDER BY entity ASC) - 1 AS rnk
        FROM ents),
-sz AS (SELECT bkt, count(*) AS bkt_n FROM er GROUP BY bkt),
+sz AS (SELECT bkt, count(*) AS bkt_n,
+              row_number() OVER (ORDER BY bkt ASC) - 1 AS bidx
+       FROM er GROUP BY bkt),
 k AS (SELECT subj, pred, obj,
              concat_ws(chr(31), subj, pred, obj) AS key FROM t),
 p AS (SELECT k.subj, k.pred, k.obj,
              (('0x' || substr(md5(k.key || ':b:'), 1, 15))::BIGINT
-              % 64)::INT AS bkt,
+              % (SELECT count(*) FROM sz))::INT AS bidx,
              ('0x' || substr(md5(k.key || ':r:'), 1, 15))::BIGINT AS h2
       FROM k),
-p2 AS (SELECT p.subj, p.pred, p.obj, p.bkt,
+p2 AS (SELECT p.subj, p.pred, p.obj, sz.bkt,
               (p.h2 % sz.bkt_n)::INT AS rnk
-       FROM p JOIN sz USING (bkt)),
+       FROM p JOIN sz USING (bidx)),
 n AS (SELECT p2.subj, p2.pred, p2.obj, er.entity AS obj_neg
       FROM p2 JOIN er USING (bkt, rnk))
 SELECT n.subj, n.pred, n.obj AS obj_pos, n.obj_neg

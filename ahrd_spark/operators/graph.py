@@ -497,13 +497,28 @@ def kg_negative_samples(
     rank_w = Window.partitionBy("bkt").orderBy(F.col("entity").asc())
     ents = ents.withColumn("rnk", F.row_number().over(rank_w) - 1)
     sizes = ents.groupBy("bkt").agg(F.count(F.lit(1)).alias("bkt_n"))
+    # Triples hash onto NON-EMPTY buckets only, via a dense bucket index:
+    # when distinct entities < buckets (or a hash residue is simply
+    # unoccupied), `h1 % buckets` would land some triples in an
+    # entity-empty bucket and the inner join would silently drop them,
+    # breaking the one-negative-per-triple contract.  The sizes frame is
+    # <= `buckets` rows, so the global window and the driver count are
+    # dictionary-sized, not data-sized.
+    dense_w = Window.orderBy(F.col("bkt").asc())
+    sizes = sizes.withColumn("bidx", F.row_number().over(dense_w) - 1)
+    n_nonempty = sizes.count()
+    if n_nonempty == 0:
+        return t.select(
+            "subj", "pred", F.col("obj").alias("obj_pos"),
+            F.lit(None).cast("string").alias("obj_neg"),
+        ).limit(0)
 
     key = F.concat_ws(chr(31), F.col("subj"), F.col("pred"), F.col("obj"))
     h1 = md5_prefix60(F.concat(key, F.lit(":b:" + salt)))
     h2 = md5_prefix60(F.concat(key, F.lit(":r:" + salt)))
     picked = (
-        t.withColumn("bkt", (h1 % buckets).cast("int"))
-        .join(sizes, "bkt")
+        t.withColumn("bidx", (h1 % n_nonempty).cast("int"))
+        .join(sizes, "bidx")
         .withColumn("rnk", (h2 % F.col("bkt_n")).cast("int"))
         .join(ents.select("bkt", "rnk", F.col("entity").alias("obj_neg")),
               ["bkt", "rnk"])
@@ -974,6 +989,7 @@ def kcore(
     )
     und = _ckpt(und)
     n_edges = und.count()
+    converged = n_edges == 0
     for _ in range(max_rounds):
         if n_edges == 0:
             break
@@ -991,6 +1007,16 @@ def kcore(
         und, n_edges = nxt, n_next
         if converged:
             break
+    if not converged and n_edges > 0:
+        # Peeling can remove as few as 2 nodes per round (e.g. a long
+        # path with k=2), so a fixed max_rounds can exit before the
+        # fixpoint and the result would contain degree < k survivors —
+        # refuse to return a non-k-core silently.
+        raise RuntimeError(
+            f"kcore(k={k}) did not reach fixpoint within "
+            f"max_rounds={max_rounds} ({n_edges} edges still shrinking); "
+            "raise max_rounds"
+        )
     return und.groupBy(F.col("s").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )

@@ -63,9 +63,18 @@ def range_join(
     matched = lb.join(ib, keys + ["_bin"]).filter(cond).drop("_bin")
     if how == "inner":
         return matched
-    # left join: reattach left rows with no overlapping interval
-    probe = matched.select(*left.columns)
-    missing = lb.drop("_bin").join(probe, left.columns, "left_anti")
+    # left join: reattach left rows with no overlapping interval.  The
+    # anti-join must use NULL-SAFE equality (<=>) per column: with plain
+    # `=`, a matched left row carrying a NULL in any column never equals
+    # its own probe row and would be emitted twice — once matched, once
+    # as a spurious "missing" row with NULL interval payload.
+    probe = matched.select(*left.columns).alias("_rj_p")
+    lonly = lb.drop("_bin").alias("_rj_l")
+    anti = None
+    for c in left.columns:
+        eq = F.col(f"_rj_l.`{c}`").eqNullSafe(F.col(f"_rj_p.`{c}`"))
+        anti = eq if anti is None else (anti & eq)
+    missing = lonly.join(probe, anti, "left_anti")
     for c in intervals.columns:
         if c not in keys:
             missing = missing.withColumn(

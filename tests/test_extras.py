@@ -1036,6 +1036,25 @@ def test_range_join_left_keeps_unmatched(spark):
     assert got == {1: "a", 2: None}
 
 
+def test_range_join_left_null_payload_not_duplicated(spark):
+    """A matched left row carrying a NULL column must appear exactly once
+    (the anti-join uses null-safe equality; plain `=` re-emitted it as a
+    spurious unmatched row)."""
+    from ahrd_spark.operators.rangejoin import range_join
+
+    left = spark.createDataFrame(
+        [(1, 1.0, None), (2, 99.0, None), (3, 1.5, "x")],
+        "id int, v double, payload string",
+    )
+    iv = spark.createDataFrame(
+        [("a", 0.0, 2.0)], "band string, lo double, hi double"
+    )
+    rows = range_join(left, iv, "v", bin_width=1.0, how="left").collect()
+    assert len(rows) == 3
+    got = {r["id"]: r["band"] for r in rows}
+    assert got == {1: "a", 2: None, 3: "a"}
+
+
 def test_weighted_sample_deterministic_and_weight_biased(spark):
     import pytest as _pytest
 
@@ -1824,3 +1843,20 @@ def test_mad_outliers_flags_robustly(spark):
     const = spark.createDataFrame([("c", 5.0)] * 4, "k string, v double")
     rows2 = mad_outliers(const, ["k"], "v").collect()
     assert all(r["is_outlier"] == 0 and r["mad_z"] is None for r in rows2)
+
+
+def test_kcore_raises_when_max_rounds_too_small(spark):
+    """kcore() promises the exact k-core; exiting via max_rounds before the
+    fixpoint must raise instead of silently returning degree < k survivors
+    (a path peels only 2 nodes per round, so long paths need many rounds)."""
+    import pytest as _pytest
+
+    from ahrd_spark.operators.graph import kcore
+
+    path = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(8)], "src string, dst string"
+    )
+    with _pytest.raises(RuntimeError, match="max_rounds"):
+        kcore(path, k=2, max_rounds=1)
+    # with enough rounds the same input converges (to the empty 2-core)
+    assert kcore(path, k=2).count() == 0

@@ -483,3 +483,22 @@ def test_new_iterative_ops_reliable_checkpoint_dir(spark, tmp_path):
     # checkpoints actually landed on reliable storage
     import glob as _glob
     assert _glob.glob(base + "/*/*")
+
+
+def test_kg_negative_samples_no_empty_bucket_drops(spark):
+    """With far more buckets than distinct entities, triples must NOT be
+    silently dropped by hashing into entity-empty buckets (the dense
+    bucket-index regression): only the documented filtered-protocol
+    removals (obj_neg == obj, accidental positives) may reduce the count."""
+    from ahrd_spark.operators.graph import kg_negative_samples
+
+    rows = [(f"s{i}", f"p{i}", f"o{i}") for i in range(200)]
+    triples = spark.createDataFrame(
+        rows, "subj string, pred string, obj string"
+    )
+    out = kg_negative_samples(triples, buckets=1024).collect()
+    # unique predicates -> accidental positives impossible; the only legal
+    # drop is the rare self-pick (obj_neg == obj), ~1/400 per triple
+    assert len(out) >= 190
+    subjects = {r["subj"] for r in out}
+    assert len(subjects) >= 190
