@@ -170,6 +170,23 @@ def lsh_candidate_pairs(
     single content class can dominate a bucket.
     """
     banded = banded_buckets(signatures, bands, rows_per_band)
+    if max_bucket_size is not None:
+        # The cap must bound EXECUTOR MEMORY, not just pair output: a
+        # degenerate flood bucket materializes as one giant collect_set
+        # row before any post-agg filter could drop it.  So pre-count
+        # bucket members (count aggs combine map-side — the flood bucket
+        # never concentrates raw rows) and semi-join-filter the banded
+        # rows, so oversized buckets never reach the collect_set at all.
+        # Costs one extra count shuffle and a second signature pass on
+        # the capped path only — the 100 TB safety path, where 2x
+        # signature compute is the cheap side of not OOMing a reducer.
+        ok = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket_size))
+            .select("band", "bucket")
+        )
+        banded = banded.join(ok, ["band", "bucket"], "left_semi")
     # Aggregate bucket members first (ONE shuffle materializes the upstream
     # signature computation), then expand member pairs in place — a
     # self-join here would recompute the signatures for both sides.
@@ -178,8 +195,6 @@ def lsh_candidate_pairs(
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     return (
         buckets.select(F.explode("ids").alias("doc_a"), F.col("ids"))
         .select("doc_a", F.explode("ids").alias("doc_b"))

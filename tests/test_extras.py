@@ -816,6 +816,36 @@ def test_lsh_max_bucket_size_guard(spark):
     ).count() == 0
 
 
+def test_lsh_flood_bucket_filtered_before_collect(spark):
+    """The cap must bound executor memory, not just output: a planted
+    10k-member flood bucket is dropped by the pre-count semi-join BEFORE
+    the per-bucket collect_set, so the giant member array never
+    materializes; real near-dup pairs outside the flood still come out."""
+    from ahrd_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    flood = [(i, "boilerplate footer shared by every page") for i in range(10_000)]
+    real = [
+        (20_000, "a genuinely unique near duplicate document body"),
+        (20_001, "a genuinely unique near duplicate document body"),
+    ]
+    df = spark.createDataFrame(
+        flood + real, "doc_id bigint, text string"
+    ).repartition(8)
+    sig = minhash_signature(df, num_hashes=4)
+    capped = lsh_candidate_pairs(
+        sig, bands=2, rows_per_band=2, max_bucket_size=100
+    )
+    # plan shape: the collect_set aggregate sits above a LeftSemi join
+    # (the pre-count filter) — i.e. flood rows are gone pre-aggregation
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    rows = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert rows == {(20_000, 20_001)}
+
+
 def test_pgm_p5_codec_roundtrip_resize_and_stream():
     import numpy as np
 
