@@ -141,6 +141,62 @@ def derived_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def interleaved_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic interleaved text+media span table (the BASELINE.json
+    input_hint shape) derived from ``documents``: whitespace tokens become
+    spans; token i is a media span iff ``i % 5 >= doc_id % 7`` (so media
+    density varies 0..100% across docs and every gate reason fires);
+    media refs repeat across docs (``m<(doc_id+i) % 499>``); offsets are
+    strictly increasing except docs with ``doc_id % 13 == 0``, whose
+    offsets are ``floor(i/2)`` (planted order violations)."""
+    d = F.col("doc_id")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    is_media = lambda i: (i % 5) >= (d % 7).cast("int")  # noqa: E731
+    spans = F.transform(
+        toks,
+        lambda x, i: F.struct(
+            F.when(is_media(i), F.lit("media"))
+            .otherwise(F.lit("text"))
+            .alias("kind"),
+            F.when(is_media(i), F.lit(None).cast("string"))
+            .otherwise(x)
+            .alias("text"),
+            F.when(
+                is_media(i),
+                F.concat(F.lit("m"), ((d + i) % 499).cast("string")),
+            )
+            .otherwise(F.lit(None).cast("string"))
+            .alias("media_ref"),
+            F.when(d % 13 == 0, F.floor(i / 2))
+            .otherwise(i)
+            .cast("int")
+            .alias("offset"),
+        ),
+    )
+    return _docs(spark, sf_dir).select("doc_id", spans.alias("spans"))
+
+
+# SQL mirror of interleaved_docs (DuckDB list_transform index is 1-based)
+SQL_IDOCS = """
+idocs AS (
+  SELECT doc_id,
+         list_transform(regexp_split_to_array(trim(text), '\\s+'),
+           (x, i) -> {
+             kind: CASE WHEN (i - 1) % 5 >= doc_id % 7
+                        THEN 'media' ELSE 'text' END,
+             text: CASE WHEN (i - 1) % 5 >= doc_id % 7
+                        THEN NULL ELSE x END,
+             media_ref: CASE WHEN (i - 1) % 5 >= doc_id % 7
+                             THEN 'm' || ((doc_id + i - 1) % 499)
+                             ELSE NULL END,
+             "offset": CAST(CASE WHEN doc_id % 13 = 0
+                                 THEN (i - 1) // 2
+                                 ELSE i - 1 END AS INT)
+           }) AS spans
+  FROM documents)
+"""
+
+
 def _scored(spark, sf_dir):
     hits = derived_hits(spark, sf_dir)
     totals = protein_totals(hits, DB_WEIGHTS)
@@ -2606,6 +2662,124 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_ppm_frames"] = multimodal_ppm_frames
 
+    # ---- interleaved text+media span operators (the input_hint shape) ----
+
+    def interleaved_stats(spark, sf):
+        """Per-doc composition profile of the interleaved span table —
+        zero-shuffle higher-order array expressions (operators/
+        interleaved.py::span_stats), incl. planted offset-order
+        violations on doc_id % 13 == 0."""
+        from ahrd_spark.operators.interleaved import span_stats
+
+        s = span_stats(interleaved_docs(spark, sf))
+        return s.select(
+            "doc_id", "n_spans", "n_text", "n_media",
+            F.round("media_ratio", 6).alias("media_ratio_r"),
+            "text_chars", "offset_violations",
+        )
+
+    q["interleaved_stats"] = interleaved_stats
+
+    def interleaved_gate(spark, sf):
+        """Interleaved-document quality gate (no_text / media_heavy /
+        too_short in fixed precedence): the C4-style curation filter for
+        text+media corpora."""
+        from ahrd_spark.operators.interleaved import media_text_gate
+
+        return media_text_gate(
+            interleaved_docs(spark, sf),
+            max_media_ratio=0.5,
+            min_text_chars=60,
+            min_text_spans=1,
+        )
+
+    q["interleaved_gate"] = interleaved_gate
+
+    def media_dedup(spark, sf):
+        """Cross-document media-reference sharing: media objects in 2+
+        distinct docs, with span counts and the min-id canonical doc —
+        one media_ref-keyed shuffle, per-doc distinct computed inside the
+        array before the explode."""
+        from ahrd_spark.operators.interleaved import media_ref_dedup
+
+        return media_ref_dedup(interleaved_docs(spark, sf), min_docs=2)
+
+    q["media_dedup"] = media_dedup
+
+    def span_fingerprints(spark, sf):
+        """Order-SENSITIVE md5 of each doc's (kind, text, media_ref) span
+        sequence — the reusable per-row span-sequence-equality invariant
+        from the north rule, offsets excluded by design."""
+        from ahrd_spark.operators.interleaved import span_fingerprint
+
+        return span_fingerprint(interleaved_docs(spark, sf)).select(
+            "doc_id", "span_fp"
+        )
+
+    q["span_fingerprints"] = span_fingerprints
+
+    def dedup_sorted_pairs(spark, sf):
+        """Sorted-neighborhood blocking (Hernandez-Stolfo) over a text
+        prefix key: candidate pairs within a sliding window of the sorted
+        order, ranked WITHOUT a single-reducer global window
+        (dedup.py::global_dense_rank two-phase ranking)."""
+        from ahrd_spark.operators.dedup import sorted_neighborhood_pairs
+
+        keyed = _docs(spark, sf).select(
+            "doc_id",
+            F.substring(F.lower(F.trim(F.col("text"))), 1, 12).alias("blk"),
+        )
+        return sorted_neighborhood_pairs(
+            keyed, key_col="blk", id_col="doc_id", window=3, partitions=8
+        )
+
+    q["dedup_sorted_pairs"] = dedup_sorted_pairs
+
+    def domain_caps(spark, sf):
+        """Per-domain document cap (RefinedWeb-style): exact top-8 docs
+        per source by n_chars, via the salted two-phase window
+        (sampling.py::cap_per_key) so a hot domain cannot funnel through
+        one reducer."""
+        from ahrd_spark.operators.sampling import cap_per_key
+
+        capped = cap_per_key(
+            _docs(spark, sf).select("doc_id", "source", "n_chars"),
+            key_col="source",
+            order_cols=[F.col("n_chars").desc()],
+            n=8,
+        )
+        return capped.select("doc_id", "source", "n_chars", "key_rank")
+
+    q["domain_caps"] = domain_caps
+
+    def hits_hub_auth(spark, sf):
+        """Kleinberg HITS (8 max-normalized iterations) over a synthetic
+        directed entity graph from events — hub/authority separation for
+        canonical-node election in KG clusters (graph.py::hits_scores)."""
+        from ahrd_spark.operators.graph import hits_scores
+
+        e = (
+            spark.read.parquet(f"{sf}/events.parquet")
+            .select(
+                F.concat(
+                    F.lit("n"), (F.col("user_id") % 150).cast("string")
+                ).alias("src"),
+                F.concat(
+                    F.lit("n"),
+                    ((F.col("user_id") * 7 + 3) % 150).cast("string"),
+                ).alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+        )
+        s = hits_scores(e, iters=8)
+        return s.select(
+            "node",
+            F.round("hub", 6).alias("hub_r"),
+            F.round("authority", 6).alias("auth_r"),
+        )
+
+    q["hits_hub_auth"] = hits_hub_auth
+
     # Deterministic attestation ordering: the driver's correctness gate
     # samples a prefix of this dict, so queries that have never received a
     # driver-issued green row (see COVERAGE.md) are listed first — highest
@@ -2613,6 +2787,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # follow.  Every entry is verified locally against its DuckDB oracle
     # either way; this only rotates which ones the driver re-checks.
     never_sampled_first = [
+        # round-4 additions (newest first: no attestation yet)
+        "interleaved_stats", "interleaved_gate", "media_dedup",
+        "span_fingerprints", "dedup_sorted_pairs", "domain_caps",
+        "hits_hub_auth",
         # judge-named priorities (VERDICT r3, "Next round" item 2)
         "curation_pipeline_full", "pagerank", "kcore_peel",
         "scd2_intervals", "event_funnel", "rrf_hybrid", "interval_join",
@@ -5389,5 +5567,134 @@ reach AS (
 SELECT node, min(r) AS component FROM reach GROUP BY node
 """
     o["cc_components"] = "WITH RECURSIVE " + o["cc_components"].split("WITH ", 1)[1]
+
+    # ---- interleaved text+media span operators ----
+
+    o["interleaved_stats"] = f"""
+WITH {SQL_IDOCS}
+SELECT doc_id,
+       CAST(len(spans) AS BIGINT) AS n_spans,
+       CAST(len(list_filter(spans, s -> s.kind <> 'media')) AS BIGINT)
+         AS n_text,
+       CAST(len(list_filter(spans, s -> s.kind = 'media')) AS BIGINT)
+         AS n_media,
+       round(CAST(len(list_filter(spans, s -> s.kind = 'media')) AS DOUBLE)
+             / len(spans), 6) AS media_ratio_r,
+       CAST(coalesce(list_sum(list_transform(
+              list_filter(spans, s -> s.kind <> 'media'),
+              s -> coalesce(length(s.text), 0))), 0) AS BIGINT)
+         AS text_chars,
+       CAST(coalesce(list_sum(list_transform(spans, (s, i) ->
+              CASE WHEN i >= 2 AND s."offset" <= spans[i - 1]."offset"
+                   THEN 1 ELSE 0 END)), 0) AS BIGINT)
+         AS offset_violations
+FROM idocs
+"""
+
+    o["interleaved_gate"] = f"""
+WITH {SQL_IDOCS},
+st AS (
+  SELECT doc_id,
+         len(list_filter(spans, s -> s.kind <> 'media')) AS n_text,
+         CAST(len(list_filter(spans, s -> s.kind = 'media')) AS DOUBLE)
+           / len(spans) AS media_ratio,
+         coalesce(list_sum(list_transform(
+           list_filter(spans, s -> s.kind <> 'media'),
+           s -> coalesce(length(s.text), 0))), 0) AS text_chars
+  FROM idocs),
+gated AS (
+  SELECT doc_id,
+         CASE WHEN n_text < 1 THEN 'no_text'
+              WHEN media_ratio > 0.5 THEN 'media_heavy'
+              WHEN text_chars < 60 THEN 'too_short'
+              ELSE NULL END AS drop_reason
+  FROM st)
+SELECT doc_id, drop_reason IS NULL AS keep, drop_reason FROM gated
+"""
+
+    o["media_dedup"] = f"""
+WITH {SQL_IDOCS},
+sp AS (SELECT doc_id, unnest(spans) AS s FROM idocs),
+med AS (SELECT doc_id, s.media_ref AS media_ref FROM sp
+        WHERE s.kind = 'media'),
+perdoc AS (SELECT doc_id, media_ref, count(*) AS spans_in_doc
+           FROM med GROUP BY doc_id, media_ref)
+SELECT media_ref,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(spans_in_doc) AS BIGINT) AS n_spans,
+       min(doc_id) AS canonical_doc
+FROM perdoc GROUP BY media_ref HAVING count(*) >= 2
+"""
+
+    # sentinels chr(1)/chr(2)/chr(3) mirror interleaved.py's _SPAN_SEP /
+    # _FIELD_SEP / _NULL; built via DuckDB chr() (repo convention: no raw
+    # control bytes in source literals)
+    o["span_fingerprints"] = f"""
+WITH {SQL_IDOCS}
+SELECT doc_id,
+       md5(array_to_string(list_transform(spans, s ->
+         concat_ws(chr(2), coalesce(s.kind, chr(3)),
+                   coalesce(s.text, chr(3)),
+                   coalesce(s.media_ref, chr(3)))), chr(1))) AS span_fp
+FROM idocs
+"""
+
+    o["dedup_sorted_pairs"] = """
+WITH keys AS (
+  SELECT doc_id, substr(lower(trim(text)), 1, 12) AS blk FROM documents),
+ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY blk, doc_id) AS rk FROM keys)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(b.rk - a.rk AS BIGINT) AS rank_gap
+FROM ranked a JOIN ranked b ON b.rk > a.rk AND b.rk <= a.rk + 2
+"""
+
+    o["domain_caps"] = """
+SELECT doc_id, source, n_chars, CAST(rk AS BIGINT) AS key_rank FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents) WHERE rk <= 8
+"""
+
+    # HITS: unroll the 8 max-normalized iterations as CTE pairs — the SQL
+    # replay of graph.py::hits_scores' synchronous update
+    # every CTE is MATERIALIZED: the unrolled iterations reference each
+    # other 2-3x, and DuckDB's default inlining would expand the tree (and
+    # its parquet scans) exponentially across the 8 levels
+    _hits_ctes = [
+        """edges AS MATERIALIZED (
+  SELECT DISTINCT 'n' || (user_id % 150) AS src,
+         'n' || ((user_id * 7 + 3) % 150) AS dst
+  FROM events
+  WHERE 'n' || (user_id % 150) <> 'n' || ((user_id * 7 + 3) % 150)),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+s0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) AS hub,
+              CAST(1.0 AS DOUBLE) AS authority FROM nodes)"""
+    ]
+    for _k in range(1, 9):
+        _hits_ctes.append(f"""a{_k}r AS MATERIALIZED (
+  SELECT e.dst AS node, sum(s.hub) AS a_raw
+  FROM s{_k - 1} s JOIN edges e ON e.src = s.node GROUP BY e.dst),
+a{_k} AS MATERIALIZED (
+  SELECT node, a_raw / (SELECT coalesce(max(a_raw), 1.0) FROM a{_k}r)
+    AS authority FROM a{_k}r),
+h{_k}r AS MATERIALIZED (
+  SELECT e.src AS node, sum(a.authority) AS h_raw
+  FROM a{_k} a JOIN edges e ON e.dst = a.node GROUP BY e.src),
+h{_k} AS MATERIALIZED (
+  SELECT node, h_raw / (SELECT coalesce(max(h_raw), 1.0) FROM h{_k}r)
+    AS hub FROM h{_k}r),
+s{_k} AS MATERIALIZED (
+  SELECT n.node, coalesce(h.hub, 0.0) AS hub,
+         coalesce(a.authority, 0.0) AS authority
+  FROM nodes n LEFT JOIN h{_k} h ON h.node = n.node
+  LEFT JOIN a{_k} a ON a.node = n.node)""")
+    o["hits_hub_auth"] = (
+        "WITH " + ",\n".join(_hits_ctes)
+        + "\nSELECT node, round(hub, 6) AS hub_r,"
+        + " round(authority, 6) AS auth_r FROM s8"
+    )
 
     return o

@@ -1136,3 +1136,102 @@ def predicate_functionality(
         F.max("k").alias("max_objects"),
         (F.max("k") == 1).cast("int").alias("functional"),
     ).withColumnRenamed("p", "pred")
+
+
+def hits_scores(
+    edges: DataFrame,
+    iters: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Kleinberg HITS -> ``(node, hub, authority)`` after ``iters``
+    synchronous iterations over the DISTINCT edge set.
+
+    In a knowledge graph the two scores separate roles PageRank merges:
+    an aggregator page linking to many canonical entities is a hub; a
+    canonical entity referenced by many good hubs is an authority — the
+    standard signal for picking the canonical node of an entity cluster
+    when synonym edges are directional (mention -> entity).
+
+    Update rule (max-normalized, the float-stable variant: dividing by
+    the max is one multiply per row and replays exactly in any engine,
+    while L2 norms inject a sqrt whose last-bit noise compounds across
+    iterations): ``a(v) = sum_{u->v} h(u)``, ``h(u) = sum_{u->v} a(v)``,
+    each rescaled by its global max every iteration.  Nodes with no
+    in-edges hold authority 0; no out-edges -> hub 0.
+
+    Scale shape mirrors :func:`pagerank`: per iteration exactly two
+    node-keyed join+partial-agg shuffles (edges never re-shuffle; the
+    global max is a 1-row aggregate broadcast back), scores checkpointed
+    per iteration so the plan stays flat at any iteration count.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    spark = edges.sparkSession
+    if checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    scores = nodes.select(
+        "node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority")
+    )
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return (
+            df.checkpoint(eager=True)
+            if checkpoint_dir
+            else df.localCheckpoint(eager=True)
+        )
+
+    try:
+        for _ in range(iters):
+            # authority pass: pull hub mass along in-edges
+            auth = (
+                scores.select(F.col("node").alias("src"), "hub")
+                .join(e, "src")
+                .groupBy("dst")
+                .agg(F.sum("hub").alias("a_raw"))
+            )
+            a_max = auth.groupBy().agg(
+                F.coalesce(F.max("a_raw"), F.lit(1.0)).alias("a_max")
+            )
+            auth_n = auth.crossJoin(F.broadcast(a_max)).select(
+                F.col("dst").alias("node"),
+                (F.col("a_raw") / F.col("a_max")).alias("authority"),
+            )
+            # hub pass: pull the NEW authority mass along out-edges
+            hub = (
+                auth_n.select(F.col("node").alias("dst"), "authority")
+                .join(e, "dst")
+                .groupBy("src")
+                .agg(F.sum("authority").alias("h_raw"))
+            )
+            h_max = hub.groupBy().agg(
+                F.coalesce(F.max("h_raw"), F.lit(1.0)).alias("h_max")
+            )
+            hub_n = hub.crossJoin(F.broadcast(h_max)).select(
+                F.col("src").alias("node"),
+                (F.col("h_raw") / F.col("h_max")).alias("hub"),
+            )
+            scores = _ckpt(
+                nodes.join(hub_n, "node", "left")
+                .join(auth_n, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
+                    F.coalesce(
+                        F.col("authority"), F.lit(0.0)
+                    ).alias("authority"),
+                )
+            )
+    finally:
+        e.unpersist()
+    return scores

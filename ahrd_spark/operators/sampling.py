@@ -210,3 +210,57 @@ def mixture_materialize(
         .filter((md5_prefix60(h) % SAMPLE_BUCKETS) < F.col("_thr"))
         .drop("_thr")
     )
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    n: int,
+    salt_buckets: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact per-key top-``n`` under ``ORDER BY order_cols`` — the
+    per-domain document cap every web-curation pipeline runs (RefinedWeb /
+    C4-style: bound any single host's contribution to the corpus).
+
+    -> input columns + ``key_rank`` (1-based position within the key).
+
+    The naive ``row_number() OVER (PARTITION BY key)`` sends EVERY row of
+    a hot key to one reducer — the canonical skew failure when one domain
+    owns 10% of a 10^12-row crawl.  This is the salted two-phase exact
+    version instead:
+
+    1. pre-prune: rank within ``(key, salt)`` where salt = id-hash mod
+       ``salt_buckets``; keep local rank <= n.  Any global top-n row is
+       top-n within its own salt bucket, so the prune is lossless, and
+       the hot key's rows split across ``salt_buckets`` reducers.
+    2. final: rank the <= n * salt_buckets survivors per key and keep
+       ``rank <= n`` — the heavy key now contributes a bounded row count
+       to the final window.
+
+    Deterministic: callers' ``order_cols`` should end with a tiebreaker
+    (the id column is appended automatically).
+    """
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    order.append(F.col(id_col))
+    salted = df.withColumn(
+        "_salt", (_hash_bucket(F.col(id_col), "cap") % salt_buckets)
+    )
+    w_local = Window.partitionBy(key_col, "_salt").orderBy(*order)
+    pruned = (
+        salted.withColumn("_lrk", F.row_number().over(w_local))
+        .filter(F.col("_lrk") <= n)
+        .drop("_lrk", "_salt")
+    )
+    w_final = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        pruned.withColumn(
+            "key_rank", F.row_number().over(w_final).cast("bigint")
+        )
+        .filter(F.col("key_rank") <= n)
+    )

@@ -148,10 +148,15 @@ def test_no_broadcast_hint_on_data_sized_frames():
         r"F\.broadcast\(\s*(q\b|centroids|cents|closure|ipr_db|cmap"
         r"|corpus\.orderBy|n_docs\b|vocab\b|_centroid_array\(|n_count\b"
         r"|dangling\b|weights\b|qterms\b|q_df\b|stats\b|mu_arr\b|v_arr\b"
-        r"|nrm\b|anc\b|anc_ic\b|t_total\b|b_total\b)"
+        r"|nrm\b|anc\b|anc_ic\b|t_total\b|b_total\b|offsets\b|a_max\b"
+        r"|h_max\b)"
     )
     # t_total / b_total (operators/corpus.py::pmi_collocations) are 1-row
     # corpus position totals — scalar aggregates, never input-sized.
+    # offsets (operators/dedup.py::global_dense_rank) is the per-range-
+    # partition prefix-sum table — `partitions` rows by construction.
+    # a_max / h_max (operators/graph.py::hits_scores) are 1-row global
+    # max aggregates — scalar at any input scale.
     offenders = []
     for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
         src = open(path).read()
