@@ -2722,8 +2722,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Sorted-neighborhood blocking (Hernandez-Stolfo) over a text
         prefix key: candidate pairs within a sliding window of the sorted
         order, ranked WITHOUT a single-reducer global window
-        (dedup.py::global_dense_rank two-phase ranking)."""
-        from ahrd_spark.operators.dedup import sorted_neighborhood_pairs
+        (ranking.py::global_dense_rank two-phase ranking)."""
+        from ahrd_spark.operators.ranking import sorted_neighborhood_pairs
 
         keyed = _docs(spark, sf).select(
             "doc_id",
@@ -2780,6 +2780,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hits_hub_auth"] = hits_hub_auth
 
+    def media_contexts_q(spark, sf):
+        """Nearest text span before/after every media span (caption /
+        alt-text mining for interleaved multimodal training) — one
+        doc_id-keyed shuffle, per-doc windows with ignorenulls skips
+        (operators/interleaved.py::media_contexts)."""
+        from ahrd_spark.operators.interleaved import media_contexts
+
+        return media_contexts(interleaved_docs(spark, sf)).select(
+            "doc_id",
+            F.col("span_idx").cast("int").alias("span_idx"),
+            "media_ref", "prev_text", "next_text",
+        )
+
+    q["media_contexts"] = media_contexts_q
+
+    def interleaved_chunks(spark, sf):
+        """Greedy in-order re-chunking under (64 text chars, 3 media)
+        budgets: a zero-shuffle F.aggregate fold over the spans array;
+        per-chunk order-sensitive fingerprints witness the span-sequence
+        invariant (operators/interleaved.py::chunk_interleaved)."""
+        from ahrd_spark.operators.interleaved import chunk_interleaved
+
+        return chunk_interleaved(
+            interleaved_docs(spark, sf), max_text_chars=64, max_media=3
+        )
+
+    q["interleaved_chunks"] = interleaved_chunks
+
+    def interleaved_drift(spark, sf):
+        """Cross-snapshot span-sequence drift audit: snapshot B drops
+        doc_id % 17 == 3, truncates the last span of doc_id % 11 == 0,
+        and adds fresh doc_id+1000000 rows for doc_id % 29 == 0; the
+        operator reports added/removed/changed/unchanged per doc from
+        fingerprint projections + ONE full-outer join
+        (operators/interleaved.py::span_drift)."""
+        from ahrd_spark.operators.interleaved import span_drift
+
+        old = interleaved_docs(spark, sf)
+        d = F.col("doc_id")
+        mutated = old.filter(d % 17 != 3).withColumn(
+            "spans",
+            F.when(
+                (d % 11 == 0) & (F.size("spans") > 1),
+                F.slice("spans", 1, F.size("spans") - 1),
+            ).otherwise(F.col("spans")),
+        )
+        added = old.filter(d % 29 == 0).select(
+            (d + 1000000).alias("doc_id"),
+            F.array(
+                F.struct(
+                    F.lit("text").alias("kind"),
+                    F.lit("fresh").alias("text"),
+                    F.lit(None).cast("string").alias("media_ref"),
+                    F.lit(0).cast("int").alias("offset"),
+                )
+            ).alias("spans"),
+        )
+        return span_drift(old, mutated.unionByName(added))
+
+    q["interleaved_drift"] = interleaved_drift
+
     # Deterministic attestation ordering: the driver's correctness gate
     # samples a prefix of this dict, so queries that have never received a
     # driver-issued green row (see COVERAGE.md) are listed first — highest
@@ -2788,6 +2849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # either way; this only rotates which ones the driver re-checks.
     never_sampled_first = [
         # round-4 additions (newest first: no attestation yet)
+        "media_contexts", "interleaved_chunks", "interleaved_drift",
         "interleaved_stats", "interleaved_gate", "media_dedup",
         "span_fingerprints", "dedup_sorted_pairs", "domain_caps",
         "hits_hub_auth",
@@ -5696,5 +5758,104 @@ s{_k} AS MATERIALIZED (
         + "\nSELECT node, round(hub, 6) AS hub_r,"
         + " round(authority, 6) AS auth_r FROM s8"
     )
+
+    o["media_contexts"] = f"""
+WITH {SQL_IDOCS},
+sp AS (
+  SELECT doc_id, unnest(list_transform(spans, (s, i) -> {{
+           idx: i - 1, kind: s.kind, text: s.text,
+           media_ref: s.media_ref}})) AS s
+  FROM idocs),
+ctx AS (
+  SELECT doc_id, s.idx AS span_idx, s.kind, s.media_ref,
+         last_value(CASE WHEN s.kind <> 'media' THEN s.text END
+                    IGNORE NULLS) OVER (
+           PARTITION BY doc_id ORDER BY s.idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_text,
+         first_value(CASE WHEN s.kind <> 'media' THEN s.text END
+                     IGNORE NULLS) OVER (
+           PARTITION BY doc_id ORDER BY s.idx
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS next_text
+  FROM sp)
+SELECT doc_id, CAST(span_idx AS INT) AS span_idx, media_ref,
+       prev_text, next_text
+FROM ctx WHERE kind = 'media'
+"""
+
+    # greedy chunk walk replayed as a per-doc recursive scan over span
+    # index; digest built per chunk with the chr(1)/chr(2)/chr(3)
+    # sentinels of span_fingerprints
+    o["interleaved_chunks"] = f"""
+WITH RECURSIVE {SQL_IDOCS},
+sp AS (
+  SELECT doc_id, unnest(list_transform(spans, (s, i) -> {{
+           idx: i - 1, kind: s.kind, text: s.text,
+           media_ref: s.media_ref}})) AS s
+  FROM idocs),
+cost AS (
+  SELECT doc_id, s.idx AS idx, s.kind, s.text, s.media_ref,
+         CASE WHEN s.kind = 'media' THEN 0
+              ELSE coalesce(length(s.text), 0) END AS c,
+         CASE WHEN s.kind = 'media' THEN 1 ELSE 0 END AS m,
+         concat_ws(chr(2), coalesce(s.kind, chr(3)),
+                   coalesce(s.text, chr(3)),
+                   coalesce(s.media_ref, chr(3))) AS piece
+  FROM sp),
+walk AS (
+  SELECT doc_id, idx, 0 AS chunk, c AS chars, m AS med, piece
+  FROM cost WHERE idx = 0
+  UNION ALL
+  SELECT s.doc_id, s.idx,
+         CASE WHEN w.chars + s.c > 64 OR w.med + s.m > 3
+              THEN w.chunk + 1 ELSE w.chunk END,
+         CASE WHEN w.chars + s.c > 64 OR w.med + s.m > 3
+              THEN s.c ELSE w.chars + s.c END,
+         CASE WHEN w.chars + s.c > 64 OR w.med + s.m > 3
+              THEN s.m ELSE w.med + s.m END,
+         s.piece
+  FROM walk w JOIN cost s ON s.doc_id = w.doc_id AND s.idx = w.idx + 1)
+SELECT doc_id, CAST(chunk AS BIGINT) AS chunk_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(m_of) AS BIGINT) AS n_media,
+       CAST(sum(chars_of) AS BIGINT) AS text_chars,
+       md5(string_agg(piece, chr(1) ORDER BY idx)) AS chunk_fp
+FROM (SELECT w.doc_id, w.idx, w.chunk, w.piece, c.c AS chars_of,
+             c.m AS m_of FROM walk w
+      JOIN cost c ON c.doc_id = w.doc_id AND c.idx = w.idx)
+GROUP BY doc_id, chunk
+"""
+
+    o["interleaved_drift"] = f"""
+WITH {SQL_IDOCS},
+fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_transform(spans, s ->
+           concat_ws(chr(2), coalesce(s.kind, chr(3)),
+                     coalesce(s.text, chr(3)),
+                     coalesce(s.media_ref, chr(3)))), chr(1))) AS f,
+         spans
+  FROM idocs),
+newfp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_transform(
+           CASE WHEN doc_id % 11 = 0 AND len(spans) > 1
+                THEN spans[1:len(spans) - 1] ELSE spans END, s ->
+           concat_ws(chr(2), coalesce(s.kind, chr(3)),
+                     coalesce(s.text, chr(3)),
+                     coalesce(s.media_ref, chr(3)))), chr(1))) AS f
+  FROM fp WHERE doc_id % 17 <> 3
+  UNION ALL
+  SELECT doc_id + 1000000,
+         md5(concat_ws(chr(2), 'text', 'fresh', chr(3)))
+  FROM idocs WHERE doc_id % 29 = 0)
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN a.f = b.f THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM fp a FULL OUTER JOIN newfp b ON a.doc_id = b.doc_id
+"""
 
     return o

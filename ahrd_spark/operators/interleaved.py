@@ -198,3 +198,192 @@ def span_fingerprint(
         _SPAN_SEP,
     )
     return docs.withColumn(out_col, F.md5(joined))
+
+
+def media_contexts(
+    docs: DataFrame,
+    spans_col: str = "spans",
+) -> DataFrame:
+    """-> ``(doc_id, span_idx, media_ref, prev_text, next_text)``: for
+    every media span, the text of the NEAREST text span before and after
+    it in document order (NULL when none exists) — alt-text / caption
+    mining, the pair-construction step for image-text contrastive
+    training over an interleaved corpus.
+
+    Distributed shape: ``posexplode`` to one row per span, then two
+    doc-keyed window passes — ``last(text, ignorenulls)`` over the
+    preceding frame and ``first(text, ignorenulls)`` over the following
+    frame.  The window partitions by ``doc_id``, so every group is one
+    document's spans (bounded by document size, never corpus-sized);
+    one doc_id-hash shuffle total, no per-doc quadratic array scan.
+    """
+    from pyspark.sql import Window
+
+    rows = docs.select(
+        "doc_id", F.posexplode(spans_col).alias("span_idx", "s")
+    ).select(
+        "doc_id",
+        "span_idx",
+        F.col("s")["kind"].alias("kind"),
+        F.col("s")["text"].alias("text"),
+        F.col("s")["media_ref"].alias("media_ref"),
+    )
+    # text value visible only on text spans; windows skip media via
+    # ignorenulls rather than a second join
+    txt = F.when(F.col("kind") != "media", F.col("text"))
+    w = Window.partitionBy("doc_id").orderBy("span_idx")
+    before = w.rowsBetween(Window.unboundedPreceding, -1)
+    after = w.rowsBetween(1, Window.unboundedFollowing)
+    ctx = rows.select(
+        "doc_id",
+        "span_idx",
+        "kind",
+        "media_ref",
+        F.last(txt, ignorenulls=True).over(before).alias("prev_text"),
+        F.first(txt, ignorenulls=True).over(after).alias("next_text"),
+    )
+    return ctx.filter(F.col("kind") == "media").select(
+        "doc_id", "span_idx", "media_ref", "prev_text", "next_text"
+    )
+
+
+def chunk_interleaved(
+    docs: DataFrame,
+    max_text_chars: int = 512,
+    max_media: int = 4,
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Greedy in-order re-chunking of interleaved documents -> one row
+    per chunk: ``(doc_id, chunk_id, n_spans, n_media, text_chars,
+    chunk_fp)``.
+
+    Walks each doc's spans IN ORDER and starts a new chunk when adding
+    the next span would push the running chunk past ``max_text_chars``
+    of text or ``max_media`` media spans; an oversized single span gets
+    a chunk of its own (no span is ever dropped or reordered — the
+    north-rule span-sequence invariant, witnessed by ``chunk_fp``: the
+    same order-sensitive digest as :func:`span_fingerprint`, computed
+    per chunk, so ``concat(chunks in chunk_id order) == doc sequence``
+    is checkable downstream).
+
+    Scale shape: the greedy walk is a sequential fold, which is exactly
+    ``F.aggregate`` over the spans array — per-row expression work,
+    zero shuffle, no explode of the corpus.  The fold carries
+    ``(chunk_id, chars_in_chunk, media_in_chunk, per-chunk agg array)``
+    and runs in whole-stage codegen.
+    """
+    spans = F.col(spans_col)
+
+    def cost(s):
+        return F.when(
+            s["kind"] == "media", F.lit(0)
+        ).otherwise(F.coalesce(F.length(s["text"]), F.lit(0)))
+
+    def med(s):
+        return F.when(s["kind"] == "media", F.lit(1)).otherwise(F.lit(0))
+
+    def digest_piece(s):
+        null = F.lit(_NULL)
+        return F.concat_ws(
+            _FIELD_SEP,
+            F.coalesce(s["kind"], null),
+            F.coalesce(s["text"], null),
+            F.coalesce(s["media_ref"], null),
+        )
+
+    # accumulator: chunks = array<struct<n_spans,n_media,text_chars,buf>>,
+    # with the LAST element the open chunk (buf = digest-in-progress)
+    empty_chunk = F.struct(
+        F.lit(0).alias("n_spans"),
+        F.lit(0).alias("n_media"),
+        F.lit(0).cast("bigint").alias("text_chars"),
+        F.lit("").alias("buf"),
+    )
+    zero = F.array(empty_chunk)
+
+    def step(acc, s):
+        cur = F.element_at(acc, -1)
+        c = cost(s)
+        m = med(s)
+        overflow = (
+            (cur["n_spans"] > 0)
+            & (
+                (cur["text_chars"] + c > max_text_chars)
+                | (cur["n_media"] + m > max_media)
+            )
+        )
+        appended = F.struct(
+            (cur["n_spans"] + 1).alias("n_spans"),
+            (cur["n_media"] + m).alias("n_media"),
+            (cur["text_chars"] + c).cast("bigint").alias("text_chars"),
+            F.when(cur["n_spans"] == 0, digest_piece(s))
+            .otherwise(
+                F.concat(cur["buf"], F.lit(_SPAN_SEP), digest_piece(s))
+            )
+            .alias("buf"),
+        )
+        fresh = F.struct(
+            F.lit(1).alias("n_spans"),
+            m.alias("n_media"),
+            c.cast("bigint").alias("text_chars"),
+            digest_piece(s).alias("buf"),
+        )
+        return F.when(
+            overflow,
+            F.concat(
+                F.slice(acc, 1, F.size(acc)), F.array(fresh)
+            ),
+        ).otherwise(
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(appended)
+            )
+        )
+
+    folded = docs.select(
+        "doc_id", F.aggregate(spans, zero, step).alias("chunks")
+    ).select(
+        "doc_id",
+        F.filter(
+            F.col("chunks"), lambda c: c["n_spans"] > 0
+        ).alias("chunks"),
+    )
+    return folded.select(
+        "doc_id", F.posexplode("chunks").alias("chunk_id", "c")
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.col("c")["n_spans"].cast("bigint").alias("n_spans"),
+        F.col("c")["n_media"].cast("bigint").alias("n_media"),
+        F.col("c")["text_chars"].alias("text_chars"),
+        F.md5(F.col("c")["buf"]).alias("chunk_fp"),
+    )
+
+
+def span_drift(
+    old: DataFrame,
+    new: DataFrame,
+    spans_col: str = "spans",
+) -> DataFrame:
+    """-> ``(doc_id, status)`` with status in ``added | removed |
+    changed | unchanged``: the cross-snapshot form of the span-sequence
+    invariant.  A pipeline stage (or a re-ingest) is content-preserving
+    iff every surviving doc is ``unchanged``; the operator is the audit
+    that proves it — and at 10^12 rows it is two fingerprint projections
+    (zero shuffle each) plus ONE doc_id-keyed full-outer join carrying
+    a 32-char digest per side instead of the span payloads.
+    """
+    a = span_fingerprint(old, spans_col).select(
+        "doc_id", F.col("span_fp").alias("fp_old")
+    )
+    b = span_fingerprint(new, spans_col).select(
+        "doc_id", F.col("span_fp").alias("fp_new")
+    )
+    j = a.join(b, "doc_id", "full_outer")
+    return j.select(
+        "doc_id",
+        F.when(F.col("fp_old").isNull(), F.lit("added"))
+        .when(F.col("fp_new").isNull(), F.lit("removed"))
+        .when(F.col("fp_old") == F.col("fp_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )

@@ -153,7 +153,7 @@ def test_no_broadcast_hint_on_data_sized_frames():
     )
     # t_total / b_total (operators/corpus.py::pmi_collocations) are 1-row
     # corpus position totals — scalar aggregates, never input-sized.
-    # offsets (operators/dedup.py::global_dense_rank) is the per-range-
+    # offsets (operators/ranking.py::global_dense_rank) is the per-range-
     # partition prefix-sum table — `partitions` rows by construction.
     # a_max / h_max (operators/graph.py::hits_scores) are 1-row global
     # max aggregates — scalar at any input scale.

@@ -6,7 +6,7 @@ import pytest
 from pyspark.sql import Row, Window
 from pyspark.sql import functions as F
 
-from ahrd_spark.operators.dedup import (
+from ahrd_spark.operators.ranking import (
     global_dense_rank,
     sorted_neighborhood_pairs,
 )
@@ -241,3 +241,115 @@ def test_hits_scores_star_graph_extremes(spark):
     assert got["h"] == (1.0, 0.0)
     for i in range(5):
         assert got[f"l{i}"] == (0.0, 1.0)
+
+
+def test_media_contexts_nearest_text(idocs):
+    from ahrd_spark.operators.interleaved import media_contexts
+
+    got = {
+        (r["doc_id"], r["span_idx"]): (r["prev_text"], r["next_text"])
+        for r in media_contexts(idocs).collect()
+    }
+    # doc 1: media between two texts
+    assert got[(1, 1)] == ("hello", "world")
+    # doc 2: all media -> no text either side, and nearest-TEXT skips
+    # the neighbouring media spans
+    assert got[(2, 0)] == (None, None)
+    assert got[(2, 1)] == (None, None)
+    assert got[(2, 2)] == (None, None)
+    assert len(got) == 4
+
+
+def test_media_contexts_skips_media_neighbors(spark):
+    from ahrd_spark.operators.interleaved import media_contexts
+
+    df = spark.createDataFrame(
+        [Row(doc_id=9, spans=[
+            _span("text", text="a", offset=0),
+            _span("media", media_ref="m1", offset=1),
+            _span("media", media_ref="m2", offset=2),
+            _span("text", text="b", offset=3),
+        ])],
+        SPAN_SCHEMA,
+    )
+    got = {
+        r["span_idx"]: (r["prev_text"], r["next_text"])
+        for r in media_contexts(df).collect()
+    }
+    # both media spans see the same nearest TEXT spans, not each other
+    assert got[1] == ("a", "b")
+    assert got[2] == ("a", "b")
+
+
+def test_chunk_interleaved_budgets_and_order(spark):
+    from ahrd_spark.operators.interleaved import (
+        chunk_interleaved,
+        span_fingerprint,
+    )
+
+    doc = Row(doc_id=7, spans=[
+        _span("text", text="aaaa", offset=0),     # 4 chars
+        _span("media", media_ref="m1", offset=1),
+        _span("text", text="bbbbbb", offset=2),   # 6 -> 10 > 8: new chunk
+        _span("media", media_ref="m2", offset=3),
+        _span("media", media_ref="m3", offset=4),  # media 2 > 1: new chunk
+        _span("text", text="cc", offset=5),
+    ])
+    df = spark.createDataFrame([doc], SPAN_SCHEMA)
+    chunks = (
+        chunk_interleaved(df, max_text_chars=8, max_media=1)
+        .orderBy("chunk_id")
+        .collect()
+    )
+    assert [c["n_spans"] for c in chunks] == [2, 2, 2]
+    assert [c["n_media"] for c in chunks] == [1, 1, 1]
+    assert [c["text_chars"] for c in chunks] == [4, 6, 2]
+    # no span dropped
+    assert sum(c["n_spans"] for c in chunks) == 6
+    # an unsplit doc's single chunk carries the doc's own fingerprint
+    one = chunk_interleaved(df, max_text_chars=10**6, max_media=10**6)
+    fp = span_fingerprint(df).select("doc_id", "span_fp")
+    j = one.join(fp, "doc_id").collect()
+    assert len(j) == 1 and j[0]["chunk_fp"] == j[0]["span_fp"]
+
+
+def test_chunk_interleaved_oversized_span_own_chunk(spark):
+    from ahrd_spark.operators.interleaved import chunk_interleaved
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, spans=[
+            _span("text", text="x" * 50, offset=0),
+            _span("text", text="y" * 50, offset=1),
+        ])],
+        SPAN_SCHEMA,
+    )
+    chunks = chunk_interleaved(df, max_text_chars=8, max_media=4).collect()
+    # each oversized span still lands in its own chunk, none dropped
+    assert sorted(c["text_chars"] for c in chunks) == [50, 50]
+    assert all(c["n_spans"] == 1 for c in chunks)
+
+
+def test_span_drift_statuses(spark, idocs):
+    from ahrd_spark.operators.interleaved import span_drift
+
+    new = (
+        idocs.filter(F.col("doc_id") != 2)  # removed
+        .withColumn(
+            "spans",
+            F.when(
+                F.col("doc_id") == 1,
+                F.slice("spans", 1, 2),  # changed (last span dropped)
+            ).otherwise(F.col("spans")),
+        )
+        .union(
+            spark.createDataFrame(
+                [Row(doc_id=99, spans=[_span("text", text="n", offset=0)])],
+                SPAN_SCHEMA,
+            )
+        )
+    )
+    got = {r["doc_id"]: r["status"] for r in span_drift(idocs, new).collect()}
+    assert got == {
+        1: "changed", 2: "removed", 3: "unchanged",
+        4: "unchanged", 99: "added",
+    }
