@@ -2841,6 +2841,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["interleaved_drift"] = interleaved_drift
 
+    def interleaved_packs(spark, sf):
+        """Multimodal training-sequence packing: chunk (64 chars / 3
+        media budgets) -> price chunks at 4 chars/token + 16 tokens per
+        media span -> deterministic cumulative-fill packing into
+        256-token sequences across 8 hash buckets
+        (operators/interleaved.py::pack_interleaved)."""
+        from ahrd_spark.operators.interleaved import pack_interleaved
+
+        return pack_interleaved(
+            interleaved_docs(spark, sf),
+            budget=256,
+            chars_per_token=4,
+            media_tokens=16,
+            max_text_chars=64,
+            max_media=3,
+            buckets=8,
+            salt="pi",
+        )
+
+    q["interleaved_packs"] = interleaved_packs
+
     # Deterministic attestation ordering: the driver's correctness gate
     # samples a prefix of this dict, so queries that have never received a
     # driver-issued green row (see COVERAGE.md) are listed first — highest
@@ -2849,6 +2870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # either way; this only rotates which ones the driver re-checks.
     never_sampled_first = [
         # round-4 additions (newest first: no attestation yet)
+        "interleaved_packs",
         "media_contexts", "interleaved_chunks", "interleaved_drift",
         "interleaved_stats", "interleaved_gate", "media_dedup",
         "span_fingerprints", "dedup_sorted_pairs", "domain_caps",
@@ -5825,6 +5847,57 @@ FROM (SELECT w.doc_id, w.idx, w.chunk, w.piece, c.c AS chars_of,
              c.m AS m_of FROM walk w
       JOIN cost c ON c.doc_id = w.doc_id AND c.idx = w.idx)
 GROUP BY doc_id, chunk
+"""
+
+    # same recursive chunk walk as interleaved_chunks, then the identical
+    # md5-bucket + exclusive-prefix-sum window arithmetic as the
+    # pack_sequences oracle
+    o["interleaved_packs"] = f"""
+WITH RECURSIVE {SQL_IDOCS},
+sp AS (
+  SELECT doc_id, unnest(list_transform(spans, (s, i) -> {{
+           idx: i - 1, kind: s.kind, text: s.text,
+           media_ref: s.media_ref}})) AS s
+  FROM idocs),
+cost AS (
+  SELECT doc_id, s.idx AS idx,
+         CASE WHEN s.kind = 'media' THEN 0
+              ELSE coalesce(length(s.text), 0) END AS c,
+         CASE WHEN s.kind = 'media' THEN 1 ELSE 0 END AS m
+  FROM sp),
+walk AS (
+  SELECT doc_id, idx, 0 AS chunk, c AS chars, m AS med
+  FROM cost WHERE idx = 0
+  UNION ALL
+  SELECT s.doc_id, s.idx,
+         CASE WHEN w.chars + s.c > 64 OR w.med + s.m > 3
+              THEN w.chunk + 1 ELSE w.chunk END,
+         CASE WHEN w.chars + s.c > 64 OR w.med + s.m > 3
+              THEN s.c ELSE w.chars + s.c END,
+         CASE WHEN w.chars + s.c > 64 OR w.med + s.m > 3
+              THEN s.m ELSE w.med + s.m END
+  FROM walk w JOIN cost s ON s.doc_id = w.doc_id AND s.idx = w.idx + 1),
+chunks AS (
+  SELECT w.doc_id, CAST(w.chunk AS BIGINT) AS chunk_id,
+         CAST(sum(c.c) AS BIGINT) AS text_chars,
+         CAST(sum(c.m) AS BIGINT) AS n_media
+  FROM walk w JOIN cost c ON c.doc_id = w.doc_id AND c.idx = w.idx
+  GROUP BY w.doc_id, w.chunk),
+priced AS (
+  SELECT doc_id, chunk_id,
+         printf('%020d:%010d', doc_id, chunk_id) AS chunk_key,
+         CAST(ceil(text_chars / 4.0) + n_media * 16 AS BIGINT) AS n_tokens
+  FROM chunks),
+keyed AS (
+  SELECT *,
+         (('0x' || substr(md5(chunk_key || ':' || 'pi'), 1, 15))::BIGINT
+          % 8) AS bucket
+  FROM priced)
+SELECT doc_id, chunk_id, n_tokens, bucket,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY bucket
+                     ORDER BY chunk_key ROWS UNBOUNDED PRECEDING)
+                   - n_tokens) / 256.0) AS BIGINT) AS pack_id
+FROM keyed
 """
 
     o["interleaved_drift"] = f"""

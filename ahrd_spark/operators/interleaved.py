@@ -387,3 +387,60 @@ def span_drift(
         .otherwise(F.lit("changed"))
         .alias("status"),
     )
+
+
+def pack_interleaved(
+    docs: DataFrame,
+    budget: int = 2048,
+    chars_per_token: int = 4,
+    media_tokens: int = 64,
+    max_text_chars: int = 512,
+    max_media: int = 4,
+    buckets: int = 1024,
+    salt: str = "",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Interleaved training-sequence packing -> ``(doc_id, chunk_id,
+    n_tokens, bucket, pack_id)``: re-chunk each document with
+    :func:`chunk_interleaved`, price every chunk in tokens (text at
+    ``chars_per_token`` chars/token, each media span a flat
+    ``media_tokens`` — the fixed patch/frame budget a multimodal encoder
+    charges per image), and pack chunks into ``budget``-token training
+    sequences with :func:`packing.pack_sequences`' deterministic
+    cumulative-fill scheme.
+
+    The pack key orders chunks by zero-padded ``(doc_id, chunk_id)``, so
+    a document's chunks that hash into the same bucket pack adjacently in
+    document order — and the whole assignment is a pure function of
+    (corpus, budgets, salt), replayable in SQL.  Scale shape: the chunk
+    fold is zero-shuffle; packing is one hash-partitioned window per
+    bucket (``buckets`` independent streams).
+    """
+    from ahrd_spark.operators.packing import pack_sequences
+
+    chunks = chunk_interleaved(
+        docs,
+        max_text_chars=max_text_chars,
+        max_media=max_media,
+        spans_col=spans_col,
+    )
+    priced = chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.format_string(
+            "%020d:%010d", F.col("doc_id"), F.col("chunk_id")
+        ).alias("chunk_key"),
+        (
+            F.ceil(F.col("text_chars") / F.lit(chars_per_token))
+            + F.col("n_media") * F.lit(media_tokens)
+        ).cast("bigint").alias("n_tokens"),
+    )
+    packed = pack_sequences(
+        priced,
+        token_col="n_tokens",
+        budget=budget,
+        id_col="chunk_key",
+        buckets=buckets,
+        salt=salt,
+    )
+    return packed.select("doc_id", "chunk_id", "n_tokens", "bucket", "pack_id")

@@ -353,3 +353,40 @@ def test_span_drift_statuses(spark, idocs):
         1: "changed", 2: "removed", 3: "unchanged",
         4: "unchanged", 99: "added",
     }
+
+
+def test_pack_interleaved_budget_and_determinism(spark):
+    from ahrd_spark.operators.interleaved import pack_interleaved
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, spans=[
+                _span("text", text="w" * 40, offset=0),
+                _span("media", media_ref=f"m{i}", offset=1),
+                _span("text", text="v" * 40, offset=2),
+            ])
+            for i in range(1, 21)
+        ],
+        SPAN_SCHEMA,
+    )
+    packed = pack_interleaved(
+        docs, budget=64, chars_per_token=4, media_tokens=8,
+        max_text_chars=100, max_media=4, buckets=2, salt="t",
+    ).collect()
+    # every doc fits one chunk: 80 chars/4 + 1*8 = 28 tokens
+    assert all(r["n_tokens"] == 28 for r in packed)
+    assert len(packed) == 20
+    # cumulative fill: within a bucket, packs hold floor-div groups of
+    # the running total -> pack sizes of 2-3 chunks under a 64 budget
+    from collections import Counter
+
+    sizes = Counter((r["bucket"], r["pack_id"]) for r in packed)
+    assert all(1 <= v <= 3 for v in sizes.values())
+    # pure function of inputs: same call replays identically
+    again = pack_interleaved(
+        docs, budget=64, chars_per_token=4, media_tokens=8,
+        max_text_chars=100, max_media=4, buckets=2, salt="t",
+    ).collect()
+    assert sorted(map(tuple, packed)) == sorted(map(tuple, again))
+    # no chunk dropped or duplicated
+    assert sorted(r["doc_id"] for r in packed) == list(range(1, 21))
