@@ -2862,6 +2862,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["interleaved_packs"] = interleaved_packs
 
+    def stream_interleaved(spark, sf):
+        """Streaming interleaved ingest: the span corpus lands as files,
+        each trigger gates (media/text mix), fingerprints, and
+        first-seen-wins dedups against cross-batch state, writing
+        per-batch lineage metrics — the kept FINGERPRINT SET must equal
+        the batch gate+distinct result under any arrival order
+        (streaming/pipeline.py::stream_interleaved_ingest)."""
+        import os
+        import shutil
+
+        from ahrd_spark.streaming.pipeline import stream_interleaved_ingest
+
+        workdir = f"/tmp/ahrd_q_streaminterleaved_{_dataset_key(sf)}"
+        shutil.rmtree(workdir, ignore_errors=True)
+        src = os.path.join(workdir, "src")
+        interleaved_docs(spark, sf).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+        sq = stream_interleaved_ingest(
+            spark, src,
+            os.path.join(workdir, "sink"),
+            os.path.join(workdir, "state"),
+            os.path.join(workdir, "metrics"),
+            os.path.join(workdir, "ckpt"),
+            max_media_ratio=0.5,
+            min_text_chars=60,
+            min_text_spans=1,
+            max_files_per_trigger=2,
+        )
+        if not sq.awaitTermination(300):
+            sq.stop()
+            raise TimeoutError(
+                "stream_interleaved: query did not finish in 300s"
+            )
+        sink = spark.read.parquet(os.path.join(workdir, "sink"))
+        metrics = spark.read.parquet(os.path.join(workdir, "metrics"))
+        # lineage must reconcile exactly: sum of per-batch n_out == sink
+        # rows, and every batch's n_in == n_gated + n_dup + n_out
+        agg = metrics.agg(
+            F.sum("n_out").alias("out_total"),
+            F.sum(
+                (
+                    F.col("n_in")
+                    != F.col("n_gated") + F.col("n_dup") + F.col("n_out")
+                ).cast("int")
+            ).alias("bad_batches"),
+        ).collect()[0]
+        if agg["bad_batches"]:
+            raise AssertionError("stream_interleaved: lineage mismatch")
+        if agg["out_total"] != sink.count():
+            raise AssertionError("stream_interleaved: n_out != sink rows")
+        return sink.select("span_fp")
+
+    q["stream_interleaved"] = stream_interleaved
+
     # Deterministic attestation ordering: the driver's correctness gate
     # samples a prefix of this dict, so queries that have never received a
     # driver-issued green row (see COVERAGE.md) are listed first — highest
@@ -2870,7 +2925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # either way; this only rotates which ones the driver re-checks.
     never_sampled_first = [
         # round-4 additions (newest first: no attestation yet)
-        "interleaved_packs",
+        "stream_interleaved", "interleaved_packs",
         "media_contexts", "interleaved_chunks", "interleaved_drift",
         "interleaved_stats", "interleaved_gate", "media_dedup",
         "span_fingerprints", "dedup_sorted_pairs", "domain_caps",
@@ -5898,6 +5953,29 @@ SELECT doc_id, chunk_id, n_tokens, bucket,
                      ORDER BY chunk_key ROWS UNBOUNDED PRECEDING)
                    - n_tokens) / 256.0) AS BIGINT) AS pack_id
 FROM keyed
+"""
+
+    # batch replay of the streaming ingest: gate (60-char budget) ->
+    # order-sensitive fingerprint -> DISTINCT (first-seen-wins keeps one
+    # keeper per fingerprint regardless of arrival order)
+    o["stream_interleaved"] = f"""
+WITH {SQL_IDOCS},
+st AS (
+  SELECT doc_id, spans,
+         len(list_filter(spans, s -> s.kind <> 'media')) AS n_text,
+         CAST(len(list_filter(spans, s -> s.kind = 'media')) AS DOUBLE)
+           / len(spans) AS media_ratio,
+         coalesce(list_sum(list_transform(
+           list_filter(spans, s -> s.kind <> 'media'),
+           s -> coalesce(length(s.text), 0))), 0) AS text_chars
+  FROM idocs)
+SELECT DISTINCT
+       md5(array_to_string(list_transform(spans, s ->
+         concat_ws(chr(2), coalesce(s.kind, chr(3)),
+                   coalesce(s.text, chr(3)),
+                   coalesce(s.media_ref, chr(3)))), chr(1))) AS span_fp
+FROM st
+WHERE n_text >= 1 AND media_ratio <= 0.5 AND text_chars >= 60
 """
 
     o["interleaved_drift"] = f"""

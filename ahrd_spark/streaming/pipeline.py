@@ -443,3 +443,152 @@ def stream_click_attribution(
         "click_id", "view_id", F.col("c_user").alias("user_id"),
         "c_ts", "v_ts",
     )
+
+
+def stream_interleaved_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    state_dir: str,
+    metrics_dir: str,
+    checkpoint_dir: str,
+    max_media_ratio: float = 0.5,
+    min_text_chars: int = 20,
+    min_text_spans: int = 1,
+    trigger_once: bool = True,
+    max_files_per_trigger: int = 8,
+):
+    """Streaming ingest of an interleaved text+media landing zone:
+    gate -> fingerprint -> cross-batch content dedup -> audited sink.
+
+    Per micro-batch (foreachBatch):
+
+    1. ``media_text_gate`` drops non-trainable docs (no_text /
+       media_heavy / too_short);
+    2. survivors get the order-sensitive ``span_fingerprint`` — the
+       span-sequence invariant travels WITH the row from the first
+       trigger on, so any later stage can audit content preservation
+       against the ingest-time digest without re-reading the spans;
+    3. first-seen-wins content dedup: anti-join the batch's fingerprints
+       against the accumulated state (excluding this batch id's own
+       writes, so retries stay idempotent — same contract as
+       ``stream_dedup_exact``);
+    4. write surviving docs (+ ``span_fp``) to ``sink_dir/batch_id=N``,
+       their fingerprints to ``state_dir/batch_id=N``, and a one-row
+       lineage record to ``metrics_dir/batch_id=N``: ``(batch_id, n_in,
+       n_gated, n_dup, n_out)`` plus per-gate-reason counts — the
+       per-batch metrics/lineage trail the resumable-pipeline contract
+       asks for, written by overwrite-by-batch-dir so a retried batch
+       replaces (never double-counts) its own record.
+
+    Scale: per-trigger cost is the batch-sized gate/fingerprint
+    projections (zero shuffle), one fingerprint-keyed anti-join against
+    state, and batch-sized writes; state grows one 32-char digest per
+    ingested doc, compactable exactly like ``stream_dedup_exact``'s.
+    """
+    from pyspark.errors import AnalysisException
+
+    from ahrd_spark.operators.interleaved import (
+        media_text_gate,
+        span_fingerprint,
+    )
+
+    schema = (
+        "doc_id bigint, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def handle(batch_docs: DataFrame, batch_id: int) -> None:
+        gate = media_text_gate(
+            batch_docs,
+            max_media_ratio=max_media_ratio,
+            min_text_chars=min_text_chars,
+            min_text_spans=min_text_spans,
+        )
+        gated = batch_docs.join(gate, "doc_id").persist()
+        try:
+            fp = span_fingerprint(
+                gated.filter(F.col("keep")).drop("keep", "drop_reason")
+            )
+            # one in-batch keeper per fingerprint (min doc_id), so the
+            # kept FINGERPRINT SET is arrival-order independent even when
+            # duplicates share a batch
+            doc_cols = [c for c in fp.columns if c != "span_fp"]
+            kept = (
+                fp.groupBy("span_fp")
+                .agg(
+                    F.min_by(
+                        F.struct(*[F.col(c) for c in doc_cols]),
+                        F.col("doc_id"),
+                    ).alias("k")
+                )
+                .select("span_fp", "k.*")
+            )
+            try:
+                seen = (
+                    spark.read.parquet(state_dir)
+                    .filter(F.col("batch_id") != batch_id)
+                    .select("span_fp")
+                )
+                kept = kept.join(seen, "span_fp", "left_anti")
+            except AnalysisException as e:
+                klass = getattr(e, "errorClass", None) or (
+                    e.getErrorClass()
+                    if hasattr(e, "getErrorClass")
+                    else None
+                )
+                if klass != "PATH_NOT_FOUND":
+                    raise
+            kept = kept.persist()
+            try:
+                kept.write.mode("overwrite").parquet(
+                    f"{sink_dir}/batch_id={batch_id}"
+                )
+                kept.select("span_fp").write.mode("overwrite").parquet(
+                    f"{state_dir}/batch_id={batch_id}"
+                )
+                # lineage record: one row per batch, reason counts as a
+                # map so new gate reasons never change the schema
+                n_in = gated.count()
+                n_kept_gate = gated.filter(F.col("keep")).count()
+                n_out = kept.count()
+                reasons = {
+                    r["drop_reason"]: r["n"]
+                    for r in gated.filter(~F.col("keep"))
+                    .groupBy("drop_reason")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                spark.createDataFrame(
+                    [
+                        (
+                            batch_id,
+                            n_in,
+                            n_in - n_kept_gate,
+                            n_kept_gate - n_out,
+                            n_out,
+                            reasons,
+                        )
+                    ],
+                    "batch_id bigint, n_in bigint, n_gated bigint, "
+                    "n_dup bigint, n_out bigint, "
+                    "gate_reasons map<string,bigint>",
+                ).coalesce(1).write.mode("overwrite").parquet(
+                    f"{metrics_dir}/batch_id={batch_id}"
+                )
+            finally:
+                kept.unpersist()
+        finally:
+            gated.unpersist()
+
+    writer = docs.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
