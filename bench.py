@@ -50,6 +50,9 @@ HEADLINE = [
     "events_windowed",
     "text_stats",
     "cc_components",
+    # round 4: the interleaved text+media axis — chunk fold is the
+    # representative zero-shuffle span-array workload
+    "interleaved_chunks",
 ]
 
 SYNTH_DOCS = int(os.environ.get("BENCH_SYNTH_DOCS", "80000"))
