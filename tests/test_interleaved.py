@@ -390,3 +390,61 @@ def test_pack_interleaved_budget_and_determinism(spark):
     assert sorted(map(tuple, packed)) == sorted(map(tuple, again))
     # no chunk dropped or duplicated
     assert sorted(r["doc_id"] for r in packed) == list(range(1, 21))
+
+
+def test_interleaved_to_text_placeholders_and_order(spark, idocs):
+    from ahrd_spark.operators.interleaved import (
+        interleaved_to_text,
+        span_stats,
+    )
+
+    flat = {r["doc_id"]: r.asDict()
+            for r in interleaved_to_text(idocs).collect()}
+    assert flat[1]["flat_text"] == "hello <|image|> world"
+    assert flat[2]["flat_text"] == "<|image|> <|image|> <|image|>"
+    assert flat[4]["flat_text"] == "tiny"
+    # placeholder count reconciles with span_stats.n_media for every doc
+    stats = {r["doc_id"]: r["n_media"] for r in span_stats(idocs).collect()}
+    for d, row in flat.items():
+        assert row["n_media"] == stats[d]
+        assert row["flat_text"].count("<|image|>") == stats[d]
+        assert row["flat_chars"] == len(row["flat_text"])
+
+
+def test_interleaved_to_text_null_text_span(spark):
+    from ahrd_spark.operators.interleaved import interleaved_to_text
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, spans=[
+            _span("text", text=None, offset=0),
+            _span("text", text="b", offset=1),
+        ])],
+        SPAN_SCHEMA,
+    )
+    got = interleaved_to_text(df).collect()[0]
+    # NULL text flattens to empty, not NULL-poisoning the whole string
+    assert got["flat_text"] == " b"
+
+
+def test_chunk_interleaved_arrow_parity(spark, idocs):
+    from ahrd_spark.operators.interleaved import chunk_interleaved
+
+    for budgets in [(8, 1), (10**6, 10**6), (5, 4)]:
+        a = sorted(
+            map(tuple, chunk_interleaved(
+                idocs, *budgets, impl="expr").collect())
+        )
+        b = sorted(
+            map(tuple, chunk_interleaved(
+                idocs, *budgets, impl="arrow").collect())
+        )
+        assert a == b, budgets
+
+
+def test_chunk_interleaved_bad_impl(idocs):
+    import pytest as _pytest
+
+    from ahrd_spark.operators.interleaved import chunk_interleaved
+
+    with _pytest.raises(ValueError):
+        chunk_interleaved(idocs, impl="nope")
