@@ -88,7 +88,11 @@ def span_stats(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
         n_spans.cast("bigint").alias("n_spans"),
         n_text.cast("bigint").alias("n_text"),
         n_media.cast("bigint").alias("n_media"),
-        (n_media.cast("double") / n_spans.cast("double")).alias("media_ratio"),
+        # try_divide: an empty spans array must profile as NULL ratio,
+        # not throw under ANSI mode (caught by test_fuzz_interleaved)
+        F.try_divide(
+            n_media.cast("double"), n_spans.cast("double")
+        ).alias("media_ratio"),
         text_chars.alias("text_chars"),
         violations.alias("offset_violations"),
     )
