@@ -2944,6 +2944,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["interleaved_flatten"] = interleaved_flatten
 
+    def media_cc(spark, sf):
+        """Near-dup DOCUMENT families via transitive media sharing:
+        docs sharing a strong-evidence media ref (numeric id % 97 == 0,
+        the rare-asset subset — ubiquitous refs are boilerplate, not
+        evidence) are one family.  Scale shape: star edges doc ->
+        per-ref min doc (clique-free: a ref shared by a million docs
+        contributes a million EDGES, never a million-squared pair
+        expansion), then the checkpointed large-star/small-star CC."""
+        from ahrd_spark.operators.connected_components import (
+            connected_components,
+        )
+
+        spans = F.col("spans")
+        refs = F.array_distinct(
+            F.transform(
+                F.filter(spans, lambda s: s["kind"] == "media"),
+                lambda s: s["media_ref"],
+            )
+        )
+        pairs = (
+            interleaved_docs(spark, sf)
+            .select("doc_id", F.explode(refs).alias("media_ref"))
+            .filter(
+                F.substring("media_ref", 2, 10).cast("long") % 97 == 0
+            )
+        )
+        hub = (
+            pairs.groupBy("media_ref")
+            .agg(
+                F.min("doc_id").alias("hub"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .filter(F.col("n") >= 2)
+        )
+        edges = (
+            pairs.join(hub, "media_ref")
+            .select(F.col("doc_id").alias("u"), F.col("hub").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        return connected_components(edges).select("node", "component")
+
+    q["media_cc"] = media_cc
+
     # Deterministic attestation ordering: the driver's correctness gate
     # samples a prefix of this dict, so queries that have never received a
     # driver-issued green row (see COVERAGE.md) are listed first — highest
@@ -2952,7 +2996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # either way; this only rotates which ones the driver re-checks.
     never_sampled_first = [
         # round-4 additions (newest first: no attestation yet)
-        "interleaved_chunks_arrow", "interleaved_flatten",
+        "media_cc", "interleaved_chunks_arrow", "interleaved_flatten",
         "stream_interleaved", "interleaved_packs",
         "media_contexts", "interleaved_chunks", "interleaved_drift",
         "interleaved_stats", "interleaved_gate", "media_dedup",
@@ -5981,6 +6025,36 @@ SELECT doc_id, chunk_id, n_tokens, bucket,
                      ORDER BY chunk_key ROWS UNBOUNDED PRECEDING)
                    - n_tokens) / 256.0) AS BIGINT) AS pack_id
 FROM keyed
+"""
+
+    # star edges (doc -> per-ref min doc) then recursive reachability,
+    # same min-id component convention as cc_components
+    o["media_cc"] = f"""
+WITH RECURSIVE {SQL_IDOCS},
+pairs AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+           list_filter(spans, s -> s.kind = 'media'),
+           s -> s.media_ref))) AS media_ref
+  FROM idocs),
+strong AS (
+  SELECT doc_id, media_ref FROM pairs
+  WHERE CAST(substr(media_ref, 2) AS BIGINT) % 97 = 0),
+hub AS (
+  SELECT media_ref, min(doc_id) AS h
+  FROM strong GROUP BY media_ref HAVING count(*) >= 2),
+e AS (
+  SELECT DISTINCT s.doc_id AS u, h.h AS v
+  FROM strong s JOIN hub h USING (media_ref)
+  WHERE s.doc_id <> h.h),
+sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+nodes AS (SELECT DISTINCT u AS n FROM sym),
+reach AS (
+  SELECT n AS node, n AS r FROM nodes
+  UNION
+  SELECT reach.node, sym.v AS r
+  FROM reach JOIN sym ON sym.u = reach.r)
+SELECT node, min(r) AS component FROM reach GROUP BY node
 """
 
     o["interleaved_flatten"] = f"""

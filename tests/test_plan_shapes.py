@@ -97,7 +97,7 @@ def test_no_rowwise_python_udfs_in_driver_queries(spark):
         "pipeline_triples_stream", "pipeline_triples_arrowshred",
         "curation_pipeline", "curation_pipeline_full",
         "events_stateful_sessions", "stream_dedup", "stream_interleaved",
-        "hits_hub_auth",
+        "hits_hub_auth", "media_cc",
     }
     sf = "/root/testdata/sf0.001"
     offenders = []

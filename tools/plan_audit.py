@@ -39,7 +39,7 @@ EXECUTING = {
     "pipeline_triples_stream", "pipeline_triples_arrowshred",
     "curation_pipeline", "curation_pipeline_full",
     "events_stateful_sessions", "stream_dedup", "stream_interleaved",
-    "hits_hub_auth",
+    "hits_hub_auth", "media_cc",
     "cc_components", "kcore_peel", "pagerank", "pagerank_personalized",
     "lpa_communities", "sssp_bounded", "pca_loadings", "pca_project",
     "bpe_merges", "bpe_segment", "kmeans_assign", "semantic_dedup",
