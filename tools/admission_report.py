@@ -76,6 +76,66 @@ def build_report(spark, sf_dir: str) -> dict:
         "quality_quartiles": quartiles,
         "languages": langs,
         "columns": profile,
+        "interleaved": interleaved_section(spark, sf_dir),
+    }
+
+
+def interleaved_section(spark, sf_dir: str) -> dict:
+    """Interleaved-corpus admission block over the span-table view of the
+    same documents (the BASELINE input_hint shape): structural integrity
+    (offset-order violations), media/text composition, gate pass rate
+    with per-reason counts, content-fingerprint dup rate, and cross-doc
+    media sharing.  All Spark aggregates; the only collected frames are
+    the bounded reason/summary rows."""
+    import __spark_entry__ as entry
+    from ahrd_spark.operators.interleaved import (
+        media_ref_dedup,
+        media_text_gate,
+        span_fingerprint,
+        span_stats,
+    )
+
+    idocs = entry.interleaved_docs(spark, sf_dir)
+    stats = span_stats(idocs)
+    s = stats.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_spans").alias("spans"),
+        F.sum("n_media").alias("media_spans"),
+        F.round(F.avg("media_ratio"), 6).alias("mean_media_ratio"),
+        F.sum(
+            (F.col("offset_violations") > 0).cast("int")
+        ).alias("docs_with_offset_violations"),
+    ).collect()[0]
+    gate = media_text_gate(idocs, max_media_ratio=0.5, min_text_chars=60)
+    reasons = {
+        r["drop_reason"]: r["n"]
+        for r in gate.filter(~F.col("keep"))
+        .groupBy("drop_reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    kept = gate.filter(F.col("keep")).count()
+    fp = span_fingerprint(idocs).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("span_fp").alias("distinct_fp"),
+    ).collect()[0]
+    shared = media_ref_dedup(idocs, min_docs=2).agg(
+        F.count(F.lit(1)).alias("shared_refs"),
+        F.coalesce(F.max("n_docs"), F.lit(0)).alias("hottest_ref_docs"),
+    ).collect()[0]
+    return {
+        "docs": s["docs"],
+        "spans": s["spans"],
+        "media_spans": s["media_spans"],
+        "mean_media_ratio": s["mean_media_ratio"],
+        "docs_with_offset_violations": s["docs_with_offset_violations"],
+        "gate_pass_rate": round(kept / s["docs"], 6) if s["docs"] else None,
+        "gate_drop_reasons": reasons,
+        "span_fp_dup_rate": round(
+            1.0 - fp["distinct_fp"] / fp["n"], 6
+        ) if fp["n"] else None,
+        "shared_media_refs": shared["shared_refs"],
+        "hottest_ref_docs": shared["hottest_ref_docs"],
     }
 
 
