@@ -41,13 +41,23 @@ def global_dense_rank(
 
     Deterministic for a total order: callers must include a tiebreaker
     column (e.g. the id) in ``order_cols``.
+
+    The ranged frame is PERSISTED before fan-out: the counts branch and
+    the ranked branch both read ``_pid``, and partition ids are only
+    guaranteed consistent across the two if the range exchange is
+    evaluated once — RangePartitioner re-samples split points on
+    re-evaluation, so two independent evaluations could disagree and
+    silently corrupt the offsets.  (A global sort materializes one pass
+    at any scale anyway — this is that pass.)  Downstream actions
+    consume both branches immediately, so the cache is hot exactly when
+    needed; Spark evicts it LRU afterwards.
     """
     from pyspark.sql import Window
 
     cols = [F.col(c) for c in order_cols]
     part = df.repartitionByRange(partitions, *cols).withColumn(
         "_pid", F.spark_partition_id()
-    )
+    ).persist()
     counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     offsets = counts.select(
         "_pid",
