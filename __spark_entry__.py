@@ -2988,6 +2988,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_cc"] = media_cc
 
+    def interleaved_media_decode(spark, sf):
+        """The interleaved -> multimodal bridge with per-span provenance:
+        media spans resolve their refs against a deterministic P6-PPM
+        object table (one REAL decodable image per distinct ref, dims
+        seeded from md5(ref) — same generation math as multimodal_ppm),
+        decode via the Arrow codec (operators/multimodal.py::
+        decode_media), and join the parsed width/height/n_bytes back to
+        every (doc, span) occurrence.  Scale shape: decode once per
+        DISTINCT ref (object-table-sized, not span-count-sized), one
+        ref-keyed join back to the span rows."""
+        from ahrd_spark.operators.multimodal import decode_media
+
+        spans_i = (
+            interleaved_docs(spark, sf)
+            .select("doc_id", F.posexplode("spans").alias("span_idx", "s"))
+            .filter(F.col("s.kind") == "media")
+            .select(
+                "doc_id",
+                F.col("span_idx").cast("int").alias("span_idx"),
+                F.col("s.media_ref").alias("media_ref"),
+            )
+        )
+        refs = spans_i.select("media_ref").distinct()
+        hx = F.md5("media_ref")
+        seed = F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint")
+        w = (F.lit(4) + seed % 12).cast("int")
+        h = (F.lit(4) + F.floor(seed / 12).cast("bigint") % 12).cast("int")
+        header = F.concat(
+            F.lit("P6\n"), w.cast("string"), F.lit(" "),
+            h.cast("string"), F.lit("\n255\n"),
+        )
+        pixels = F.unhex(
+            F.substring(F.repeat(hx, 43), F.lit(1), w * h * 6)
+        )
+        media = refs.select(
+            F.col("media_ref").alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.concat(F.encode(header, "UTF-8"), pixels).alias("payload"),
+            F.lit("image/x-portable-pixmap").alias("mime"),
+            F.col("media_ref").alias("source_ref"),
+        )
+        decoded = decode_media(media).select(
+            F.col("media_id").alias("media_ref"),
+            "width", "height", "n_bytes",
+        )
+        return spans_i.join(decoded, "media_ref").select(
+            "doc_id", "span_idx", "media_ref",
+            "width", "height", "n_bytes",
+        )
+
+    q["interleaved_media_decode"] = interleaved_media_decode
+
     # Deterministic attestation ordering: the driver's correctness gate
     # samples a prefix of this dict, so queries that have never received a
     # driver-issued green row (see COVERAGE.md) are listed first — highest
@@ -2996,7 +3048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # either way; this only rotates which ones the driver re-checks.
     never_sampled_first = [
         # round-4 additions (newest first: no attestation yet)
-        "media_cc", "interleaved_chunks_arrow", "interleaved_flatten",
+        "interleaved_media_decode", "media_cc",
+        "interleaved_chunks_arrow", "interleaved_flatten",
         "stream_interleaved", "interleaved_packs",
         "media_contexts", "interleaved_chunks", "interleaved_drift",
         "interleaved_stats", "interleaved_gate", "media_dedup",
@@ -6025,6 +6078,31 @@ SELECT doc_id, chunk_id, n_tokens, bucket,
                      ORDER BY chunk_key ROWS UNBOUNDED PRECEDING)
                    - n_tokens) / 256.0) AS BIGINT) AS pack_id
 FROM keyed
+"""
+
+    # per-span provenance join against the generation-math replay of the
+    # P6 dims (header length derives n_bytes without decoding)
+    o["interleaved_media_decode"] = f"""
+WITH {SQL_IDOCS},
+sp AS (
+  SELECT doc_id, unnest(list_transform(spans, (s, i) -> {{
+           idx: i - 1, kind: s.kind, media_ref: s.media_ref}})) AS s
+  FROM idocs),
+ms AS (SELECT doc_id, CAST(s.idx AS INT) AS span_idx,
+              s.media_ref AS media_ref
+       FROM sp WHERE s.kind = 'media'),
+refs AS (SELECT DISTINCT media_ref FROM ms),
+dims AS (
+  SELECT media_ref,
+         4 + (('0x' || substr(md5(media_ref), 1, 8))::BIGINT % 12) AS w,
+         4 + ((('0x' || substr(md5(media_ref), 1, 8))::BIGINT // 12) % 12)
+           AS h
+  FROM refs)
+SELECT m.doc_id, m.span_idx, m.media_ref,
+       CAST(d.w AS INTEGER) AS width, CAST(d.h AS INTEGER) AS height,
+       CAST(3 + length(d.w::VARCHAR) + 1 + length(d.h::VARCHAR) + 5
+            + d.w * d.h * 3 AS INTEGER) AS n_bytes
+FROM ms m JOIN dims d USING (media_ref)
 """
 
     # star edges (doc -> per-ref min doc) then recursive reachability,
