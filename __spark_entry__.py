@@ -3040,6 +3040,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["interleaved_media_decode"] = interleaved_media_decode
 
+    def interleaved_normalize(spark, sf):
+        """Span-structure repair proof: corrupt doc_id % 3 == 0 by
+        REVERSING its span array (offsets ride along, now
+        non-increasing), then normalize_spans must restore canonical
+        0..n-1 offsets everywhere and — because the sort is stable on
+        (offset, arrival) — restore the ORIGINAL content order exactly
+        where offsets were unique (docs in both the %3 corruption and
+        the %13 duplicate-offset classes keep the reversed order inside
+        each equal-offset pair: content_restored goes false, the honest
+        answer)."""
+        from ahrd_spark.operators.interleaved import (
+            normalize_spans,
+            span_fingerprint,
+            span_stats,
+        )
+
+        d = F.col("doc_id")
+        orig = interleaved_docs(spark, sf)
+        corrupted = orig.withColumn(
+            "spans",
+            F.when(d % 3 == 0, F.reverse("spans")).otherwise(
+                F.col("spans")
+            ),
+        )
+        fixed = normalize_spans(corrupted)
+        fp_orig = span_fingerprint(orig).select(
+            "doc_id", F.col("span_fp").alias("fp_orig")
+        )
+        fp_fixed = span_fingerprint(fixed).select("doc_id", "span_fp")
+        st = span_stats(fixed).select("doc_id", "offset_violations")
+        return (
+            fp_fixed.join(fp_orig, "doc_id")
+            .join(st, "doc_id")
+            .select(
+                "doc_id",
+                (F.col("span_fp") == F.col("fp_orig")).alias(
+                    "content_restored"
+                ),
+                "offset_violations",
+            )
+        )
+
+    q["interleaved_normalize"] = interleaved_normalize
+
     # Deterministic attestation ordering: the driver's correctness gate
     # samples a prefix of this dict, so queries that have never received a
     # driver-issued green row (see COVERAGE.md) are listed first — highest
@@ -3048,7 +3092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # either way; this only rotates which ones the driver re-checks.
     never_sampled_first = [
         # round-4 additions (newest first: no attestation yet)
-        "interleaved_media_decode", "media_cc",
+        "interleaved_normalize", "interleaved_media_decode", "media_cc",
         "interleaved_chunks_arrow", "interleaved_flatten",
         "stream_interleaved", "interleaved_packs",
         "media_contexts", "interleaved_chunks", "interleaved_drift",
@@ -6078,6 +6122,41 @@ SELECT doc_id, chunk_id, n_tokens, bucket,
                      ORDER BY chunk_key ROWS UNBOUNDED PRECEDING)
                    - n_tokens) / 256.0) AS BIGINT) AS pack_id
 FROM keyed
+"""
+
+    # corrupt -> stable-sort-repair replay; fp formula matches
+    # span_fingerprints (offsets excluded)
+    _FPSQL = (
+        "md5(array_to_string(list_transform({src}, s -> "
+        "concat_ws(chr(2), coalesce(s.kind, chr(3)), "
+        "coalesce(s.text, chr(3)), coalesce(s.media_ref, chr(3)))), "
+        "chr(1)))"
+    )
+    o["interleaved_normalize"] = f"""
+WITH {SQL_IDOCS},
+corr AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN list_reverse(spans)
+              ELSE spans END AS cspans,
+         spans
+  FROM idocs),
+fixed AS (
+  SELECT doc_id, spans,
+         list_transform(
+           list_sort(list_transform(cspans, (s, i) ->
+             {{o: s."offset", i: i, s: s}})),
+           (x, i) -> {{kind: x.s.kind, text: x.s.text,
+                       media_ref: x.s.media_ref,
+                       "offset": CAST(i - 1 AS INT)}}) AS nspans
+  FROM corr)
+SELECT doc_id,
+       {_FPSQL.format(src="nspans")} = {_FPSQL.format(src="spans")}
+         AS content_restored,
+       CAST(coalesce(list_sum(list_transform(nspans, (s, i) ->
+              CASE WHEN i >= 2 AND s."offset" <= nspans[i - 1]."offset"
+                   THEN 1 ELSE 0 END)), 0) AS BIGINT)
+         AS offset_violations
+FROM fixed
 """
 
     # per-span provenance join against the generation-math replay of the

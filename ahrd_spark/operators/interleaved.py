@@ -584,3 +584,45 @@ def _chunk_interleaved_arrow(
     return docs.select("doc_id", F.col(spans_col).alias("spans")).mapInPandas(
         gen, schema
     )
+
+
+def normalize_spans(
+    docs: DataFrame,
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Span-structure repair -> same columns with ``spans`` re-ordered by
+    a STABLE (offset, original-position) sort and offsets renumbered to
+    the canonical ``0..n-1``.
+
+    The ingest-trust step: downstream operators (fingerprints, chunking,
+    caption mining) assume span order IS document order; a feed whose
+    offsets are duplicated or shuffled must be normalized once, up
+    front.  Stability matters: spans sharing an offset (the common
+    corruption — coarse offsets from a lossy converter) keep their
+    arrival order, so a content-order-preserving feed round-trips with
+    an UNCHANGED content fingerprint (:func:`span_fingerprint` excludes
+    offsets by design; tests pin this).
+
+    In-row only: index-tag ``transform`` -> ``array_sort`` on the
+    (offset, idx) struct prefix -> renumbering ``transform``.  Zero
+    shuffle at any scale.
+    """
+    spans = F.col(spans_col)
+    tagged = F.transform(
+        spans,
+        lambda s, i: F.struct(
+            s["offset"].alias("o"),
+            i.alias("i"),
+            s.alias("s"),
+        ),
+    )
+    renumbered = F.transform(
+        F.array_sort(tagged),
+        lambda x, i: F.struct(
+            x["s"]["kind"].alias("kind"),
+            x["s"]["text"].alias("text"),
+            x["s"]["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    return docs.withColumn(spans_col, renumbered)

@@ -448,3 +448,51 @@ def test_chunk_interleaved_bad_impl(idocs):
 
     with _pytest.raises(ValueError):
         chunk_interleaved(idocs, impl="nope")
+
+
+def test_normalize_spans_repairs_reversed_doc(spark):
+    from ahrd_spark.operators.interleaved import (
+        normalize_spans,
+        span_fingerprint,
+        span_stats,
+    )
+
+    orig = spark.createDataFrame(
+        [Row(doc_id=1, spans=[
+            _span("text", text="a", offset=0),
+            _span("media", media_ref="m1", offset=1),
+            _span("text", text="b", offset=2),
+        ])],
+        SPAN_SCHEMA,
+    )
+    corrupted = orig.select(
+        "doc_id", F.reverse("spans").alias("spans")
+    )
+    fixed = normalize_spans(corrupted)
+    # canonical offsets, zero violations
+    st = span_stats(fixed).collect()[0]
+    assert st["offset_violations"] == 0
+    got = fixed.collect()[0]["spans"]
+    assert [s["offset"] for s in got] == [0, 1, 2]
+    # content order restored exactly (offsets were unique)
+    fp_orig = span_fingerprint(orig).collect()[0]["span_fp"]
+    fp_fixed = span_fingerprint(fixed).collect()[0]["span_fp"]
+    assert fp_fixed == fp_orig
+
+
+def test_normalize_spans_stable_on_duplicate_offsets(spark):
+    from ahrd_spark.operators.interleaved import normalize_spans
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, spans=[
+            _span("text", text="first", offset=5),
+            _span("text", text="second", offset=5),
+            _span("text", text="zero", offset=0),
+        ])],
+        SPAN_SCHEMA,
+    )
+    got = normalize_spans(df).collect()[0]["spans"]
+    # ties keep arrival order; lower offset sorts first; renumbered
+    assert [(s["text"], s["offset"]) for s in got] == [
+        ("zero", 0), ("first", 1), ("second", 2),
+    ]
