@@ -643,6 +643,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_delta"] = kg_delta
 
+    def kg_type_infer(spark, sf):
+        """RDFS2/RDFS3 entailment (kgschema.py::infer_types): broadcast
+        predicate schema -> distinct (entity, rdf:type) rows; the
+        hasDescription range is NULL (literal-valued) so only the domain
+        rule fires for it."""
+        from ahrd_spark.operators.kgschema import infer_types
+
+        pred_schema = spark.createDataFrame(
+            [
+                ("hasDescription", "Protein", None),
+                ("hasGOTerm", "Protein", "GOTerm"),
+            ],
+            "pred string, domain_type string, range_type string",
+        )
+        return infer_types(_kg_triples(spark, sf, 1, 10), pred_schema)
+
+    q["kg_type_infer"] = kg_type_infer
+
+    def kg_constraints(spark, sf):
+        """SHACL-style violation report (kgschema.py::validate_triples):
+        hasGOTerm carries a max-cardinality of 3 and a GO:[0-9]+ object
+        pattern (docs at doc_id%15==0 emit malformed GOX objects);
+        derivedFrom objects are entity refs into P0..P54 while subjects
+        only span P0..P39 -> deterministic dangling rows."""
+        from ahrd_spark.operators.kgschema import validate_triples
+
+        d = F.col("doc_id")
+        m3 = d % 3
+        triples = _docs(spark, sf).select(
+            F.when(m3 == 0, F.concat(F.lit("P"), (d % 4).cast("string")))
+            .otherwise(F.concat(F.lit("P"), (d % 40).cast("string")))
+            .alias("subj"),
+            F.when(m3 == 0, F.lit("hasGOTerm"))
+            .when(m3 == 1, F.lit("hasDescription"))
+            .otherwise(F.lit("derivedFrom"))
+            .alias("pred"),
+            F.when(
+                m3 == 0,
+                F.when(
+                    d % 5 == 0,
+                    F.concat(F.lit("GOX"), (d % 17).cast("string")),
+                ).otherwise(
+                    F.concat(F.lit("GO:"), (d % 17).cast("string"))
+                ),
+            )
+            .when(m3 == 1, F.substring("text", 1, 12))
+            .otherwise(F.concat(F.lit("P"), (d % 55).cast("string")))
+            .alias("obj"),
+        )
+        constraints = spark.createDataFrame(
+            [
+                ("hasGOTerm", 3, "GO:[0-9]+", False),
+                ("hasDescription", None, None, False),
+                ("derivedFrom", None, None, True),
+            ],
+            "pred string, max_card int, obj_regex string,"
+            " obj_is_entity_ref boolean",
+        )
+        return validate_triples(triples, constraints)
+
+    q["kg_constraints"] = kg_constraints
+
+    def kg_metapaths(spark, sf):
+        """2-hop metapath frequencies (kgschema.py::metapath_counts) over a
+        deliberately hub-skewed entity graph: docs at doc_id%7==0 rewire
+        their object edge onto hub E0, whose in-degree blows past the
+        hub_cap=4 and is excluded from the path join — the cap is the
+        at-scale guard against a celebrity node exploding the self-join."""
+        from ahrd_spark.operators.kgschema import metapath_counts
+
+        d = F.col("doc_id")
+        # modulus 29 is ODD on purpose: with an even modulus the doc parity
+        # (the predicate) is a function of the node residue and the graph
+        # degenerates to cross-predicate paths only
+        triples = _docs(spark, sf).select(
+            F.concat(F.lit("E"), (d % 29).cast("string")).alias("subj"),
+            F.when(d % 2 == 0, F.lit("knows"))
+            .otherwise(F.lit("parent_of"))
+            .alias("pred"),
+            F.when(d % 7 == 0, F.lit("E0"))
+            .otherwise(
+                F.concat(F.lit("E"), ((d * 7 + 3) % 29).cast("string"))
+            )
+            .alias("obj"),
+        )
+        return metapath_counts(triples, hub_cap=4)
+
+    q["kg_metapaths"] = kg_metapaths
+
     def token_doc_freq(spark, sf):
         from ahrd_spark.operators.skew import token_document_frequency
 
@@ -3703,6 +3792,74 @@ ti AS ({_kg_cte(3, 2, 7)})
 SELECT DISTINCT subj, pred, obj FROM ti
 ANTI JOIN (SELECT DISTINCT subj, pred, obj FROM te) te2
   USING (subj, pred, obj)
+"""
+
+    # RDFS2/RDFS3 entailment replay (kgschema.py::infer_types): the schema
+    # table is inlined — hasDescription has a NULL range (literal object),
+    # so only its domain rule fires; both predicates share domain Protein
+    o["kg_type_infer"] = f"""
+WITH t AS ({_kg_cte(None, 1, 10)})
+SELECT DISTINCT entity, type FROM (
+  SELECT subj AS entity, 'Protein' AS type FROM t
+  UNION ALL
+  SELECT obj AS entity, 'GOTerm' AS type FROM t WHERE pred = 'hasGOTerm'
+)
+"""
+
+    # SHACL-style validation replay (kgschema.py::validate_triples): three
+    # violation kinds over DISTINCT triples — cardinality (hasGOTerm
+    # max_card 3), pattern (GO:[0-9]+ full match), dangling (derivedFrom
+    # objects absent from the subject set)
+    o["kg_constraints"] = """
+WITH raw AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'P' || (doc_id % 4)::VARCHAR
+              ELSE 'P' || (doc_id % 40)::VARCHAR END AS subj,
+         CASE WHEN doc_id % 3 = 0 THEN 'hasGOTerm'
+              WHEN doc_id % 3 = 1 THEN 'hasDescription'
+              ELSE 'derivedFrom' END AS pred,
+         CASE WHEN doc_id % 3 = 0 THEN
+                (CASE WHEN doc_id % 5 = 0
+                      THEN 'GOX' || (doc_id % 17)::VARCHAR
+                      ELSE 'GO:' || (doc_id % 17)::VARCHAR END)
+              WHEN doc_id % 3 = 1 THEN substr(text, 1, 12)
+              ELSE 'P' || (doc_id % 55)::VARCHAR END AS obj
+  FROM documents),
+t AS (SELECT DISTINCT pred, subj, obj FROM raw),
+card AS (
+  SELECT 'cardinality' AS kind, pred, subj, CAST(NULL AS VARCHAR) AS obj,
+         CAST(count(DISTINCT obj) AS BIGINT) AS n
+  FROM t WHERE pred = 'hasGOTerm'
+  GROUP BY pred, subj HAVING count(DISTINCT obj) > 3),
+pat AS (
+  SELECT 'pattern' AS kind, pred, subj, obj, CAST(1 AS BIGINT) AS n
+  FROM t WHERE pred = 'hasGOTerm'
+    AND NOT regexp_full_match(obj, 'GO:[0-9]+')),
+dang AS (
+  SELECT 'dangling' AS kind, pred, subj, obj, CAST(1 AS BIGINT) AS n
+  FROM t WHERE pred = 'derivedFrom'
+    AND obj NOT IN (SELECT DISTINCT subj FROM t))
+SELECT * FROM card UNION ALL SELECT * FROM pat UNION ALL SELECT * FROM dang
+"""
+
+    # metapath replay (kgschema.py::metapath_counts): per-mid in/out degrees
+    # over distinct triples, hub_cap=4 excludes the rewired E0 hub, then the
+    # mid-keyed self-join aggregated per ordered predicate pair
+    o["kg_metapaths"] = """
+WITH raw AS (
+  SELECT 'E' || (doc_id % 29)::VARCHAR AS s,
+         CASE WHEN doc_id % 2 = 0 THEN 'knows' ELSE 'parent_of' END AS p,
+         CASE WHEN doc_id % 7 = 0 THEN 'E0'
+              ELSE 'E' || ((doc_id * 7 + 3) % 29)::VARCHAR END AS o
+  FROM documents),
+t AS (SELECT DISTINCT s, p, o FROM raw),
+din AS (SELECT o AS mid, count(*) AS d_in FROM t GROUP BY o),
+dout AS (SELECT s AS mid, count(*) AS d_out FROM t GROUP BY s),
+ok AS (SELECT mid FROM din JOIN dout USING (mid)
+       WHERE d_in <= 4 AND d_out <= 4)
+SELECT l.p AS pred1, r.p AS pred2, CAST(count(*) AS BIGINT) AS n_paths,
+       CAST(count(DISTINCT l.o) AS BIGINT) AS n_mids
+FROM t l JOIN t r ON l.o = r.s JOIN ok ON ok.mid = l.o
+GROUP BY l.p, r.p
 """
 
     # TF-IDF: whitespace tokens with duplicates (tf), distinct-per-doc terms

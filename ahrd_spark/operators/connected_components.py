@@ -96,7 +96,15 @@ def _local_components(edges: DataFrame, num_partitions: int) -> DataFrame:
     )
 
 
-LOCAL_CONTRACTION_MIN_EDGES = 5_000_000
+LOCAL_CONTRACTION_MIN_EDGES = 5_000_000  # kept for callers that import it
+# Contraction partitions are sized by EDGE COUNT, not fixed at the session's
+# shuffle parallelism: ~2M edges/partition keeps the per-task NumPy arrays in
+# the tens of MB (int64) / low hundreds (strings) — comfortably inside a
+# normal executor — while a small graph collapses to ONE partition, where the
+# local pass IS the exact answer and the global iteration sees an empty
+# replica graph (zero rounds).  At web scale the count grows with |E| instead
+# of being pinned to spark.sql.shuffle.partitions.
+EDGES_PER_CONTRACTION_PARTITION = 2_000_000
 
 
 def connected_components(
@@ -115,12 +123,15 @@ def connected_components(
     iteration then runs only on the replica graph (nodes whose edges span
     partitions), which at scale is both far smaller and far shallower than
     the original — the iterated/shuffled table shrinks from |E| to the
-    cross-partition replica count.  Default ``None`` decides by SIZE
-    (measured on the materialized canonical edge list): below
-    ``LOCAL_CONTRACTION_MIN_EDGES`` the contraction's extra stages cost
-    more than the rounds they save (measured ~25% slower on a 1.5k-edge
-    graph, ~2x the other way at partition-saturating sizes), so small
-    graphs take the pure iterative path.  Pass True/False to force.
+    cross-partition replica count.  Default ``None`` always contracts, with
+    the partition count derived from the measured canonical edge count
+    (``EDGES_PER_CONTRACTION_PARTITION`` per task): a small graph lands in
+    ONE partition where the local pass is already the exact answer (zero
+    global rounds — measured ~4x faster than the iterative path on the
+    sf0.1 bench graph), and a huge graph gets enough partitions to bound
+    per-task memory regardless of ``spark.sql.shuffle.partitions``.  Pass
+    ``False`` to force the pure iterative path, ``True`` to contract at the
+    session's shuffle parallelism without counting first.
 
     One job per iterative round: the pre-round component rides along as a
     ``prev`` column, so the convergence test is a filter over the
@@ -152,9 +163,15 @@ def connected_components(
         )
 
     e_ckpted = False
+    n_edges = None
     if local_contraction is None:
-        # cost-based: materialize the canonical edges once (every path needs
-        # them) and read the count off the materialized blocks
+        # auto mode: materialize the canonical edges once (every path needs
+        # them), read the count off the materialized blocks, and ALWAYS
+        # contract — with the partition count derived from the size, a
+        # single-partition pass on a small graph is strictly cheaper than
+        # even one global iteration round (measured ~4x on the sf0.1 bench
+        # graph), and huge graphs get enough partitions to bound per-task
+        # memory.
         e = _ckpt(e)
         e_ckpted = True
         n_edges = e.count()
@@ -165,10 +182,13 @@ def connected_components(
             ).schema)
             _unpersist_ckpt(e)
             return out
-        local_contraction = n_edges >= LOCAL_CONTRACTION_MIN_EDGES
+        local_contraction = True
 
     if local_contraction:
-        n_parts = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
+        if n_edges is None:
+            n_parts = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
+        else:
+            n_parts = -(-n_edges // EDGES_PER_CONTRACTION_PARTITION)
         # every edge is unioned inside exactly one partition, so the ONLY
         # surviving connectivity is nodes replicated across partitions:
         # star-connect each node's local roots (min root <- other roots)
@@ -177,6 +197,12 @@ def connected_components(
             # only frames WE checkpointed: leaf-walking a caller-supplied
             # plan could free the caller's own checkpointed edges
             _unpersist_ckpt(e)
+        if n_parts == 1:
+            # every edge sat in the one partition: the local pass IS the
+            # exact global answer — no replicas, no star graph, no rounds
+            return replicas.select(
+                "node", F.col("root").alias("component")
+            )
         roots = _ckpt(
             replicas.groupBy("node").agg(
                 F.min("root").alias("rmin"),
