@@ -732,6 +732,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_metapaths"] = kg_metapaths
 
+    def kg_bgp(spark, sf):
+        """Star BGP (kgschema.py::bgp_match) over the synthetic KG:
+        subjects asserting BOTH GO:1 and GO:4 (two required constant
+        constraints -> the countDistinct-satisfied gate), fanned out on
+        their hasDescription bindings — SPARQL
+        { ?s hasGOTerm GO:1 ; hasGOTerm GO:4 ; hasDescription ?v }."""
+        from ahrd_spark.operators.kgschema import bgp_match
+
+        return bgp_match(
+            _kg_triples(spark, sf, 1, 10),
+            required=[("hasGOTerm", "GO:1"), ("hasGOTerm", "GO:4")],
+            bindings=["hasDescription"],
+        )
+
+    q["kg_bgp"] = kg_bgp
+
+    def kg_char_sets(spark, sf):
+        """Characteristic sets (kgschema.py::characteristic_sets) over a
+        graph built so subjects use PREFIXES of the predicate vocabulary:
+        doc d contributes pred index d%4 to subject P(d%61) only when
+        d%4 <= (d%61)%4, so subject residue r mod 4 uses exactly preds
+        0..r — four distinct characteristic sets with deterministic
+        subject/triple counts (a single set would otherwise emerge, since
+        500+ docs saturate every (subject, pred) residue pair)."""
+        from ahrd_spark.operators.kgschema import characteristic_sets
+
+        d = F.col("doc_id")
+        preds = ["annotates", "describes", "mentions", "refines"]
+        triples = (
+            _docs(spark, sf)
+            .where(d % 4 <= (d % 61) % 4)
+            .select(
+                F.concat(F.lit("P"), (d % 61).cast("string")).alias(
+                    "subj"
+                ),
+                F.element_at(
+                    F.array(*[F.lit(p) for p in preds]),
+                    (d % 4 + 1).cast("int"),
+                ).alias("pred"),
+                F.concat(F.lit("O"), (d % 13).cast("string")).alias(
+                    "obj"
+                ),
+            )
+        )
+        return characteristic_sets(triples)
+
+    q["kg_char_sets"] = kg_char_sets
+
+    def kg_entity_summary(spark, sf):
+        """IDF-weighted top-3 facts per entity
+        (kgschema.py::entity_summary): GO-term facts are shared by many
+        subjects (low weight), description facts are near-unique (high
+        weight) — the rank order is decided by the integer df, never by
+        float comparison."""
+        from ahrd_spark.operators.kgschema import entity_summary
+
+        return entity_summary(_kg_triples(spark, sf, 1, 10), k=3)
+
+    q["kg_entity_summary"] = kg_entity_summary
+
     def token_doc_freq(spark, sf):
         from ahrd_spark.operators.skew import token_document_frequency
 
@@ -3860,6 +3920,63 @@ SELECT l.p AS pred1, r.p AS pred2, CAST(count(*) AS BIGINT) AS n_paths,
        CAST(count(DISTINCT l.o) AS BIGINT) AS n_mids
 FROM t l JOIN t r ON l.o = r.s JOIN ok ON ok.mid = l.o
 GROUP BY l.p, r.p
+"""
+
+    # star-BGP replay (kgschema.py::bgp_match): subjects satisfying BOTH
+    # required (hasGOTerm, GO:1)/(hasGOTerm, GO:4) constraints (distinct
+    # satisfied-pair count == 2), inner-joined to their hasDescription
+    # bindings — the chr(1) separator keys the distinct pair count
+    o["kg_bgp"] = f"""
+WITH t AS (SELECT DISTINCT subj AS s, pred AS p, obj AS o
+           FROM ({_kg_cte(None, 1, 10)})),
+sat AS (
+  SELECT s FROM t
+  WHERE (p = 'hasGOTerm' AND o = 'GO:1')
+     OR (p = 'hasGOTerm' AND o = 'GO:4')
+  GROUP BY s
+  HAVING count(DISTINCT p || chr(1) || o) = 2),
+b AS (SELECT s, o AS val_hasDescription FROM t WHERE p = 'hasDescription')
+SELECT sat.s AS subj, val_hasDescription FROM sat JOIN b USING (s)
+"""
+
+    # characteristic-sets replay (kgschema.py::characteristic_sets): the
+    # prefix-set construction (pred index d%4 kept only when <= (d%61)%4),
+    # then subj -> sorted distinct predicate list + triple count, then the
+    # per-set totals
+    o["kg_char_sets"] = """
+WITH raw AS (
+  SELECT 'P' || (doc_id % 61)::VARCHAR AS subj,
+         CASE doc_id % 4 WHEN 0 THEN 'annotates' WHEN 1 THEN 'describes'
+              WHEN 2 THEN 'mentions' ELSE 'refines' END AS pred
+  FROM documents WHERE doc_id % 4 <= (doc_id % 61) % 4),
+per_subj AS (
+  SELECT subj,
+         string_agg(DISTINCT pred, '|' ORDER BY pred) AS char_set,
+         count(DISTINCT pred) AS np,
+         count(*) AS n
+  FROM raw GROUP BY subj)
+SELECT char_set, CAST(max(np) AS INT) AS n_preds,
+       CAST(count(*) AS BIGINT) AS n_subjects,
+       CAST(sum(n) AS BIGINT) AS n_triples
+FROM per_subj GROUP BY char_set
+"""
+
+    # entity-summary replay (kgschema.py::entity_summary): df = distinct
+    # subjects per (pred, obj) over distinct triples, weight = ln(N/df),
+    # rank by (df ASC, pred, obj) — integer-keyed, no float ordering
+    o["kg_entity_summary"] = f"""
+WITH t AS (SELECT DISTINCT subj, pred, obj FROM ({_kg_cte(None, 1, 10)})),
+n AS (SELECT count(DISTINCT subj) AS n_subj FROM t),
+df AS (SELECT pred, obj, count(DISTINCT subj) AS df
+       FROM t GROUP BY pred, obj),
+ranked AS (
+  SELECT t.subj, t.pred, t.obj,
+         round(ln(n.n_subj::DOUBLE / df.df), 6) AS weight_r,
+         CAST(row_number() OVER (
+           PARTITION BY t.subj
+           ORDER BY df.df ASC, t.pred ASC, t.obj ASC) AS INT) AS rnk
+  FROM t JOIN df USING (pred, obj) CROSS JOIN n)
+SELECT subj, pred, obj, weight_r, rnk FROM ranked WHERE rnk <= 3
 """
 
     # TF-IDF: whitespace tokens with duplicates (tf), distinct-per-doc terms

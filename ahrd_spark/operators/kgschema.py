@@ -13,6 +13,16 @@ schema passes a production triple store runs between extraction and load:
 * ``metapath_counts``   — (pred1, pred2) 2-hop path frequencies through a
   shared mid entity, with an explicit hub cap so one celebrity node cannot
   blow the self-join up quadratically.
+* ``bgp_match``         — star-shaped SPARQL basic-graph-pattern matching:
+  required (pred, obj) constraints on a shared subject plus variable
+  predicates whose objects bind as output columns.
+* ``characteristic_sets`` — Neumann & Moerkotte (ICDE 2011) RDF schema
+  discovery: the distinct predicate combinations subjects actually use,
+  with subject/triple counts — the statistic triple stores drive
+  cardinality estimation from.
+* ``entity_summary``    — informativeness-ranked top-k facts per entity
+  (rarer (pred, obj) pairs rank higher), the RDF analog of IDF-weighted
+  document summarization.
 
 Scale shape: the predicate schema / constraint tables are tiny (one row per
 predicate) -> broadcast joins; everything else is distinct + hash aggregate
@@ -205,5 +215,168 @@ def metapath_counts(
         .agg(
             F.count(F.lit(1)).alias("n_paths"),
             F.countDistinct("mid").alias("n_mids"),
+        )
+    )
+
+
+def bgp_match(
+    triples: DataFrame,
+    required: list[tuple[str, str]],
+    bindings: list[str] | None = None,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Star-shaped SPARQL basic-graph-pattern match: the query
+    ``{ ?s p1 o1 ; p2 o2 ; pv ?v }`` -> one row per subject x binding
+    combination, columns ``(subj, val_<pv> ...)``.
+
+    * ``required`` — literal ``(pred, obj)`` constraints the subject must
+      ALL satisfy (SPARQL triple patterns with a constant object).
+    * ``bindings`` — predicates whose object binds as an output column
+      ``val_<pred>``; a subject with several objects for a binding
+      predicate fans out to one row per combination, exactly like the
+      SPARQL join semantics.
+
+    Scale shape: the pattern itself is tiny Python literals compiled into
+    scan-side filters — no pattern table, no shuffle to apply it.  The
+    required-constraint check is one hash aggregate on the subject key
+    (count of distinct satisfied constraints == len(required)); each
+    binding predicate is then an inner join keyed on the SAME subject
+    column, so every stage after the first shuffle is co-partitioned by
+    subject.  Per-subject fan-out is the product of the binding
+    predicates' per-subject cardinalities — bounded by data, not by the
+    algorithm; a max-cardinality constraint (``validate_triples``) is the
+    right guard upstream if a binding predicate can be unbounded.
+    """
+    bindings = list(bindings or [])
+    t = triples.select(
+        F.col(subj_col).alias("s"),
+        F.col(pred_col).alias("p"),
+        F.col(obj_col).alias("o"),
+    ).distinct()
+
+    if required:
+        cond = None
+        for pred, obj in required:
+            leg = (F.col("p") == pred) & (F.col("o") == obj)
+            cond = leg if cond is None else (cond | leg)
+        subjects = (
+            t.where(cond)
+            .groupBy("s")
+            .agg(F.countDistinct("p", "o").alias("_n_sat"))
+            .where(F.col("_n_sat") == len(required))
+            .select("s")
+        )
+    else:
+        subjects = t.select("s").distinct()
+
+    out = subjects
+    for pred in bindings:
+        leg = t.where(F.col("p") == pred).select(
+            "s", F.col("o").alias(f"val_{pred}")
+        )
+        out = out.join(leg, "s")
+    return out.withColumnRenamed("s", "subj")
+
+
+def characteristic_sets(
+    triples: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+) -> DataFrame:
+    """Characteristic sets (Neumann & Moerkotte, ICDE 2011): group subjects
+    by the exact SET of predicates they use ->
+    ``(char_set, n_preds, n_subjects, n_triples)`` where ``char_set`` is
+    the sorted '|'-joined predicate list.  The workhorse statistic of RDF
+    cardinality estimation (how many subjects look like "a protein with a
+    description and GO terms"?) and of emergent-schema discovery.
+
+    Scale shape: two hash aggregates — (subj) -> sorted predicate set +
+    triple count, then (set) -> subject/triple totals.  Both map-side
+    combinable; the first keys on the subject (same partitioning every
+    other subject-keyed stage uses), the second's key space is the number
+    of DISTINCT predicate combinations, which real graphs keep in the
+    thousands regardless of triple count.
+    """
+    per_subj = (
+        triples.select(
+            F.col(subj_col).alias("s"), F.col(pred_col).alias("p")
+        )
+        .groupBy("s")
+        .agg(
+            F.sort_array(F.collect_set("p")).alias("preds"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return (
+        per_subj.groupBy("preds")
+        .agg(
+            F.count(F.lit(1)).alias("n_subjects"),
+            F.sum("n").alias("n_triples"),
+        )
+        .select(
+            F.concat_ws("|", "preds").alias("char_set"),
+            F.size("preds").alias("n_preds"),
+            "n_subjects",
+            "n_triples",
+        )
+    )
+
+
+def entity_summary(
+    triples: DataFrame,
+    k: int = 3,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Informativeness-ranked top-k facts per entity ->
+    ``(subj, pred, obj, weight_r, rnk)``: each distinct fact is weighted by
+    ``ln(N / df)`` where ``N`` = distinct subjects in the graph and ``df``
+    = distinct subjects asserting the same ``(pred, obj)`` pair — the IDF
+    of the fact.  Rare facts (a specific description) outrank boilerplate
+    ones (a GO term half the corpus carries); the top-k per subject is the
+    classic RELIN/FACES-style entity summary used for entity cards and
+    linking contexts.
+
+    Determinism: ranking orders by ``df`` ASC (an exact integer — ties in
+    ``df`` ARE ties in weight, no float comparisons), then (pred, obj);
+    ``weight_r`` is rounded to 6dp for output only.
+
+    Scale shape: the ``(pred, obj) -> df`` table is an aggregate of the
+    triple scan joined back on (pred, obj) — a shuffle join whose build
+    side has already been reduced by the aggregate, with AQE free to
+    broadcast it when small; N is a 1-row aggregate broadcast via a
+    1-row BNLJ.  The final top-k is one window over the subject key with
+    rank pushed into a filter (no global sort).
+    """
+    t = triples.select(
+        F.col(subj_col).alias("subj"),
+        F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"),
+    ).distinct()
+    n_subj = t.agg(F.countDistinct("subj").alias("_n_subj"))
+    df_po = t.groupBy("pred", "obj").agg(
+        F.countDistinct("subj").alias("_df")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("subj").orderBy(
+        F.col("_df").asc(), F.col("pred").asc(), F.col("obj").asc()
+    )
+    return (
+        t.join(df_po, ["pred", "obj"])
+        .crossJoin(F.broadcast(n_subj))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            F.round(
+                F.log(F.col("_n_subj") / F.col("_df")), 6
+            ).alias("weight_r"),
+            "rnk",
         )
     )

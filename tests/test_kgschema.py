@@ -162,3 +162,132 @@ def test_metapath_hub_cap_excludes_hub(spark):
         for r in metapath_counts(triples, hub_cap=2).collect()
     }
     assert got == {("p1", "p2"): (1, 1)}
+
+
+def test_bgp_match_required_and_binding(spark):
+    triples = spark.createDataFrame(
+        [
+            # p1 satisfies both required constraints, two bindings
+            ("p1", "hasGOTerm", "GO:1"),
+            ("p1", "hasGOTerm", "GO:4"),
+            ("p1", "hasDescription", "kinase"),
+            ("p1", "hasDescription", "transferase"),
+            # p2 satisfies only one required constraint
+            ("p2", "hasGOTerm", "GO:1"),
+            ("p2", "hasDescription", "ligase"),
+            # p3 satisfies both but has no binding pred -> inner join drops
+            ("p3", "hasGOTerm", "GO:1"),
+            ("p3", "hasGOTerm", "GO:4"),
+        ],
+        TRIPLE_SCHEMA,
+    )
+    from ahrd_spark.operators.kgschema import bgp_match
+
+    got = {
+        (r.subj, r.val_hasDescription)
+        for r in bgp_match(
+            triples,
+            required=[("hasGOTerm", "GO:1"), ("hasGOTerm", "GO:4")],
+            bindings=["hasDescription"],
+        ).collect()
+    }
+    assert got == {("p1", "kinase"), ("p1", "transferase")}
+
+
+def test_bgp_match_no_required_two_bindings_fan_out(spark):
+    triples = spark.createDataFrame(
+        [
+            ("p1", "a", "a1"),
+            ("p1", "a", "a2"),
+            ("p1", "b", "b1"),
+            ("p2", "a", "a9"),  # no b binding -> dropped
+        ],
+        TRIPLE_SCHEMA,
+    )
+    from ahrd_spark.operators.kgschema import bgp_match
+
+    rows = bgp_match(triples, required=[], bindings=["a", "b"]).collect()
+    got = {(r.subj, r.val_a, r.val_b) for r in rows}
+    # 2 a-bindings x 1 b-binding = 2 combination rows, SPARQL join semantics
+    assert got == {("p1", "a1", "b1"), ("p1", "a2", "b1")}
+
+
+def test_bgp_match_duplicate_triples_ignored(spark):
+    triples = spark.createDataFrame(
+        [("p1", "hasGOTerm", "GO:1")] * 3 + [("p1", "hasDescription", "x")],
+        TRIPLE_SCHEMA,
+    )
+    from ahrd_spark.operators.kgschema import bgp_match
+
+    rows = bgp_match(
+        triples,
+        required=[("hasGOTerm", "GO:1")],
+        bindings=["hasDescription"],
+    ).collect()
+    assert len(rows) == 1  # distinct-first: dup assertions don't fan out
+
+
+def test_characteristic_sets_groups_and_counts(spark):
+    triples = spark.createDataFrame(
+        [
+            ("s1", "a", "x"),
+            ("s1", "b", "y"),
+            ("s2", "b", "z"),
+            ("s2", "a", "w"),
+            ("s2", "a", "v"),  # extra triple, same predicate set as s1
+            ("s3", "a", "u"),
+        ],
+        TRIPLE_SCHEMA,
+    )
+    from ahrd_spark.operators.kgschema import characteristic_sets
+
+    got = {
+        r.char_set: (r.n_preds, r.n_subjects, r.n_triples)
+        for r in characteristic_sets(triples).collect()
+    }
+    assert got == {"a|b": (2, 2, 5), "a": (1, 1, 1)}
+
+
+def test_entity_summary_rare_facts_rank_first(spark):
+    # GO:9 is asserted by all three subjects (df=3, weight ln(1)=0);
+    # each description is unique (df=1, weight ln(3))
+    triples = spark.createDataFrame(
+        [
+            ("s1", "hasGOTerm", "GO:9"),
+            ("s2", "hasGOTerm", "GO:9"),
+            ("s3", "hasGOTerm", "GO:9"),
+            ("s1", "hasDescription", "alpha"),
+            ("s2", "hasDescription", "beta"),
+        ],
+        TRIPLE_SCHEMA,
+    )
+    from ahrd_spark.operators.kgschema import entity_summary
+
+    rows = entity_summary(triples, k=1).collect()
+    got = {r.subj: (r.pred, r.obj, r.weight_r, r.rnk) for r in rows}
+    import math
+
+    w = round(math.log(3.0), 6)
+    assert got == {
+        "s1": ("hasDescription", "alpha", w, 1),
+        "s2": ("hasDescription", "beta", w, 1),
+        "s3": ("hasGOTerm", "GO:9", 0.0, 1),
+    }
+
+
+def test_entity_summary_tie_breaks_on_pred_then_obj(spark):
+    triples = spark.createDataFrame(
+        [
+            ("s1", "b", "x"),
+            ("s1", "a", "x"),
+            ("s1", "a", "y"),
+        ],
+        TRIPLE_SCHEMA,
+    )
+    from ahrd_spark.operators.kgschema import entity_summary
+
+    rows = sorted(
+        entity_summary(triples, k=2).collect(), key=lambda r: r.rnk
+    )
+    # all facts df=1: rank order falls to (pred, obj) lexicographic
+    assert [(r.pred, r.obj) for r in rows] == [("a", "x"), ("a", "y")]
