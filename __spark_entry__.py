@@ -792,6 +792,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_entity_summary"] = kg_entity_summary
 
+    def kg_truth(spark, sf):
+        """Multi-source truth discovery (truth.py::truth_discovery, 2
+        trust rounds): sources S0-S3 are reliable (assert the item's
+        ground value V(r%5)), S4-S6 are noisy (assert a per-doc varying
+        value) — after one majority round the reliable sources' trust
+        rises and round 2 re-weights the votes.  One resolved value per
+        (subj, pred) item."""
+        from ahrd_spark.operators.truth import truth_discovery
+
+        d = F.col("doc_id")
+        claims = _docs(spark, sf).select(
+            F.concat(F.lit("S"), (d % 7).cast("string")).alias("source"),
+            F.concat(F.lit("P"), (d % 19).cast("string")).alias("subj"),
+            F.lit("hasValue").alias("pred"),
+            F.when(
+                d % 7 < 4,
+                F.concat(F.lit("V"), (d % 19 % 5).cast("string")),
+            )
+            .otherwise(
+                F.concat(F.lit("V"), ((d * 3 + 1) % 5).cast("string"))
+            )
+            .alias("obj"),
+        )
+        return truth_discovery(claims, n_iter=2)
+
+    q["kg_truth"] = kg_truth
+
     def token_doc_freq(spark, sf):
         from ahrd_spark.operators.skew import token_document_frequency
 
@@ -3977,6 +4004,39 @@ ranked AS (
            ORDER BY df.df ASC, t.pred ASC, t.obj ASC) AS INT) AS rnk
   FROM t JOIN df USING (pred, obj) CROSS JOIN n)
 SELECT subj, pred, obj, weight_r, rnk FROM ranked WHERE rnk <= 3
+"""
+
+    # truth-discovery replay (truth.py::truth_discovery, n_iter=2
+    # unrolled): round 1 votes with trust 1.0 (plain counts), per-item
+    # normalize, source trust = mean conf of its claims; round 2 votes
+    # with that trust; winner by (round(conf,6) DESC, obj ASC)
+    o["kg_truth"] = """
+WITH raw AS (
+  SELECT 'S' || (doc_id % 7)::VARCHAR AS source,
+         'P' || (doc_id % 19)::VARCHAR AS subj,
+         'hasValue' AS pred,
+         CASE WHEN doc_id % 7 < 4
+              THEN 'V' || (doc_id % 19 % 5)::VARCHAR
+              ELSE 'V' || ((doc_id * 3 + 1) % 5)::VARCHAR END AS obj
+  FROM documents),
+c AS (SELECT DISTINCT source, subj, pred, obj FROM raw),
+v1 AS (SELECT subj, pred, obj, CAST(count(*) AS DOUBLE) AS vote
+       FROM c GROUP BY subj, pred, obj),
+t1 AS (SELECT subj, pred, sum(vote) AS tot FROM v1 GROUP BY subj, pred),
+conf1 AS (SELECT v1.subj, v1.pred, v1.obj, vote / tot AS conf
+          FROM v1 JOIN t1 USING (subj, pred)),
+trust1 AS (SELECT source, avg(conf) AS trust
+           FROM c JOIN conf1 USING (subj, pred, obj) GROUP BY source),
+v2 AS (SELECT subj, pred, obj, sum(trust) AS vote
+       FROM c JOIN trust1 USING (source) GROUP BY subj, pred, obj),
+t2 AS (SELECT subj, pred, sum(vote) AS tot FROM v2 GROUP BY subj, pred),
+conf2 AS (SELECT v2.subj, v2.pred, v2.obj, vote / tot AS conf
+          FROM v2 JOIN t2 USING (subj, pred)),
+ranked AS (SELECT subj, pred, obj, round(conf, 6) AS conf_r,
+                  row_number() OVER (PARTITION BY subj, pred
+                    ORDER BY round(conf, 6) DESC, obj ASC) AS rn
+           FROM conf2)
+SELECT subj, pred, obj, conf_r FROM ranked WHERE rn = 1
 """
 
     # TF-IDF: whitespace tokens with duplicates (tf), distinct-per-doc terms
