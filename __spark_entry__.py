@@ -819,6 +819,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_truth"] = kg_truth
 
+    def kg_canonicalize(spark, sf):
+        """owl:sameAs rewrite (graph.py::canonicalize_triples): synonym
+        edges chain the residue-0-mod-4 P entities (docs d%12==0 connect
+        P(d%40) -> P((d+4)%40)), so those ten subjects collapse onto the
+        lexicographic min P0; the extra interactsWith triples
+        (d%9==0) exercise the OBJECT-side rewrite too.  Distinct after
+        rewrite: aliased duplicates collapse."""
+        from ahrd_spark.operators.graph import canonicalize_triples
+
+        d = F.col("doc_id")
+        extra = _docs(spark, sf).where(d % 9 == 0).select(
+            F.concat(F.lit("P"), (d % 40).cast("string")).alias("subj"),
+            F.lit("interactsWith").alias("pred"),
+            F.concat(F.lit("P"), ((d + 1) % 40).cast("string")).alias(
+                "obj"
+            ),
+        )
+        triples = (
+            _kg_triples(spark, sf, 1, 10)
+            .select("subj", "pred", "obj")
+            .unionByName(extra)
+        )
+        edges = _docs(spark, sf).where(d % 12 == 0).select(
+            F.concat(F.lit("P"), (d % 40).cast("string")).alias("u"),
+            F.concat(F.lit("P"), ((d + 4) % 40).cast("string")).alias(
+                "v"
+            ),
+        )
+        return canonicalize_triples(triples, edges)
+
+    q["kg_canonicalize"] = kg_canonicalize
+
     def token_doc_freq(spark, sf):
         from ahrd_spark.operators.skew import token_document_frequency
 
@@ -4037,6 +4069,35 @@ ranked AS (SELECT subj, pred, obj, round(conf, 6) AS conf_r,
                     ORDER BY round(conf, 6) DESC, obj ASC) AS rn
            FROM conf2)
 SELECT subj, pred, obj, conf_r FROM ranked WHERE rn = 1
+"""
+
+    # sameAs-canonicalize replay (graph.py::canonicalize_triples):
+    # recursive closure over the symmetrized synonym edges, canonical =
+    # MIN node id per component (string min, both engines lexicographic),
+    # LEFT-join rewrite of both triple ends, then DISTINCT
+    o["kg_canonicalize"] = f"""
+WITH RECURSIVE t0 AS ({_kg_cte(None, 1, 10)}),
+extra AS (
+  SELECT 'P' || (doc_id % 40)::VARCHAR AS subj,
+         'interactsWith' AS pred,
+         'P' || ((doc_id + 1) % 40)::VARCHAR AS obj
+  FROM documents WHERE doc_id % 9 = 0),
+t AS (SELECT DISTINCT subj, pred, obj FROM
+        (SELECT subj, pred, obj FROM t0
+         UNION ALL SELECT subj, pred, obj FROM extra)),
+e AS (SELECT DISTINCT 'P' || (doc_id % 40)::VARCHAR AS u,
+                      'P' || ((doc_id + 4) % 40)::VARCHAR AS v
+      FROM documents WHERE doc_id % 12 = 0),
+sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+reach AS (
+  SELECT u AS node, u AS r FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT reach.node, sym.v AS r FROM reach JOIN sym ON sym.u = reach.r),
+comp AS (SELECT node, min(r) AS c FROM reach GROUP BY node)
+SELECT DISTINCT coalesce(cs.c, t.subj) AS subj, t.pred,
+                coalesce(co.c, t.obj) AS obj
+FROM t LEFT JOIN comp cs ON cs.node = t.subj
+       LEFT JOIN comp co ON co.node = t.obj
 """
 
     # TF-IDF: whitespace tokens with duplicates (tf), distinct-per-doc terms

@@ -682,6 +682,63 @@ def new_triples(
     )
 
 
+def canonicalize_triples(
+    triples: DataFrame,
+    sameas_edges: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """owl:sameAs canonicalization applied to the triple table itself ->
+    distinct ``(subj, pred, obj)`` with every entity id rewritten to its
+    synonym-component representative (MIN id over the connected component
+    of ``sameas_edges``, any 2-column frame).  Ids that participate in no
+    synonym edge pass through unchanged — canonicalization is a no-op on
+    a synonym-free graph.
+
+    This is the standalone form of the pipeline's canonicalize stage
+    (plans/pipeline.py): merge duplicate entity nodes discovered by
+    matching/linking, then dedupe the rewritten assertions (two aliases
+    asserting the same fact collapse to one triple).
+
+    Scale shape: the (node -> canonical) map contains only nodes that
+    appear in synonym edges — orders of magnitude smaller than the entity
+    universe, and far smaller than the triple table; the two rewrite
+    joins are LEFT joins keyed on the entity id (AQE broadcasts the map
+    when it fits), and the final distinct is one hash aggregate on the
+    triple key.  The CC itself is the two-level contraction scheme in
+    operators/connected_components.py.
+    """
+    from ahrd_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    m = connected_components(sameas_edges).select(
+        "node", F.col("component").alias("_canon")
+    )
+    t = triples.select(
+        F.col(subj_col).alias("subj"),
+        F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"),
+    )
+    ms = m.withColumnRenamed("node", "subj").withColumnRenamed(
+        "_canon", "_cs"
+    )
+    mo = m.withColumnRenamed("node", "obj").withColumnRenamed(
+        "_canon", "_co"
+    )
+    return (
+        t.join(ms, "subj", "left")
+        .join(mo, "obj", "left")
+        .select(
+            F.coalesce("_cs", "subj").alias("subj"),
+            "pred",
+            F.coalesce("_co", "obj").alias("obj"),
+        )
+        .distinct()
+    )
+
+
 def khop_nodes(
     edges: DataFrame,
     seeds: DataFrame,

@@ -502,3 +502,47 @@ def test_kg_negative_samples_no_empty_bucket_drops(spark):
     assert len(out) >= 190
     subjects = {r["subj"] for r in out}
     assert len(subjects) >= 190
+
+
+def test_canonicalize_triples_rewrites_both_ends(spark):
+    from ahrd_spark.operators.graph import canonicalize_triples
+
+    triples = spark.createDataFrame(
+        [
+            ("a2", "knows", "b1"),
+            ("a1", "knows", "b2"),   # alias duplicate after rewrite
+            ("c1", "knows", "a3"),   # object-side rewrite
+            ("z1", "knows", "z2"),   # untouched: no synonym edges
+        ],
+        "subj STRING, pred STRING, obj STRING",
+    )
+    edges = spark.createDataFrame(
+        [("a1", "a2"), ("a2", "a3"), ("b1", "b2")], "u STRING, v STRING"
+    )
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in canonicalize_triples(triples, edges).collect()
+    }
+    # a-chain -> a1, b-pair -> b1: the two 'knows' rows collapse into one
+    assert got == {
+        ("a1", "knows", "b1"),
+        ("c1", "knows", "a1"),
+        ("z1", "knows", "z2"),
+    }
+
+
+def test_canonicalize_triples_noop_without_matching_edges(spark):
+    from ahrd_spark.operators.graph import canonicalize_triples
+
+    triples = spark.createDataFrame(
+        [("x", "p", "y"), ("y", "p", "z")],
+        "subj STRING, pred STRING, obj STRING",
+    )
+    edges = spark.createDataFrame(
+        [("q1", "q2")], "u STRING, v STRING"
+    )
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in canonicalize_triples(triples, edges).collect()
+    }
+    assert got == {("x", "p", "y"), ("y", "p", "z")}
