@@ -851,6 +851,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_canonicalize"] = kg_canonicalize
 
+    def kg_snapshot_at(spark, sf):
+        """Time-travel read (graph.py::snapshot_at): add/del event log
+        with ts = doc_id%100, deletes at d%4==3, replayed to at=70 —
+        a triple is live iff its latest event at ts<=70 is an add, with
+        delete-wins on same-ts conflicts."""
+        from ahrd_spark.operators.graph import snapshot_at
+
+        d = F.col("doc_id")
+        log = _docs(spark, sf).select(
+            (d % 100).cast("bigint").alias("ts"),
+            F.when(d % 4 == 3, F.lit("del"))
+            .otherwise(F.lit("add"))
+            .alias("op"),
+            F.concat(F.lit("P"), (d % 20).cast("string")).alias("subj"),
+            F.lit("hasTag").alias("pred"),
+            F.concat(F.lit("V"), (d % 6).cast("string")).alias("obj"),
+        )
+        return snapshot_at(log, at=70)
+
+    q["kg_snapshot_at"] = kg_snapshot_at
+
+    def kg_provenance(spark, sf):
+        """Per-triple provenance rollup (graph.py::triple_provenance):
+        distinct doc/source counts, snapshot span, and the 3 smallest
+        doc ids as a deterministic sample — bounded by a row_number
+        window BEFORE any collection."""
+        from ahrd_spark.operators.graph import triple_provenance
+
+        d = F.col("doc_id")
+        assertions = _docs(spark, sf).select(
+            F.concat(F.lit("P"), (d % 20).cast("string")).alias("subj"),
+            F.lit("hasTag").alias("pred"),
+            F.concat(F.lit("V"), (d % 6).cast("string")).alias("obj"),
+            d.alias("doc_id"),
+            F.concat(F.lit("S"), (d % 5).cast("string")).alias("source"),
+            (d % 3 + 1).cast("bigint").alias("snapshot"),
+        )
+        return triple_provenance(assertions, sample_k=3)
+
+    q["kg_provenance"] = kg_provenance
+
     def token_doc_freq(spark, sf):
         from ahrd_spark.operators.skew import token_document_frequency
 
@@ -4098,6 +4139,58 @@ SELECT DISTINCT coalesce(cs.c, t.subj) AS subj, t.pred,
                 coalesce(co.c, t.obj) AS obj
 FROM t LEFT JOIN comp cs ON cs.node = t.subj
        LEFT JOIN comp co ON co.node = t.obj
+"""
+
+    # time-travel replay (graph.py::snapshot_at): filter ts<=70, latest
+    # event per triple by (ts DESC, op DESC) — 'del' > 'add' means
+    # delete-wins on ties — keep rows whose latest op is an add
+    o["kg_snapshot_at"] = """
+WITH log AS (
+  SELECT (doc_id % 100)::BIGINT AS ts,
+         CASE WHEN doc_id % 4 = 3 THEN 'del' ELSE 'add' END AS op,
+         'P' || (doc_id % 20)::VARCHAR AS subj,
+         'hasTag' AS pred,
+         'V' || (doc_id % 6)::VARCHAR AS obj
+  FROM documents),
+latest AS (
+  SELECT subj, pred, obj, op,
+         row_number() OVER (PARTITION BY subj, pred, obj
+                            ORDER BY ts DESC, op DESC) AS rn
+  FROM log WHERE ts <= 70)
+SELECT subj, pred, obj FROM latest WHERE rn = 1 AND op = 'add'
+"""
+
+    # provenance replay (graph.py::triple_provenance): distinct doc /
+    # source counts + snapshot span per triple, sample = the 3 smallest
+    # distinct doc ids '|'-joined
+    o["kg_provenance"] = """
+WITH a AS (
+  SELECT 'P' || (doc_id % 20)::VARCHAR AS subj,
+         'hasTag' AS pred,
+         'V' || (doc_id % 6)::VARCHAR AS obj,
+         doc_id,
+         'S' || (doc_id % 5)::VARCHAR AS source,
+         (doc_id % 3 + 1)::BIGINT AS snapshot
+  FROM documents),
+stats AS (
+  SELECT subj, pred, obj,
+         count(DISTINCT doc_id) AS n_docs,
+         count(DISTINCT source) AS n_sources,
+         min(snapshot) AS first_snapshot,
+         max(snapshot) AS last_snapshot
+  FROM a GROUP BY subj, pred, obj),
+ranked AS (
+  SELECT subj, pred, obj, doc_id,
+         row_number() OVER (PARTITION BY subj, pred, obj
+                            ORDER BY doc_id) AS rn
+  FROM (SELECT DISTINCT subj, pred, obj, doc_id FROM a)),
+samp AS (
+  SELECT subj, pred, obj,
+         string_agg(doc_id::VARCHAR, '|' ORDER BY doc_id) AS sample_docs
+  FROM ranked WHERE rn <= 3 GROUP BY subj, pred, obj)
+SELECT subj, pred, obj, n_docs, n_sources, first_snapshot,
+       last_snapshot, sample_docs
+FROM stats JOIN samp USING (subj, pred, obj)
 """
 
     # TF-IDF: whitespace tokens with duplicates (tf), distinct-per-doc terms

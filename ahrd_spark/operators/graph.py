@@ -739,6 +739,91 @@ def canonicalize_triples(
     )
 
 
+def snapshot_at(
+    log: DataFrame,
+    at: int,
+    ts_col: str = "ts",
+    op_col: str = "op",
+) -> DataFrame:
+    """Reconstruct the triple state at time ``at`` from an add/delete log
+    -> distinct ``(subj, pred, obj)``: a triple is live iff its LATEST log
+    event with ``ts <= at`` is an ``'add'``.  Same-timestamp conflicts
+    resolve delete-wins (``'del' > 'add'`` lexicographically, and the
+    ordering sorts op descending after ts), matching the usual
+    tombstone-compaction rule of log-structured stores.
+
+    This is the time-travel read of an incrementally-maintained graph:
+    ``merge_triples``/``new_triples`` handle snapshot deltas, this replays
+    the event log to an arbitrary point.
+
+    Scale shape: one scan-side timestamp filter (partition-prunable when
+    the log is date-partitioned, as an Iceberg event log would be), then
+    a single window over the triple key — no joins, no iteration.  The
+    window's sort is per-triple-key (few events per triple), not global.
+    """
+    w = Window.partitionBy("subj", "pred", "obj").orderBy(
+        F.col(ts_col).desc(), F.col(op_col).desc()
+    )
+    return (
+        log.where(F.col(ts_col) <= at)
+        .withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col(op_col) == "add"))
+        .select("subj", "pred", "obj")
+    )
+
+
+def triple_provenance(
+    assertions: DataFrame,
+    sample_k: int = 3,
+    doc_col: str = "doc_id",
+    source_col: str = "source",
+    snapshot_col: str = "snapshot",
+) -> DataFrame:
+    """Per-triple provenance rollup -> one row per distinct
+    ``(subj, pred, obj)`` with ``n_docs``, ``n_sources``,
+    ``first_snapshot``/``last_snapshot``, and ``sample_docs`` — the
+    ``sample_k`` SMALLEST distinct doc ids '|'-joined (deterministic, so
+    two runs and the SQL oracle agree byte-for-byte).
+
+    The materialize stage's audit companion: every emitted triple keeps a
+    bounded, queryable trace of where it came from without dragging the
+    full evidence list around.
+
+    Scale shape: the sample is bounded BEFORE any collection — a
+    row_number window over the distinct (triple, doc) pairs keeps only
+    ``sample_k`` rows per triple, so the later collect_list holds at most
+    ``sample_k`` elements regardless of how many billions of docs assert
+    a boilerplate triple (no giant per-key array ever materializes).
+    The stats aggregate and the sample aggregate are both keyed on the
+    triple hash and joined co-partitioned.
+    """
+    key = ["subj", "pred", "obj"]
+    stats = assertions.groupBy(*key).agg(
+        F.countDistinct(doc_col).alias("n_docs"),
+        F.countDistinct(source_col).alias("n_sources"),
+        F.min(snapshot_col).alias("first_snapshot"),
+        F.max(snapshot_col).alias("last_snapshot"),
+    )
+    w = Window.partitionBy(*key).orderBy(F.col(doc_col).asc())
+    sample = (
+        assertions.select(*key, doc_col)
+        .distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= sample_k)
+        .groupBy(*key)
+        .agg(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.sort_array(F.collect_list(F.col(doc_col))),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("sample_docs")
+        )
+    )
+    return stats.join(sample, key)
+
+
 def khop_nodes(
     edges: DataFrame,
     seeds: DataFrame,

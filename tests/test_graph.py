@@ -546,3 +546,57 @@ def test_canonicalize_triples_noop_without_matching_edges(spark):
         for r in canonicalize_triples(triples, edges).collect()
     }
     assert got == {("x", "p", "y"), ("y", "p", "z")}
+
+
+def test_snapshot_at_replays_log(spark):
+    from ahrd_spark.operators.graph import snapshot_at
+
+    log = spark.createDataFrame(
+        [
+            (1, "add", "a", "p", "x"),   # later deleted
+            (5, "del", "a", "p", "x"),
+            (2, "add", "b", "p", "y"),   # survives
+            (3, "del", "c", "p", "z"),   # deleted then re-added
+            (4, "add", "c", "p", "z"),
+            (90, "add", "d", "p", "w"),  # after the cutoff: invisible
+            (6, "add", "e", "p", "v"),   # same-ts conflict: del wins
+            (6, "del", "e", "p", "v"),
+        ],
+        "ts BIGINT, op STRING, subj STRING, pred STRING, obj STRING",
+    )
+    got = {
+        (r.subj, r.obj) for r in snapshot_at(log, at=70).collect()
+    }
+    assert got == {("b", "y"), ("c", "z")}
+
+
+def test_triple_provenance_bounded_sample(spark):
+    from ahrd_spark.operators.graph import triple_provenance
+
+    assertions = spark.createDataFrame(
+        [
+            ("a", "p", "x", 7, "s1", 2),
+            ("a", "p", "x", 3, "s2", 1),
+            ("a", "p", "x", 9, "s1", 3),
+            ("a", "p", "x", 1, "s1", 1),
+            ("a", "p", "x", 1, "s1", 1),  # duplicate assertion
+            ("b", "p", "y", 4, "s3", 2),
+        ],
+        "subj STRING, pred STRING, obj STRING, doc_id BIGINT,"
+        " source STRING, snapshot BIGINT",
+    )
+    got = {
+        r.subj: (
+            r.n_docs,
+            r.n_sources,
+            r.first_snapshot,
+            r.last_snapshot,
+            r.sample_docs,
+        )
+        for r in triple_provenance(assertions, sample_k=2).collect()
+    }
+    # sample = the 2 SMALLEST distinct doc ids, dup rows counted once
+    assert got == {
+        "a": (4, 2, 1, 3, "1|3"),
+        "b": (1, 1, 2, 2, "4"),
+    }
