@@ -1,0 +1,241 @@
+"""Property-based checks for the schema-level KG operators: random
+claim/triple sets vs straightforward Python references.  These cover the
+combinatorial cases (fan-out products, alias chains crossing rewrites,
+log interleavings) the hand-worked goldens can't enumerate."""
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@pytest.fixture(scope="module")
+def _spark(spark):
+    return spark
+
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+SUBJ = st.integers(0, 5)
+PRED = st.sampled_from(["a", "b", "c"])
+OBJ = st.integers(0, 4)
+
+
+@settings(**_SETTINGS)
+@given(
+    triples=st.lists(
+        st.tuples(SUBJ, PRED, OBJ), min_size=1, max_size=40
+    ),
+    req_obj=OBJ,
+)
+def test_bgp_match_equals_naive(_spark, triples, req_obj):
+    from ahrd_spark.operators.kgschema import bgp_match
+
+    rows = [("s%d" % s, p, "o%d" % o) for s, p, o in triples]
+    df = _spark.createDataFrame(
+        rows, "subj STRING, pred STRING, obj STRING"
+    )
+    required = [("a", "o%d" % req_obj)]
+    got = sorted(
+        (r.subj, r.val_b)
+        for r in bgp_match(df, required=required, bindings=["b"]).collect()
+    )
+    t = set(rows)
+    sat = {s for (s, p, o) in t if p == "a" and o == "o%d" % req_obj}
+    naive = sorted(
+        (s, o) for (s, p, o) in t if p == "b" and s in sat
+    )
+    assert got == naive
+
+
+@settings(**_SETTINGS)
+@given(
+    triples=st.lists(
+        st.tuples(SUBJ, PRED, OBJ), min_size=1, max_size=40
+    )
+)
+def test_characteristic_sets_partition_subjects(_spark, triples):
+    from ahrd_spark.operators.kgschema import characteristic_sets
+
+    rows = [("s%d" % s, p, "o%d" % o) for s, p, o in triples]
+    df = _spark.createDataFrame(
+        rows, "subj STRING, pred STRING, obj STRING"
+    )
+    out = characteristic_sets(df).collect()
+    # every subject lands in exactly one set: counts partition the subjects
+    assert sum(r.n_subjects for r in out) == len({s for s, _, _ in rows})
+    assert sum(r.n_triples for r in out) == len(rows)
+    by_subj = {}
+    for s, p, _ in rows:
+        by_subj.setdefault(s, set()).add(p)
+    expect = {}
+    for s, preds in by_subj.items():
+        cs = "|".join(sorted(preds))
+        expect[cs] = expect.get(cs, 0) + 1
+    assert {r.char_set: r.n_subjects for r in out} == expect
+
+
+@settings(**_SETTINGS)
+@given(
+    triples=st.lists(
+        st.tuples(SUBJ, PRED, OBJ), min_size=1, max_size=40
+    ),
+    k=st.integers(1, 4),
+)
+def test_entity_summary_topk_matches_naive(_spark, triples, k):
+    from ahrd_spark.operators.kgschema import entity_summary
+
+    rows = sorted({("s%d" % s, p, "o%d" % o) for s, p, o in triples})
+    df = _spark.createDataFrame(
+        rows, "subj STRING, pred STRING, obj STRING"
+    )
+    out = entity_summary(df, k=k).collect()
+    n = len({s for s, _, _ in rows})
+    dfreq = {}
+    for s, p, o in rows:
+        dfreq[(p, o)] = dfreq.get((p, o), 0) + 1
+    naive = {}
+    for s in {s for s, _, _ in rows}:
+        facts = sorted(
+            ((dfreq[(p, o)], p, o) for (s2, p, o) in rows if s2 == s),
+        )[:k]
+        naive[s] = [
+            (p, o, round(math.log(n / d), 6), i + 1)
+            for i, (d, p, o) in enumerate(facts)
+        ]
+    got = {}
+    for r in sorted(out, key=lambda r: (r.subj, r.rnk)):
+        got.setdefault(r.subj, []).append(
+            (r.pred, r.obj, r.weight_r, r.rnk)
+        )
+    assert got == naive
+
+
+@settings(**_SETTINGS)
+@given(
+    claims=st.lists(
+        st.tuples(st.integers(0, 3), SUBJ, OBJ), min_size=1, max_size=30
+    )
+)
+def test_truth_discovery_one_winner_per_item(_spark, claims):
+    from ahrd_spark.operators.truth import truth_discovery
+
+    rows = [
+        ("src%d" % c, "s%d" % s, "p", "v%d" % v) for c, s, v in claims
+    ]
+    df = _spark.createDataFrame(
+        rows, "source STRING, subj STRING, pred STRING, obj STRING"
+    )
+    out = truth_discovery(df, n_iter=2).collect()
+    # exactly one resolved row per item, confidence in (0, 1]
+    assert len(out) == len({s for _, s, _ in claims})
+    for r in out:
+        assert 0.0 < r.conf_r <= 1.0
+    # an unanimous item always resolves to its unanimous value at conf 1
+    by_item = {}
+    for _, s, v in claims:
+        by_item.setdefault(s, set()).add(v)
+    resolved = {r.subj: (r.obj, r.conf_r) for r in out}
+    for s, vals in by_item.items():
+        if len(vals) == 1:
+            v = next(iter(vals))
+            assert resolved["s%d" % s] == ("v%d" % v, 1.0)
+
+
+@settings(**_SETTINGS)
+@given(
+    triples=st.lists(
+        st.tuples(SUBJ, PRED, SUBJ), min_size=1, max_size=30
+    ),
+    edges=st.lists(st.tuples(SUBJ, SUBJ), min_size=0, max_size=10),
+)
+def test_canonicalize_triples_equals_naive_union_find(
+    _spark, triples, edges
+):
+    from ahrd_spark.operators.graph import canonicalize_triples
+
+    trows = sorted(
+        {("e%d" % s, p, "e%d" % o) for s, p, o in triples}
+    )
+    erows = [("e%d" % u, "e%d" % v) for u, v in edges if u != v]
+    tdf = _spark.createDataFrame(
+        trows, "subj STRING, pred STRING, obj STRING"
+    )
+    if not erows:
+        erows = [("zz1", "zz2")]  # CC needs >=1 edge; ids never match
+    edf = _spark.createDataFrame(erows, "u STRING, v STRING")
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for u, v in erows:
+        union(u, v)
+    # path-compress to the true min representative
+    reps = {x: find(x) for x in list(parent)}
+    naive = sorted(
+        {
+            (reps.get(s, s), p, reps.get(o, o))
+            for s, p, o in trows
+        }
+    )
+    got = sorted(
+        (r.subj, r.pred, r.obj)
+        for r in canonicalize_triples(tdf, edf).collect()
+    )
+    assert got == naive
+
+
+@settings(**_SETTINGS)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 9),           # ts
+            st.booleans(),               # is_add
+            SUBJ,
+            OBJ,
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    at=st.integers(0, 9),
+)
+def test_snapshot_at_equals_naive_replay(_spark, events, at):
+    from ahrd_spark.operators.graph import snapshot_at
+
+    rows = [
+        (ts, "add" if a else "del", "s%d" % s, "p", "v%d" % v)
+        for ts, a, s, v in events
+    ]
+    df = _spark.createDataFrame(
+        rows, "ts BIGINT, op STRING, subj STRING, pred STRING, obj STRING"
+    )
+    got = sorted(
+        (r.subj, r.obj) for r in snapshot_at(df, at=at).collect()
+    )
+    latest = {}
+    for ts, op, s, p, v in rows:
+        if ts > at:
+            continue
+        k = (s, v)
+        # delete-wins on equal ts: 'del' > 'add' in the (ts, op) order
+        cur = latest.get(k)
+        if cur is None or (ts, op) > cur:
+            latest[k] = (ts, op)
+    naive = sorted(k for k, (_, op) in latest.items() if op == "add")
+    assert got == naive
