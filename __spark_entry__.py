@@ -705,6 +705,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_constraints"] = kg_constraints
 
+    def kg_rdfs_materialize(spark, sf):
+        """rhoDF forward chaining (kgschema.py::rdfs_materialize): a
+        4-predicate instance graph where isoform_type is a subproperty of
+        rdf:type (so rdfs7 feeds rdfs9), encodes climbs a 2-deep property
+        chain (rdfs5), and the class hierarchy C0->C1->C2->C5 carries the
+        type assertions up 3 levels (rdfs9/rdfs11).  Schema tables are
+        tiny driver literals -> broadcast; the instance table is never
+        shuffled by the rules."""
+        from ahrd_spark.operators.kgschema import rdfs_materialize
+
+        d = F.col("doc_id")
+        m4 = d % 4
+        triples = _docs(spark, sf).select(
+            F.concat(F.lit("P"), (d % 40).cast("string")).alias("subj"),
+            F.when(m4 == 0, F.lit("rdf:type"))
+            .when(m4 == 1, F.lit("encodes"))
+            .when(m4 == 2, F.lit("isoform_type"))
+            .otherwise(F.lit("interacts"))
+            .alias("pred"),
+            F.when(m4 == 0, F.concat(F.lit("C"), (d % 6).cast("string")))
+            .when(m4 == 1, F.concat(F.lit("G"), (d % 13).cast("string")))
+            .when(
+                m4 == 2,
+                F.concat(F.lit("C"), ((d * 3 + 1) % 6).cast("string")),
+            )
+            .otherwise(
+                F.concat(F.lit("P"), ((d * 7 + 3) % 40).cast("string"))
+            )
+            .alias("obj"),
+        )
+        subclass = spark.createDataFrame(
+            [("C0", "C1"), ("C1", "C2"), ("C2", "C5"), ("C3", "C4")],
+            "child string, parent string",
+        )
+        subprop = spark.createDataFrame(
+            [
+                ("isoform_type", "rdf:type"),
+                ("encodes", "mentions"),
+                ("mentions", "relatedTo"),
+            ],
+            "child string, parent string",
+        )
+        return rdfs_materialize(triples, subclass, subprop)
+
+    q["kg_rdfs_materialize"] = kg_rdfs_materialize
+
+    def kg_required_props(spark, sf):
+        """SHACL sh:minCount report (kgschema.py::required_properties):
+        every entity is a Protein (must assert hasDescription AND
+        hasGOTerm); entities fed by doc_id%5==0 are also Enzymes (must
+        assert catalyzes, which nothing does -> deterministic
+        violations).  Requirements broadcast; one (subj, pred)-keyed
+        left-anti join."""
+        from ahrd_spark.operators.kgschema import required_properties
+
+        d = F.col("doc_id")
+        ents = _docs(spark, sf).select(
+            F.concat(F.lit("P"), (d % 40).cast("string")).alias("entity"),
+            (d % 5 == 0).alias("is_enzyme"),
+        )
+        types = (
+            ents.select("entity", F.lit("Protein").alias("type"))
+            .unionByName(
+                ents.where("is_enzyme").select(
+                    "entity", F.lit("Enzyme").alias("type")
+                )
+            )
+            .distinct()
+        )
+        reqs = spark.createDataFrame(
+            [
+                ("Protein", "hasDescription"),
+                ("Protein", "hasGOTerm"),
+                ("Enzyme", "catalyzes"),
+            ],
+            "type string, pred string",
+        )
+        return required_properties(_kg_triples(spark, sf, 1, 10), types, reqs)
+
+    q["kg_required_props"] = kg_required_props
+
     def kg_metapaths(spark, sf):
         """2-hop metapath frequencies (kgschema.py::metapath_counts) over a
         deliberately hub-skewed entity graph: docs at doc_id%7==0 rewire
@@ -3341,6 +3422,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # either way; this only rotates which ones the driver re-checks.
     never_sampled_first = [
         # round-4 additions (newest first: no attestation yet)
+        "kg_rdfs_materialize", "kg_required_props",
+        "kg_snapshot_at", "kg_provenance", "kg_canonicalize", "kg_truth",
+        "kg_type_infer", "kg_constraints", "kg_metapaths", "kg_bgp",
+        "kg_char_sets", "kg_entity_summary",
         "interleaved_normalize", "interleaved_media_decode", "media_cc",
         "interleaved_chunks_arrow", "interleaved_flatten",
         "stream_interleaved", "interleaved_packs",
@@ -3999,6 +4084,76 @@ dang AS (
   FROM t WHERE pred = 'derivedFrom'
     AND obj NOT IN (SELECT DISTINCT subj FROM t))
 SELECT * FROM card UNION ALL SELECT * FROM pat UNION ALL SELECT * FROM dang
+"""
+
+    # rhoDF forward-chaining replay (kgschema.py::rdfs_materialize): both
+    # schema closures as recursive CTEs, rdfs7 widening (subproperty ->
+    # superproperties), then rdfs9 over the WIDENED type slice (so
+    # isoform_type assertions climb the class chain too); inferred rows
+    # are the anti-join against the asserted distinct set
+    o["kg_rdfs_materialize"] = """
+WITH RECURSIVE raw AS (
+  SELECT 'P' || (doc_id % 40)::VARCHAR AS subj,
+         CASE doc_id % 4 WHEN 0 THEN 'rdf:type' WHEN 1 THEN 'encodes'
+              WHEN 2 THEN 'isoform_type' ELSE 'interacts' END AS pred,
+         CASE doc_id % 4
+              WHEN 0 THEN 'C' || (doc_id % 6)::VARCHAR
+              WHEN 1 THEN 'G' || (doc_id % 13)::VARCHAR
+              WHEN 2 THEN 'C' || ((doc_id * 3 + 1) % 6)::VARCHAR
+              ELSE 'P' || ((doc_id * 7 + 3) % 40)::VARCHAR END AS obj
+  FROM documents),
+t AS (SELECT DISTINCT subj, pred, obj FROM raw),
+sp(child, parent) AS (VALUES ('isoform_type', 'rdf:type'),
+                             ('encodes', 'mentions'),
+                             ('mentions', 'relatedTo')),
+sc(child, parent) AS (VALUES ('C0', 'C1'), ('C1', 'C2'),
+                             ('C2', 'C5'), ('C3', 'C4')),
+spc(child, parent) AS (
+  SELECT child, parent FROM sp
+  UNION
+  SELECT spc.child, sp.parent FROM spc JOIN sp ON spc.parent = sp.child),
+scc(child, parent) AS (
+  SELECT child, parent FROM sc
+  UNION
+  SELECT scc.child, sc.parent FROM scc JOIN sc ON scc.parent = sc.child),
+wid AS (
+  SELECT subj, pred, obj FROM t
+  UNION
+  SELECT t.subj, spc.parent, t.obj FROM t JOIN spc ON t.pred = spc.child),
+inf AS (
+  SELECT subj, pred, obj FROM wid
+  UNION
+  SELECT w.subj, w.pred, scc.parent
+  FROM wid w JOIN scc ON w.obj = scc.child
+  WHERE w.pred = 'rdf:type'),
+newr AS (
+  SELECT i.subj, i.pred, i.obj FROM inf i
+  ANTI JOIN t USING (subj, pred, obj))
+SELECT DISTINCT subj, pred, obj, inferred FROM (
+  SELECT subj, pred, obj, FALSE AS inferred FROM t
+  UNION ALL
+  SELECT subj, pred, obj, TRUE AS inferred FROM newr)
+"""
+
+    # sh:minCount replay (kgschema.py::required_properties): the expected
+    # (subj, pred) obligations = types x requirements, anti-joined against
+    # the distinct (subj, pred) projection of the instance triples
+    o["kg_required_props"] = f"""
+WITH t AS ({_kg_cte(None, 1, 10)}),
+types AS (
+  SELECT DISTINCT 'P' || (doc_id % 40)::VARCHAR AS subj,
+         'Protein' AS type FROM documents
+  UNION
+  SELECT DISTINCT 'P' || (doc_id % 40)::VARCHAR, 'Enzyme'
+  FROM documents WHERE doc_id % 5 = 0),
+reqs(type, pred) AS (VALUES ('Protein', 'hasDescription'),
+                            ('Protein', 'hasGOTerm'),
+                            ('Enzyme', 'catalyzes')),
+expected AS (SELECT DISTINCT subj, pred FROM types JOIN reqs USING (type)),
+have AS (SELECT DISTINCT subj, pred FROM t)
+SELECT 'missing' AS kind, pred, subj, CAST(NULL AS VARCHAR) AS obj,
+       CAST(0 AS BIGINT) AS n
+FROM expected ANTI JOIN have USING (subj, pred)
 """
 
     # metapath replay (kgschema.py::metapath_counts): per-mid in/out degrees

@@ -380,3 +380,131 @@ def entity_summary(
             "rnk",
         )
     )
+
+
+def rdfs_materialize(
+    triples: DataFrame,
+    subclass_edges: DataFrame | None = None,
+    subprop_edges: DataFrame | None = None,
+    type_pred: str = "rdf:type",
+    max_iter: int = 32,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Forward-chaining RDFS materialization over the rhoDF fragment
+    (Munoz, Perez & Gutierrez, "Simple and Efficient Minimal RDFS") ->
+    distinct ``(subj, pred, obj, inferred)``: the asserted instance
+    triples (``inferred=false``) plus everything rules rdfs5/7/9/11
+    entail (``inferred=true``):
+
+    * rdfs5/rdfs11 — ``subPropertyOf`` / ``subClassOf`` are transitive
+      (handled by closing the schema graphs up front).
+    * rdfs7 — ``(s, p, o)`` & ``p subPropertyOf* q`` => ``(s, q, o)``.
+    * rdfs9 — ``(s, rdf:type, C)`` & ``C subClassOf* D`` =>
+      ``(s, rdf:type, D)``; fed by rdfs7's output, so a type assertion
+      arriving through a subproperty of ``type_pred`` still propagates up
+      the class hierarchy (the rule stratification 7 -> 9 is the complete
+      fixpoint for this fragment — rdfs7 could only need re-running after
+      rdfs9 if ``type_pred`` or ``subClassOf`` themselves had declared
+      super-properties, which rhoDF's schema/instance separation
+      excludes; rdfs7 fires on asserted rows only).
+
+    ``subclass_edges`` / ``subprop_edges``: ``(child, parent)`` schema
+    graphs — ontology-sized, i.e. tiny next to the instance data.
+
+    Scale shape: the schema closures run on dictionary-sized inputs
+    (``go_transfer.go_dag_closure``'s iterative self-join) and are
+    BROADCAST into the two instance-side joins, so the instance table is
+    never shuffled by the rules at all — rdfs7 is a broadcast join on the
+    predicate column, rdfs9 a broadcast join on the object (class) column
+    of the type slice only.  The one genuine shuffle is the final
+    dedup of INFERRED rows (asserted rows pass through untouched), whose
+    key space the left-anti subtraction has already reduced.
+    """
+    from ahrd_spark.operators.go_transfer import go_dag_closure
+
+    t = triples.select(
+        F.col(subj_col).alias("subj"),
+        F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"),
+    ).distinct()
+    asserted = t.withColumn("inferred", F.lit(False))
+
+    # rdfs5 + rdfs7: widen every triple to all super-properties
+    widened = t
+    if subprop_edges is not None:
+        prop_cl = F.broadcast(
+            go_dag_closure(
+                subprop_edges.toDF("pred", "super_pred"), max_iter=max_iter
+            ).toDF("pred", "super_pred")
+        )
+        via_subprop = t.join(prop_cl, "pred").select(
+            "subj", F.col("super_pred").alias("pred"), "obj"
+        )
+        widened = t.unionByName(via_subprop)
+
+    # rdfs9 + rdfs11: propagate type assertions up the class hierarchy
+    inferred = widened
+    if subclass_edges is not None:
+        cls_cl = F.broadcast(
+            go_dag_closure(
+                subclass_edges.toDF("obj", "super_cls"), max_iter=max_iter
+            ).toDF("obj", "super_cls")
+        )
+        via_subclass = (
+            widened.where(F.col("pred") == type_pred)
+            .join(cls_cl, "obj")
+            .select("subj", "pred", F.col("super_cls").alias("obj"))
+        )
+        inferred = widened.unionByName(via_subclass)
+
+    new_rows = (
+        inferred.join(t, ["subj", "pred", "obj"], "left_anti")
+        .distinct()
+        .withColumn("inferred", F.lit(True))
+    )
+    return asserted.unionByName(new_rows)
+
+
+def required_properties(
+    triples: DataFrame,
+    types: DataFrame,
+    requirements: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+) -> DataFrame:
+    """SHACL ``sh:minCount 1`` validation -> one row per MISSING required
+    property: ``(kind='missing', pred, subj, obj=NULL, n=0)`` — the same
+    shape ``validate_triples`` emits, so the two reports union into one
+    violation table.
+
+    * ``types`` — ``(entity, type)`` assertions (explicit ``rdf:type``
+      rows, or ``infer_types``' output).
+    * ``requirements`` — ``(type, pred)``: entities of ``type`` must
+      assert ``pred`` at least once.  Schema-sized -> broadcast.
+
+    Scale shape: expected obligations = types x broadcast(requirements)
+    (no shuffle, fan-out bounded by requirements-per-type); the check is
+    ONE left-anti hash join keyed on ``(subj, pred)`` against the
+    distinct (subj, pred) projection of the triple scan — both sides
+    hash-partitioned by the same compound key, and the projection is a
+    map-side-combinable dedup far smaller than the triple table.
+    """
+    expected = types.toDF("subj", "type").join(
+        F.broadcast(requirements.toDF("type", "pred")), "type"
+    )
+    have = triples.select(
+        F.col(subj_col).alias("subj"), F.col(pred_col).alias("pred")
+    ).distinct()
+    return (
+        expected.join(have, ["subj", "pred"], "left_anti")
+        .select(
+            F.lit("missing").alias("kind"),
+            "pred",
+            "subj",
+            F.lit(None).cast("string").alias("obj"),
+            F.lit(0).cast("bigint").alias("n"),
+        )
+        .distinct()
+    )

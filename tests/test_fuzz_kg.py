@@ -239,3 +239,127 @@ def test_snapshot_at_equals_naive_replay(_spark, events, at):
             latest[k] = (ts, op)
     naive = sorted(k for k, (_, op) in latest.items() if op == "add")
     assert got == naive
+
+
+@settings(**_SETTINGS)
+@given(
+    triples=st.lists(st.tuples(SUBJ, PRED, OBJ), min_size=1, max_size=30),
+    subclass=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 4)),
+        max_size=6,
+    ),
+    subprop=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.sampled_from(["a", "b", "c", "rdf:type"]),
+        ),
+        max_size=4,
+    ),
+)
+def test_rdfs_materialize_equals_naive_fixpoint(
+    _spark, triples, subclass, subprop
+):
+    """rdfs_materialize == a naive semi-naive fixpoint over rules
+    rdfs5/7/9/11 run to saturation in Python.  Random subproperty edges
+    may target rdf:type itself, exercising the rdfs7->rdfs9 feed; random
+    subclass edges may contain cycles, exercising closure termination."""
+    from ahrd_spark.operators.kgschema import rdfs_materialize
+
+    rows = [("s%d" % s, p, "C%d" % o) for s, p, o in triples]
+    sc = [("C%d" % a, "C%d" % b) for a, b in subclass if a != b]
+    sp = [(a, b) for a, b in subprop if a != b]
+
+    # naive fixpoint: closures by repeated squaring, then 7 -> 9
+    def close(edges):
+        cl = set(edges)
+        while True:
+            nxt = {(a, d) for (a, b) in cl for (c, d) in cl if b == c}
+            if nxt <= cl:
+                return cl
+            cl |= nxt
+
+    spc, scc = close(sp), close(sc)
+    t = set(rows)
+    wid = t | {(s, q, o) for (s, p, o) in t for (pp, q) in spc if pp == p}
+    inf = wid | {
+        (s, p, d)
+        for (s, p, o) in wid
+        if p == "rdf:type"
+        for (c, d) in scc
+        if c == o
+    }
+    expected = {(s, p, o, False) for (s, p, o) in t} | {
+        (s, p, o, True) for (s, p, o) in inf - t
+    }
+
+    df = _spark.createDataFrame(rows, "subj STRING, pred STRING, obj STRING")
+    sc_df = (
+        _spark.createDataFrame(sc, "child STRING, parent STRING")
+        if sc
+        else None
+    )
+    sp_df = (
+        _spark.createDataFrame(sp, "child STRING, parent STRING")
+        if sp
+        else None
+    )
+    out = rdfs_materialize(df, sc_df, sp_df)
+    got = {(r.subj, r.pred, r.obj, r.inferred) for r in out.collect()}
+    assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    triples=st.lists(st.tuples(SUBJ, PRED, OBJ), min_size=1, max_size=30),
+    subclass=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 4)), max_size=6
+    ),
+)
+def test_rdfs_materialize_idempotent(_spark, triples, subclass):
+    """Materializing the materialized graph adds nothing: the rule set is
+    a closure operator."""
+    from ahrd_spark.operators.kgschema import rdfs_materialize
+
+    rows = [("s%d" % s, p, "C%d" % o) for s, p, o in triples]
+    sc = [("C%d" % a, "C%d" % b) for a, b in subclass if a != b]
+    if not sc:
+        sc = [("C0", "C1")]
+    df = _spark.createDataFrame(rows, "subj STRING, pred STRING, obj STRING")
+    sc_df = _spark.createDataFrame(sc, "child STRING, parent STRING")
+    once = rdfs_materialize(df, sc_df).select("subj", "pred", "obj")
+    twice = rdfs_materialize(once, sc_df)
+    assert twice.where("inferred").count() == 0
+
+
+@settings(**_SETTINGS)
+@given(
+    triples=st.lists(st.tuples(SUBJ, PRED, OBJ), min_size=1, max_size=30),
+    reqs=st.lists(
+        st.tuples(st.sampled_from(["T0", "T1"]), PRED),
+        min_size=1,
+        max_size=4,
+    ),
+    typed=st.lists(
+        st.tuples(SUBJ, st.sampled_from(["T0", "T1"])), max_size=8
+    ),
+)
+def test_required_properties_equals_naive(_spark, triples, reqs, typed):
+    from ahrd_spark.operators.kgschema import required_properties
+
+    rows = [("s%d" % s, p, "o%d" % o) for s, p, o in triples]
+    ty = [("s%d" % s, t) for s, t in typed]
+    have = {(s, p) for (s, p, _o) in rows}
+    expected = {
+        ("missing", p, s, None, 0)
+        for (s, t) in set(ty)
+        for (rt, p) in set(reqs)
+        if rt == t and (s, p) not in have
+    }
+    df = _spark.createDataFrame(rows, "subj STRING, pred STRING, obj STRING")
+    ty_df = _spark.createDataFrame(
+        ty, "entity STRING, type STRING"
+    ) if ty else _spark.createDataFrame([], "entity STRING, type STRING")
+    rq_df = _spark.createDataFrame(reqs, "type STRING, pred STRING")
+    out = required_properties(df, ty_df, rq_df)
+    got = {(r.kind, r.pred, r.subj, r.obj, r.n) for r in out.collect()}
+    assert got == expected

@@ -149,7 +149,8 @@ def test_no_broadcast_hint_on_data_sized_frames():
         r"|corpus\.orderBy|n_docs\b|vocab\b|_centroid_array\(|n_count\b"
         r"|dangling\b|weights\b|qterms\b|q_df\b|stats\b|mu_arr\b|v_arr\b"
         r"|nrm\b|anc\b|anc_ic\b|t_total\b|b_total\b|offsets\b|a_max\b"
-        r"|h_max\b)"
+        r"|h_max\b|pred_schema\b|constraints\b|n_subj\b|go_dag_closure\("
+        r"|requirements\b)"
     )
     # t_total / b_total (operators/corpus.py::pmi_collocations) are 1-row
     # corpus position totals — scalar aggregates, never input-sized.
@@ -157,6 +158,13 @@ def test_no_broadcast_hint_on_data_sized_frames():
     # partition prefix-sum table — `partitions` rows by construction.
     # a_max / h_max (operators/graph.py::hits_scores) are 1-row global
     # max aggregates — scalar at any input scale.
+    # pred_schema / constraints / requirements (operators/kgschema.py) are
+    # one-row-per-predicate (or per type x predicate) schema tables —
+    # bounded by the ontology's predicate vocabulary, never by triples.
+    # n_subj (kgschema.py::entity_summary) is a 1-row countDistinct
+    # aggregate.  go_dag_closure(...) broadcasts a closed subClassOf /
+    # subPropertyOf schema graph (kgschema.py::rdfs_materialize) —
+    # ontology-sized by the same contract as closure / anc.
     offenders = []
     for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
         src = open(path).read()

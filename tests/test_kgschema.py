@@ -291,3 +291,134 @@ def test_entity_summary_tie_breaks_on_pred_then_obj(spark):
     )
     # all facts df=1: rank order falls to (pred, obj) lexicographic
     assert [(r.pred, r.obj) for r in rows] == [("a", "x"), ("a", "y")]
+
+
+def test_rdfs_materialize_subprop_and_subclass(spark):
+    """Hand-worked rhoDF fixpoint: isoform_type is a subproperty of
+    rdf:type (rdfs7 feeds rdfs9), encodes climbs a 2-deep property chain
+    (rdfs5), and C0->C1->C2 carries the type up 2 levels (rdfs11)."""
+    from ahrd_spark.operators.kgschema import rdfs_materialize
+
+    triples = spark.createDataFrame(
+        [
+            ("p1", "rdf:type", "C0"),
+            ("p2", "isoform_type", "C1"),
+            ("p3", "encodes", "g1"),
+        ],
+        TRIPLE_SCHEMA,
+    )
+    subclass = spark.createDataFrame(
+        [("C0", "C1"), ("C1", "C2")], "child STRING, parent STRING"
+    )
+    subprop = spark.createDataFrame(
+        [("isoform_type", "rdf:type"), ("encodes", "mentions"),
+         ("mentions", "relatedTo")],
+        "child STRING, parent STRING",
+    )
+    out = rdfs_materialize(triples, subclass, subprop)
+    got = {(r.subj, r.pred, r.obj, r.inferred) for r in out.collect()}
+    assert got == {
+        # asserted
+        ("p1", "rdf:type", "C0", False),
+        ("p2", "isoform_type", "C1", False),
+        ("p3", "encodes", "g1", False),
+        # rdfs7: property widening (incl. the 2-hop rdfs5 closure)
+        ("p2", "rdf:type", "C1", True),
+        ("p3", "mentions", "g1", True),
+        ("p3", "relatedTo", "g1", True),
+        # rdfs9/rdfs11: class climb, incl. the subproperty-fed type row
+        ("p1", "rdf:type", "C1", True),
+        ("p1", "rdf:type", "C2", True),
+        ("p2", "rdf:type", "C2", True),
+    }
+
+
+def test_rdfs_materialize_no_schema_is_identity(spark):
+    from ahrd_spark.operators.kgschema import rdfs_materialize
+
+    triples = spark.createDataFrame(
+        [("p1", "rdf:type", "C0"), ("p1", "rdf:type", "C0")], TRIPLE_SCHEMA
+    )
+    out = rdfs_materialize(triples).collect()
+    assert [(r.subj, r.pred, r.obj, r.inferred) for r in out] == [
+        ("p1", "rdf:type", "C0", False)
+    ]
+
+
+def test_rdfs_materialize_asserted_rows_not_reinferred(spark):
+    """A triple that is both asserted and derivable stays inferred=False
+    and appears exactly once."""
+    from ahrd_spark.operators.kgschema import rdfs_materialize
+
+    triples = spark.createDataFrame(
+        [("p1", "rdf:type", "C0"), ("p1", "rdf:type", "C1")], TRIPLE_SCHEMA
+    )
+    subclass = spark.createDataFrame(
+        [("C0", "C1")], "child STRING, parent STRING"
+    )
+    out = rdfs_materialize(triples, subclass).collect()
+    got = {(r.subj, r.pred, r.obj, r.inferred) for r in out}
+    assert got == {
+        ("p1", "rdf:type", "C0", False),
+        ("p1", "rdf:type", "C1", False),
+    }
+    assert len(out) == 2
+
+
+def test_required_properties_min_count(spark):
+    """p1 satisfies everything; p2 misses hasGOTerm; e1 is also an Enzyme
+    and misses catalyzes."""
+    from ahrd_spark.operators.kgschema import required_properties
+
+    triples = spark.createDataFrame(
+        [
+            ("p1", "hasDescription", "kinase"),
+            ("p1", "hasGOTerm", "GO:1"),
+            ("p2", "hasDescription", "ligase"),
+            ("e1", "hasDescription", "enzyme x"),
+            ("e1", "hasGOTerm", "GO:2"),
+        ],
+        TRIPLE_SCHEMA,
+    )
+    types = spark.createDataFrame(
+        [("p1", "Protein"), ("p2", "Protein"), ("e1", "Protein"),
+         ("e1", "Enzyme")],
+        "entity STRING, type STRING",
+    )
+    reqs = spark.createDataFrame(
+        [("Protein", "hasDescription"), ("Protein", "hasGOTerm"),
+         ("Enzyme", "catalyzes")],
+        "type STRING, pred STRING",
+    )
+    out = required_properties(triples, types, reqs)
+    got = {(r.kind, r.pred, r.subj, r.obj, r.n) for r in out.collect()}
+    assert got == {
+        ("missing", "hasGOTerm", "p2", None, 0),
+        ("missing", "catalyzes", "e1", None, 0),
+    }
+
+
+def test_required_properties_unions_with_validate_triples(spark):
+    """The report shape is union-compatible with validate_triples."""
+    from ahrd_spark.operators.kgschema import (
+        required_properties,
+        validate_triples,
+    )
+
+    triples = spark.createDataFrame(
+        [("p1", "hasGOTerm", "GOX")], TRIPLE_SCHEMA
+    )
+    constraints = spark.createDataFrame(
+        [("hasGOTerm", None, "GO:[0-9]+", False)], CONSTRAINTS_SCHEMA
+    )
+    types = spark.createDataFrame(
+        [("p1", "Protein")], "entity STRING, type STRING"
+    )
+    reqs = spark.createDataFrame(
+        [("Protein", "hasDescription")], "type STRING, pred STRING"
+    )
+    v = validate_triples(triples, constraints)
+    r = required_properties(triples, types, reqs)
+    both = v.unionByName(r)
+    kinds = sorted(x.kind for x in both.collect())
+    assert kinds == ["missing", "pattern"]
