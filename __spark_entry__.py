@@ -705,19 +705,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_constraints"] = kg_constraints
 
-    def kg_rdfs_materialize(spark, sf):
-        """rhoDF forward chaining (kgschema.py::rdfs_materialize): a
-        4-predicate instance graph where isoform_type is a subproperty of
-        rdf:type (so rdfs7 feeds rdfs9), encodes climbs a 2-deep property
-        chain (rdfs5), and the class hierarchy C0->C1->C2->C5 carries the
-        type assertions up 3 levels (rdfs9/rdfs11).  Schema tables are
-        tiny driver literals -> broadcast; the instance table is never
-        shuffled by the rules."""
-        from ahrd_spark.operators.kgschema import rdfs_materialize
-
+    # shared instance-triple derivation + schema tables for the rhoDF
+    # queries (kg_rdfs_materialize / kg_rdfs_delta)
+    def _rdfs_triples(spark, sf, doc_mod=None):
         d = F.col("doc_id")
         m4 = d % 4
-        triples = _docs(spark, sf).select(
+        base = _docs(spark, sf)
+        if doc_mod is not None:
+            base = base.where(d % doc_mod == 0)
+        return base.select(
             F.concat(F.lit("P"), (d % 40).cast("string")).alias("subj"),
             F.when(m4 == 0, F.lit("rdf:type"))
             .when(m4 == 1, F.lit("encodes"))
@@ -735,6 +731,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .alias("obj"),
         )
+
+    def _rdfs_schema(spark):
         subclass = spark.createDataFrame(
             [("C0", "C1"), ("C1", "C2"), ("C2", "C5"), ("C3", "C4")],
             "child string, parent string",
@@ -747,9 +745,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ],
             "child string, parent string",
         )
-        return rdfs_materialize(triples, subclass, subprop)
+        return subclass, subprop
+
+    def kg_rdfs_materialize(spark, sf):
+        """rhoDF forward chaining (kgschema.py::rdfs_materialize): a
+        4-predicate instance graph where isoform_type is a subproperty of
+        rdf:type (so rdfs7 feeds rdfs9), encodes climbs a 2-deep property
+        chain (rdfs5), and the class hierarchy C0->C1->C2->C5 carries the
+        type assertions up 3 levels (rdfs9/rdfs11).  Schema tables are
+        tiny driver literals -> broadcast; the instance table is never
+        shuffled by the rules."""
+        from ahrd_spark.operators.kgschema import rdfs_materialize
+
+        subclass, subprop = _rdfs_schema(spark)
+        return rdfs_materialize(_rdfs_triples(spark, sf), subclass, subprop)
 
     q["kg_rdfs_materialize"] = kg_rdfs_materialize
+
+    def kg_rdfs_delta(spark, sf):
+        """Incremental RDFS maintenance (kgschema.py::rdfs_delta): the
+        graph materialized from the doc_id%2 slice, then the doc_id%3
+        slice arrives as a new batch — docs at doc_id%6 overlap, so the
+        delta both re-asserts known triples (dropped) and contributes
+        fresh assertions + entailments (kept, deduped against the
+        existing graph).  Rules touch only the delta; the existing graph
+        is probed once via a triple-keyed left-anti join."""
+        from ahrd_spark.operators.kgschema import (
+            rdfs_delta,
+            rdfs_materialize,
+        )
+
+        subclass, subprop = _rdfs_schema(spark)
+        mat = rdfs_materialize(
+            _rdfs_triples(spark, sf, doc_mod=2), subclass, subprop
+        ).select("subj", "pred", "obj")
+        delta = _rdfs_triples(spark, sf, doc_mod=3)
+        return rdfs_delta(mat, delta, subclass, subprop)
+
+    q["kg_rdfs_delta"] = kg_rdfs_delta
 
     def kg_required_props(spark, sf):
         """SHACL sh:minCount report (kgschema.py::required_properties):
@@ -3422,7 +3455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # either way; this only rotates which ones the driver re-checks.
     never_sampled_first = [
         # round-4 additions (newest first: no attestation yet)
-        "kg_rdfs_materialize", "kg_required_props",
+        "kg_rdfs_delta", "kg_rdfs_materialize", "kg_required_props",
         "kg_snapshot_at", "kg_provenance", "kg_canonicalize", "kg_truth",
         "kg_type_infer", "kg_constraints", "kg_metapaths", "kg_bgp",
         "kg_char_sets", "kg_entity_summary",
@@ -4086,23 +4119,13 @@ dang AS (
 SELECT * FROM card UNION ALL SELECT * FROM pat UNION ALL SELECT * FROM dang
 """
 
-    # rhoDF forward-chaining replay (kgschema.py::rdfs_materialize): both
-    # schema closures as recursive CTEs, rdfs7 widening (subproperty ->
-    # superproperties), then rdfs9 over the WIDENED type slice (so
-    # isoform_type assertions climb the class chain too); inferred rows
-    # are the anti-join against the asserted distinct set
-    o["kg_rdfs_materialize"] = """
-WITH RECURSIVE raw AS (
-  SELECT 'P' || (doc_id % 40)::VARCHAR AS subj,
-         CASE doc_id % 4 WHEN 0 THEN 'rdf:type' WHEN 1 THEN 'encodes'
-              WHEN 2 THEN 'isoform_type' ELSE 'interacts' END AS pred,
-         CASE doc_id % 4
-              WHEN 0 THEN 'C' || (doc_id % 6)::VARCHAR
-              WHEN 1 THEN 'G' || (doc_id % 13)::VARCHAR
-              WHEN 2 THEN 'C' || ((doc_id * 3 + 1) % 6)::VARCHAR
-              ELSE 'P' || ((doc_id * 7 + 3) % 40)::VARCHAR END AS obj
-  FROM documents),
-t AS (SELECT DISTINCT subj, pred, obj FROM raw),
+    # rhoDF forward-chaining replay (kgschema.py::rdfs_materialize /
+    # rdfs_delta): both schema closures as recursive CTEs, rdfs7 widening
+    # (subproperty -> superproperties), then rdfs9 over the WIDENED type
+    # slice (so isoform_type assertions climb the class chain too).
+    # Final selects are explicit DISTINCTs: DuckDB 1.0's relational API
+    # can drop a recursive CTE's UNION dedup when inlining.
+    _RDFS_SCHEMA_CTES = """
 sp(child, parent) AS (VALUES ('isoform_type', 'rdf:type'),
                              ('encodes', 'mentions'),
                              ('mentions', 'relatedTo')),
@@ -4115,17 +4138,38 @@ spc(child, parent) AS (
 scc(child, parent) AS (
   SELECT child, parent FROM sc
   UNION
-  SELECT scc.child, sc.parent FROM scc JOIN sc ON scc.parent = sc.child),
-wid AS (
-  SELECT subj, pred, obj FROM t
+  SELECT scc.child, sc.parent FROM scc JOIN sc ON scc.parent = sc.child)"""
+
+    def _rdfs_chain(p, flt):
+        """CTE fragments {p}t (asserted distinct) and {p}inf (full
+        materialized triple set) for one doc slice."""
+        return f"""
+{p}raw AS (
+  SELECT 'P' || (doc_id % 40)::VARCHAR AS subj,
+         CASE doc_id % 4 WHEN 0 THEN 'rdf:type' WHEN 1 THEN 'encodes'
+              WHEN 2 THEN 'isoform_type' ELSE 'interacts' END AS pred,
+         CASE doc_id % 4
+              WHEN 0 THEN 'C' || (doc_id % 6)::VARCHAR
+              WHEN 1 THEN 'G' || (doc_id % 13)::VARCHAR
+              WHEN 2 THEN 'C' || ((doc_id * 3 + 1) % 6)::VARCHAR
+              ELSE 'P' || ((doc_id * 7 + 3) % 40)::VARCHAR END AS obj
+  FROM documents {flt}),
+{p}t AS (SELECT DISTINCT subj, pred, obj FROM {p}raw),
+{p}wid AS (
+  SELECT subj, pred, obj FROM {p}t
   UNION
-  SELECT t.subj, spc.parent, t.obj FROM t JOIN spc ON t.pred = spc.child),
-inf AS (
-  SELECT subj, pred, obj FROM wid
+  SELECT b.subj, spc.parent, b.obj
+  FROM {p}t b JOIN spc ON b.pred = spc.child),
+{p}inf AS (
+  SELECT subj, pred, obj FROM {p}wid
   UNION
   SELECT w.subj, w.pred, scc.parent
-  FROM wid w JOIN scc ON w.obj = scc.child
-  WHERE w.pred = 'rdf:type'),
+  FROM {p}wid w JOIN scc ON w.obj = scc.child
+  WHERE w.pred = 'rdf:type')"""
+
+    o["kg_rdfs_materialize"] = f"""
+WITH RECURSIVE {_RDFS_SCHEMA_CTES},
+{_rdfs_chain('', '')},
 newr AS (
   SELECT i.subj, i.pred, i.obj FROM inf i
   ANTI JOIN t USING (subj, pred, obj))
@@ -4133,6 +4177,25 @@ SELECT DISTINCT subj, pred, obj, inferred FROM (
   SELECT subj, pred, obj, FALSE AS inferred FROM t
   UNION ALL
   SELECT subj, pred, obj, TRUE AS inferred FROM newr)
+"""
+
+    # incremental-maintenance replay (kgschema.py::rdfs_delta): the
+    # doc%2 slice's full materialization is the existing graph; the
+    # doc%3 slice is materialized alone and anti-joined against it
+    o["kg_rdfs_delta"] = f"""
+WITH RECURSIVE {_RDFS_SCHEMA_CTES},
+{_rdfs_chain('b', 'WHERE doc_id % 2 = 0')},
+{_rdfs_chain('d', 'WHERE doc_id % 3 = 0')},
+dnew AS (
+  SELECT i.subj, i.pred, i.obj FROM dinf i
+  ANTI JOIN dt USING (subj, pred, obj)),
+dall AS (
+  SELECT DISTINCT subj, pred, obj, inferred FROM (
+    SELECT subj, pred, obj, FALSE AS inferred FROM dt
+    UNION ALL
+    SELECT subj, pred, obj, TRUE AS inferred FROM dnew))
+SELECT DISTINCT subj, pred, obj, inferred
+FROM dall ANTI JOIN binf USING (subj, pred, obj)
 """
 
     # sh:minCount replay (kgschema.py::required_properties): the expected

@@ -508,3 +508,60 @@ def required_properties(
         )
         .distinct()
     )
+
+
+def rdfs_delta(
+    materialized: DataFrame,
+    delta: DataFrame,
+    subclass_edges: DataFrame | None = None,
+    subprop_edges: DataFrame | None = None,
+    type_pred: str = "rdf:type",
+    max_iter: int = 32,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Incremental RDFS maintenance: the rows a new batch of asserted
+    triples ADDS to an already-materialized graph ->
+    ``(subj, pred, obj, inferred)``, where ``inferred=false`` marks
+    newly-asserted rows and ``inferred=true`` rows their rule-derived
+    entailments — both already deduplicated against ``materialized``.
+
+    Correctness hinge: every rhoDF rule (rdfs7, rdfs9, and their closed
+    rdfs5/11 schema forms — see ``rdfs_materialize``) derives each
+    conclusion from exactly ONE instance triple plus schema, so the
+    entailments of ``old UNION delta`` = entailments(old) UNION
+    entailments(delta).  Maintaining the materialization therefore only
+    ever touches the DELTA: run the rules on the new batch and
+    anti-join the result against the existing graph.  (This is the
+    additive case; retraction needs over-delete/re-derive counting and
+    is out of scope — at corpus scale triple logs are append-only and
+    deletions go through ``snapshot_at``-style log reads.)
+
+    A delta row that merely re-asserts a triple the graph already holds
+    (asserted OR previously inferred) is silently dropped — the
+    materialized triple SET is unchanged by it.
+
+    Scale shape: the rules run on delta-sized input with broadcast
+    schema closures (``rdfs_materialize``); the one big-data touch is
+    the left-anti hash join against ``materialized``, keyed on the full
+    (subj, pred, obj) triple — the same key a triple store's primary
+    layout already clusters by, so at scale this is a co-partitioned
+    probe, not a re-shuffle of the graph.
+    """
+    new = rdfs_materialize(
+        delta,
+        subclass_edges=subclass_edges,
+        subprop_edges=subprop_edges,
+        type_pred=type_pred,
+        max_iter=max_iter,
+        subj_col=subj_col,
+        pred_col=pred_col,
+        obj_col=obj_col,
+    )
+    mat = materialized.select(
+        F.col(subj_col).alias("subj"),
+        F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"),
+    )
+    return new.join(mat, ["subj", "pred", "obj"], "left_anti")

@@ -363,3 +363,76 @@ def test_required_properties_equals_naive(_spark, triples, reqs, typed):
     out = required_properties(df, ty_df, rq_df)
     got = {(r.kind, r.pred, r.subj, r.obj, r.n) for r in out.collect()}
     assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    old=st.lists(st.tuples(SUBJ, PRED, OBJ), min_size=1, max_size=20),
+    delta=st.lists(st.tuples(SUBJ, PRED, OBJ), min_size=1, max_size=20),
+    subclass=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 4)), max_size=6
+    ),
+)
+def test_rdfs_delta_equals_full_rematerialization(
+    _spark, old, delta, subclass
+):
+    """Incremental maintenance == re-materializing from scratch, on the
+    triple SET; and the additions themselves match a naive Python delta
+    (rules on delta only, minus the existing graph).  Overlapping
+    old/delta strategies exercise the re-assertion-dropping path."""
+    from ahrd_spark.operators.kgschema import rdfs_delta, rdfs_materialize
+
+    # 'a' doubles as rdf:type here so the class rules actually fire
+    def mk(rows):
+        return [
+            ("s%d" % s, "rdf:type" if p == "a" else p, "C%d" % o)
+            for s, p, o in rows
+        ]
+
+    old_r, delta_r = mk(old), mk(delta)
+    sc = [("C%d" % a, "C%d" % b) for a, b in subclass if a != b]
+    if not sc:
+        sc = [("C0", "C1")]
+
+    def close(edges):
+        cl = set(edges)
+        while True:
+            nxt = {(a, d) for (a, b) in cl for (c, d) in cl if b == c}
+            if nxt <= cl:
+                return cl
+            cl |= nxt
+
+    scc = close(sc)
+
+    def materialize(rows):
+        t = set(rows)
+        return t | {
+            (s, p, d)
+            for (s, p, o) in t
+            if p == "rdf:type"
+            for (c, d) in scc
+            if c == o
+        }
+
+    mat_py = materialize(old_r)
+    new_py = materialize(delta_r)
+    expected = {
+        (s, p, o, (s, p, o) not in set(delta_r))
+        for (s, p, o) in new_py - mat_py
+    }
+
+    sc_df = _spark.createDataFrame(sc, "child STRING, parent STRING")
+    old_df = _spark.createDataFrame(
+        old_r, "subj STRING, pred STRING, obj STRING"
+    )
+    delta_df = _spark.createDataFrame(
+        delta_r, "subj STRING, pred STRING, obj STRING"
+    )
+    mat = rdfs_materialize(old_df, sc_df).select("subj", "pred", "obj")
+    out = rdfs_delta(mat, delta_df, sc_df)
+    got = {(r.subj, r.pred, r.obj, r.inferred) for r in out.collect()}
+    assert got == expected
+    # union invariant: incremental == from-scratch on the triple set
+    assert {(s, p, o) for (s, p, o, _f) in got} | mat_py == materialize(
+        old_r + delta_r
+    )

@@ -422,3 +422,72 @@ def test_required_properties_unions_with_validate_triples(spark):
     both = v.unionByName(r)
     kinds = sorted(x.kind for x in both.collect())
     assert kinds == ["missing", "pattern"]
+
+
+def test_rdfs_delta_drops_known_keeps_new(spark):
+    """Existing graph: p1 typed C0 (materialized up to C1).  Delta
+    re-asserts (p1, rdf:type, C0) — dropped; asserts (p1, rdf:type, C1)
+    which was previously only INFERRED — also dropped (triple set
+    unchanged); and asserts (p2, rdf:type, C0) — kept with its
+    entailment."""
+    from ahrd_spark.operators.kgschema import rdfs_delta, rdfs_materialize
+
+    subclass = spark.createDataFrame(
+        [("C0", "C1")], "child STRING, parent STRING"
+    )
+    old = spark.createDataFrame(
+        [("p1", "rdf:type", "C0")], TRIPLE_SCHEMA
+    )
+    mat = rdfs_materialize(old, subclass).select("subj", "pred", "obj")
+    delta = spark.createDataFrame(
+        [
+            ("p1", "rdf:type", "C0"),
+            ("p1", "rdf:type", "C1"),
+            ("p2", "rdf:type", "C0"),
+        ],
+        TRIPLE_SCHEMA,
+    )
+    out = rdfs_delta(mat, delta, subclass)
+    got = {(r.subj, r.pred, r.obj, r.inferred) for r in out.collect()}
+    assert got == {
+        ("p2", "rdf:type", "C0", False),
+        ("p2", "rdf:type", "C1", True),
+    }
+
+
+def test_rdfs_delta_union_equals_full_rematerialization(spark):
+    """Triple-set invariant: old materialization + delta additions ==
+    materializing (old UNION delta) from scratch."""
+    from ahrd_spark.operators.kgschema import rdfs_delta, rdfs_materialize
+
+    subclass = spark.createDataFrame(
+        [("C0", "C1"), ("C1", "C2")], "child STRING, parent STRING"
+    )
+    subprop = spark.createDataFrame(
+        [("isoform_type", "rdf:type")], "child STRING, parent STRING"
+    )
+    old = spark.createDataFrame(
+        [("p1", "rdf:type", "C0"), ("p2", "isoform_type", "C1")],
+        TRIPLE_SCHEMA,
+    )
+    delta = spark.createDataFrame(
+        [("p2", "rdf:type", "C0"), ("p3", "isoform_type", "C0")],
+        TRIPLE_SCHEMA,
+    )
+    mat = rdfs_materialize(old, subclass, subprop).select(
+        "subj", "pred", "obj"
+    )
+    add = rdfs_delta(mat, delta, subclass, subprop)
+    incr = {
+        (r.subj, r.pred, r.obj)
+        for r in mat.unionByName(
+            add.select("subj", "pred", "obj")
+        ).collect()
+    }
+    full = {
+        (r.subj, r.pred, r.obj)
+        for r in rdfs_materialize(
+            old.unionByName(delta), subclass, subprop
+        ).collect()
+    }
+    assert incr == full
