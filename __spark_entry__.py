@@ -819,6 +819,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_required_props"] = kg_required_props
 
+    def kg_bgp_chain(spark, sf):
+        """Chain BGP bindings (kgschema.py::bgp_chain) over the same
+        hub-skewed entity graph as kg_metapaths: { ?s knows ?m .
+        ?m parent_of ?o } with hub_cap=4 excluding the rewired E0 hub —
+        returns the (subj, mid, obj) rows the metapath miner only
+        counts."""
+        from ahrd_spark.operators.kgschema import bgp_chain
+
+        d = F.col("doc_id")
+        triples = _docs(spark, sf).select(
+            F.concat(F.lit("E"), (d % 29).cast("string")).alias("subj"),
+            F.when(d % 2 == 0, F.lit("knows"))
+            .otherwise(F.lit("parent_of"))
+            .alias("pred"),
+            F.when(d % 7 == 0, F.lit("E0"))
+            .otherwise(
+                F.concat(F.lit("E"), ((d * 7 + 3) % 29).cast("string"))
+            )
+            .alias("obj"),
+        )
+        return bgp_chain(triples, "knows", "parent_of", hub_cap=4)
+
+    q["kg_bgp_chain"] = kg_bgp_chain
+
+    def kg_disjoint(spark, sf):
+        """OWL disjointness check (kgschema.py::disjoint_violations) run
+        AFTER rhoDF materialization, so violations entailed through the
+        class hierarchy are caught (C5 arrives only via subClassOf
+        climbing); the (C1, C3) pair never fires — C3 is never
+        asserted."""
+        from ahrd_spark.operators.kgschema import (
+            disjoint_violations,
+            rdfs_materialize,
+        )
+
+        subclass, subprop = _rdfs_schema(spark)
+        mat = rdfs_materialize(_rdfs_triples(spark, sf), subclass, subprop)
+        types = mat.where(F.col("pred") == "rdf:type").select(
+            F.col("subj").alias("entity"), F.col("obj").alias("type")
+        )
+        dj = spark.createDataFrame(
+            [("C2", "C4"), ("C5", "C4"), ("C1", "C3")],
+            "a string, b string",
+        )
+        return disjoint_violations(types, dj)
+
+    q["kg_disjoint"] = kg_disjoint
+
     def kg_metapaths(spark, sf):
         """2-hop metapath frequencies (kgschema.py::metapath_counts) over a
         deliberately hub-skewed entity graph: docs at doc_id%7==0 rewire
@@ -3455,6 +3503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # either way; this only rotates which ones the driver re-checks.
     never_sampled_first = [
         # round-4 additions (newest first: no attestation yet)
+        "kg_bgp_chain", "kg_disjoint",
         "kg_rdfs_delta", "kg_rdfs_materialize", "kg_required_props",
         "kg_snapshot_at", "kg_provenance", "kg_canonicalize", "kg_truth",
         "kg_type_infer", "kg_constraints", "kg_metapaths", "kg_bgp",
@@ -4217,6 +4266,42 @@ have AS (SELECT DISTINCT subj, pred FROM t)
 SELECT 'missing' AS kind, pred, subj, CAST(NULL AS VARCHAR) AS obj,
        CAST(0 AS BIGINT) AS n
 FROM expected ANTI JOIN have USING (subj, pred)
+"""
+
+    # chain-BGP replay (kgschema.py::bgp_chain): the two predicate slices
+    # deduped, per-mid degrees over the SLICES (not the whole graph —
+    # bgp_chain's contract), hub_cap=4, then the mid-keyed join
+    o["kg_bgp_chain"] = """
+WITH raw AS (
+  SELECT 'E' || (doc_id % 29)::VARCHAR AS s,
+         CASE WHEN doc_id % 2 = 0 THEN 'knows' ELSE 'parent_of' END AS p,
+         CASE WHEN doc_id % 7 = 0 THEN 'E0'
+              ELSE 'E' || ((doc_id * 7 + 3) % 29)::VARCHAR END AS o
+  FROM documents),
+t AS (SELECT DISTINCT s, p, o FROM raw),
+l AS (SELECT DISTINCT s, o AS mid FROM t WHERE p = 'knows'),
+r AS (SELECT DISTINCT s AS mid, o FROM t WHERE p = 'parent_of'),
+din AS (SELECT mid, count(*) AS d_in FROM l GROUP BY mid),
+dout AS (SELECT mid, count(*) AS d_out FROM r GROUP BY mid),
+ok AS (SELECT mid FROM din JOIN dout USING (mid)
+       WHERE d_in <= 4 AND d_out <= 4)
+SELECT l.s AS subj, l.mid, r.o AS obj
+FROM l JOIN ok USING (mid) JOIN r USING (mid)
+"""
+
+    # disjointness replay (kgschema.py::disjoint_violations): the full
+    # rhoDF materialization's type slice, self-joined per entity with
+    # type_a < type_b, semi-joined to the normalized disjoint pairs
+    o["kg_disjoint"] = f"""
+WITH RECURSIVE {_RDFS_SCHEMA_CTES},
+{_rdfs_chain('', '')},
+ty AS (SELECT DISTINCT subj AS entity, obj AS type
+       FROM inf WHERE pred = 'rdf:type'),
+dj(type_a, type_b) AS (VALUES ('C2', 'C4'), ('C4', 'C5'), ('C1', 'C3'))
+SELECT DISTINCT x.entity, x.type AS type_a, y.type AS type_b
+FROM ty x
+JOIN ty y ON x.entity = y.entity AND x.type < y.type
+JOIN dj ON dj.type_a = x.type AND dj.type_b = y.type
 """
 
     # metapath replay (kgschema.py::metapath_counts): per-mid in/out degrees

@@ -565,3 +565,103 @@ def rdfs_delta(
         F.col(obj_col).alias("obj"),
     )
     return new.join(mat, ["subj", "pred", "obj"], "left_anti")
+
+
+def bgp_chain(
+    triples: DataFrame,
+    pred1: str,
+    pred2: str,
+    hub_cap: int = 1000,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Chain-shaped SPARQL basic-graph-pattern match
+    ``{ ?s pred1 ?m . ?m pred2 ?o }`` -> distinct ``(subj, mid, obj)``
+    BINDINGS (``metapath_counts`` only counts; this returns the rows) —
+    the other of the two canonical BGP join shapes next to the star
+    (``bgp_match``).
+
+    ``hub_cap``: mid entities whose pred1 in-degree OR pred2 out-degree
+    exceeds the cap are EXCLUDED before the join, identically to
+    ``metapath_counts`` — a mid with a million inbound and outbound
+    edges contributes in x out rows, so an uncapped chain through a hub
+    is quadratic in its degree.  Dropped mids are a documented,
+    deterministic exclusion (same contract as the metapath miner), not
+    silent truncation of arbitrary rows.
+
+    Scale shape: the two predicate slices are scan-side filters (pushed
+    to the source); per-mid degrees are hash aggregates over the slices
+    only; the chain join is keyed on the mid entity — both sides
+    hash-partitioned by it, output bounded by cap^2 per mid.
+    """
+    t = triples.select(
+        F.col(subj_col).alias("s"),
+        F.col(pred_col).alias("p"),
+        F.col(obj_col).alias("o"),
+    )
+    left = t.where(F.col("p") == pred1).select(
+        "s", F.col("o").alias("mid")
+    ).distinct()
+    right = t.where(F.col("p") == pred2).select(
+        F.col("s").alias("mid"), "o"
+    ).distinct()
+    d_in = left.groupBy("mid").agg(F.count(F.lit(1)).alias("d_in"))
+    d_out = right.groupBy("mid").agg(F.count(F.lit(1)).alias("d_out"))
+    ok = (
+        d_in.join(d_out, "mid")
+        .where((F.col("d_in") <= hub_cap) & (F.col("d_out") <= hub_cap))
+        .select("mid")
+    )
+    return (
+        left.join(ok, "mid", "left_semi")
+        .join(right.join(ok, "mid", "left_semi"), "mid")
+        .select(F.col("s").alias("subj"), "mid", F.col("o").alias("obj"))
+    )
+
+
+def disjoint_violations(
+    types: DataFrame,
+    disjoint: DataFrame,
+) -> DataFrame:
+    """OWL ``disjointWith`` consistency check -> one row per entity
+    typed with BOTH members of a declared-disjoint class pair:
+    ``(entity, type_a, type_b)`` with ``type_a < type_b`` (each
+    violating pair reported once).
+
+    * ``types`` — ``(entity, type)`` assertions (explicit, or
+      ``rdfs_materialize``'s type slice — running AFTER materialization
+      catches violations entailed through the class hierarchy, the
+      standard reasoner ordering).
+    * ``disjoint`` — ``(type_a, type_b)`` declared disjoint pairs,
+      order-insensitive on input.  Ontology-sized -> broadcast.
+
+    Scale shape: one entity-keyed self-join of the types table
+    (co-partitioned both sides), its fan-out bounded per entity by that
+    entity's type count (types-per-entity is ontology-bounded, not
+    corpus-bounded); the disjoint list joins broadcast.  No shuffle of
+    anything input-sized except the types table once.
+    """
+    ty = types.toDF("entity", "type").distinct()
+    dj = F.broadcast(
+        disjoint.toDF("a", "b")
+        .select(
+            F.least("a", "b").alias("type_a"),
+            F.greatest("a", "b").alias("type_b"),
+        )
+        .where(F.col("type_a") != F.col("type_b"))
+        .distinct()
+    )
+    pairs = (
+        ty.alias("x")
+        .join(ty.alias("y"), "entity")
+        .where(F.col("x.type") < F.col("y.type"))
+        .select(
+            "entity",
+            F.col("x.type").alias("type_a"),
+            F.col("y.type").alias("type_b"),
+        )
+    )
+    return pairs.join(dj, ["type_a", "type_b"], "left_semi").select(
+        "entity", "type_a", "type_b"
+    )

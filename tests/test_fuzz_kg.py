@@ -436,3 +436,73 @@ def test_rdfs_delta_equals_full_rematerialization(
     assert {(s, p, o) for (s, p, o, _f) in got} | mat_py == materialize(
         old_r + delta_r
     )
+
+
+@settings(**_SETTINGS)
+@given(
+    triples=st.lists(st.tuples(SUBJ, PRED, OBJ), min_size=1, max_size=40),
+    cap=st.integers(1, 4),
+)
+def test_bgp_chain_equals_naive(_spark, triples, cap):
+    from ahrd_spark.operators.kgschema import bgp_chain
+
+    rows = [("s%d" % s, p, "s%d" % o) for s, p, o in triples]
+    t = set(rows)
+    l = {(s, o) for (s, p, o) in t if p == "a"}
+    r = {(s, o) for (s, p, o) in t if p == "b"}
+    d_in = {}
+    d_out = {}
+    for (_s, m) in l:
+        d_in[m] = d_in.get(m, 0) + 1
+    for (m, _o) in r:
+        d_out[m] = d_out.get(m, 0) + 1
+    ok = {
+        m
+        for m in set(d_in) & set(d_out)
+        if d_in[m] <= cap and d_out[m] <= cap
+    }
+    naive = {
+        (s, m, o) for (s, m) in l if m in ok for (m2, o) in r if m2 == m
+    }
+    df = _spark.createDataFrame(rows, "subj STRING, pred STRING, obj STRING")
+    got = {
+        (r_.subj, r_.mid, r_.obj)
+        for r_ in bgp_chain(df, "a", "b", hub_cap=cap).collect()
+    }
+    assert got == naive
+
+
+@settings(**_SETTINGS)
+@given(
+    typed=st.lists(
+        st.tuples(SUBJ, st.integers(0, 3)), min_size=1, max_size=25
+    ),
+    dis=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 3)), max_size=5
+    ),
+)
+def test_disjoint_violations_equals_naive(_spark, typed, dis):
+    from ahrd_spark.operators.kgschema import disjoint_violations
+
+    ty = [("e%d" % e, "T%d" % t) for e, t in typed]
+    dj = [("T%d" % a, "T%d" % b) for a, b in dis]
+    norm = {(min(a, b), max(a, b)) for a, b in dj if a != b}
+    per_ent = {}
+    for e, t in set(ty):
+        per_ent.setdefault(e, set()).add(t)
+    naive = {
+        (e, a, b)
+        for e, ts in per_ent.items()
+        for a in ts
+        for b in ts
+        if a < b and (a, b) in norm
+    }
+    ty_df = _spark.createDataFrame(ty, "entity STRING, type STRING")
+    dj_df = (
+        _spark.createDataFrame(dj, "a STRING, b STRING")
+        if dj
+        else _spark.createDataFrame([], "a STRING, b STRING")
+    )
+    out = disjoint_violations(ty_df, dj_df)
+    got = {(r.entity, r.type_a, r.type_b) for r in out.collect()}
+    assert got == naive

@@ -491,3 +491,84 @@ def test_rdfs_delta_union_equals_full_rematerialization(spark):
         ).collect()
     }
     assert incr == full
+
+
+def test_bgp_chain_bindings_and_hub_cap(spark):
+    """s1-knows->m1-parent_of->{o1,o2} binds two rows; hub mh (3 inbound
+    knows, cap 2) is excluded entirely."""
+    from ahrd_spark.operators.kgschema import bgp_chain
+
+    triples = spark.createDataFrame(
+        [
+            ("s1", "knows", "m1"),
+            ("m1", "parent_of", "o1"),
+            ("m1", "parent_of", "o2"),
+            # hub: 3 subjects know mh, mh parents o3 -> capped out
+            ("s1", "knows", "mh"),
+            ("s2", "knows", "mh"),
+            ("s3", "knows", "mh"),
+            ("mh", "parent_of", "o3"),
+            # wrong-predicate chain never matches
+            ("s4", "parent_of", "m1"),
+        ],
+        TRIPLE_SCHEMA,
+    )
+    out = bgp_chain(triples, "knows", "parent_of", hub_cap=2)
+    got = {(r.subj, r.mid, r.obj) for r in out.collect()}
+    assert got == {("s1", "m1", "o1"), ("s1", "m1", "o2")}
+
+
+def test_bgp_chain_duplicate_triples_ignored(spark):
+    from ahrd_spark.operators.kgschema import bgp_chain
+
+    triples = spark.createDataFrame(
+        [("s1", "knows", "m1")] * 3 + [("m1", "parent_of", "o1")] * 2,
+        TRIPLE_SCHEMA,
+    )
+    out = bgp_chain(triples, "knows", "parent_of").collect()
+    assert [(r.subj, r.mid, r.obj) for r in out] == [("s1", "m1", "o1")]
+
+
+def test_disjoint_violations_normalizes_and_reports_once(spark):
+    """e1 typed Protein+Gene with (Gene, Protein) declared disjoint in
+    either order -> ONE row, types sorted; e2 (Protein only) clean."""
+    from ahrd_spark.operators.kgschema import disjoint_violations
+
+    types = spark.createDataFrame(
+        [("e1", "Protein"), ("e1", "Gene"), ("e2", "Protein"),
+         ("e1", "Protein")],
+        "entity STRING, type STRING",
+    )
+    dj = spark.createDataFrame(
+        [("Protein", "Gene"), ("Gene", "Protein")], "a STRING, b STRING"
+    )
+    out = disjoint_violations(types, dj).collect()
+    assert [(r.entity, r.type_a, r.type_b) for r in out] == [
+        ("e1", "Gene", "Protein")
+    ]
+
+
+def test_disjoint_violations_after_materialization(spark):
+    """Entailed types trigger violations: e1 asserts only C0, the
+    hierarchy C0->C1 entails C1, and (C1, X) is disjoint with e1's
+    other asserted type X."""
+    from ahrd_spark.operators.kgschema import (
+        disjoint_violations,
+        rdfs_materialize,
+    )
+
+    triples = spark.createDataFrame(
+        [("e1", "rdf:type", "C0"), ("e1", "rdf:type", "X")], TRIPLE_SCHEMA
+    )
+    subclass = spark.createDataFrame(
+        [("C0", "C1")], "child STRING, parent STRING"
+    )
+    mat = rdfs_materialize(triples, subclass)
+    types = mat.where("pred = 'rdf:type'").selectExpr(
+        "subj AS entity", "obj AS type"
+    )
+    dj = spark.createDataFrame([("C1", "X")], "a STRING, b STRING")
+    out = disjoint_violations(types, dj).collect()
+    assert [(r.entity, r.type_a, r.type_b) for r in out] == [
+        ("e1", "C1", "X")
+    ]
