@@ -27,9 +27,19 @@ ASCII_TEXT = st.text(
 )
 def test_normalize_token_weights_sums_to_one(b, d, o):
     """Parameters.normalizeTokenScoreWeights: outputs are 4dp-rounded and
-    sum to 1 within the rounding granularity, preserving ratios."""
+    sum to 1 within the rounding granularity, preserving ratios.
+
+    The bound is exact, not a guess: the reference divides by the
+    4dp-ROUNDED sum (s_r), so nb+nd+no = s/s_r plus three per-quotient
+    4dp rounding errors (<= 5e-5 each).  A fixed 2e-4 bound is too tight
+    when the raw sum is small — e.g. b=d=o=0.03125: s=0.09375 rounds UP
+    to 0.0938, each quotient becomes 0.3332, and the total lands at
+    0.9996 (4e-4 off) while still being exactly the reference's answer."""
     nb, nd, no = normalize_token_weights(b, d, o)
-    assert abs(nb + nd + no - 1.0) < 2e-4
+    s = b + d + o
+    s_r = _round_n(s, 4)
+    bound = abs(s - s_r) / s_r + 3 * 5e-5 + 1e-9
+    assert abs(nb + nd + no - 1.0) <= bound
     for v in (nb, nd, no):
         assert 0.0 < v < 1.0 or v in (0.0, 1.0)
         assert round(v, 4) == v  # 4dp-rounded exactly
