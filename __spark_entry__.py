@@ -867,6 +867,131 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_disjoint"] = kg_disjoint
 
+    def kg_bgp_optional(spark, sf):
+        """OPTIONAL-clause BGP (kgschema.py::bgp_optional):
+        { ?s knows ?o . OPTIONAL { ?s nick ?n } } over an entity graph
+        where only docs at doc_id%4==0 emit nick triples — their subject
+        residues cover exactly the even E-ids (gcd(4,50)=2), so every
+        odd-id subject binds opt_obj=NULL, exercising SPARQL's
+        left-outer-join semantics deterministically."""
+        from ahrd_spark.operators.kgschema import bgp_optional
+
+        d = F.col("doc_id")
+        triples = _docs(spark, sf).select(
+            F.concat(F.lit("E"), (d % 50).cast("string")).alias("subj"),
+            F.when(d % 4 == 0, F.lit("nick"))
+            .otherwise(F.lit("knows"))
+            .alias("pred"),
+            F.when(
+                d % 4 == 0,
+                F.concat(F.lit("N"), (d % 13).cast("string")),
+            )
+            .otherwise(
+                F.concat(F.lit("E"), ((d * 7 + 3) % 50).cast("string"))
+            )
+            .alias("obj"),
+        )
+        return bgp_optional(triples, "knows", "nick")
+
+    q["kg_bgp_optional"] = kg_bgp_optional
+
+    def kg_path_closure(spark, sf):
+        """Bounded pred+ property path (kgschema.py::property_path) over
+        the same rewired functional graph as kg_metapaths: parent_of
+        edges a -> (7a+3) mod 29 plus the E0 hub rewire form long cycles,
+        so the depth-4 closure exercises cycle-safe frontier expansion
+        AND minimal-depth tie resolution (the hub gives some pairs both a
+        direct and a multi-hop path)."""
+        from ahrd_spark.operators.kgschema import property_path
+
+        d = F.col("doc_id")
+        triples = _docs(spark, sf).select(
+            F.concat(F.lit("E"), (d % 29).cast("string")).alias("subj"),
+            F.lit("parent_of").alias("pred"),
+            F.when(d % 7 == 0, F.lit("E0"))
+            .otherwise(
+                F.concat(F.lit("E"), ((d * 7 + 3) % 29).cast("string"))
+            )
+            .alias("obj"),
+        )
+        return property_path(triples, "parent_of", max_depth=4)
+
+    q["kg_path_closure"] = kg_path_closure
+
+    def kg_owl_rules(spark, sf):
+        """OWL 2 RL property-rule materialization
+        (kgschema.py::owl_property_rules): knows is symmetric, parent_of
+        and child_of are mutual inverses (asserted in BOTH directions by
+        different doc residues), mentor_of is transitive with a depth-3
+        closure over its a -> (5a+2) mod 23 functional edges."""
+        from ahrd_spark.operators.kgschema import owl_property_rules
+
+        d = F.col("doc_id")
+        m4 = d % 4
+        triples = _docs(spark, sf).select(
+            F.concat(F.lit("E"), (d % 23).cast("string")).alias("subj"),
+            F.when(m4 == 0, F.lit("knows"))
+            .when(m4 == 1, F.lit("parent_of"))
+            .when(m4 == 2, F.lit("child_of"))
+            .otherwise(F.lit("mentor_of"))
+            .alias("pred"),
+            F.concat(
+                F.lit("E"), ((d * 5 + 2) % 23).cast("string")
+            ).alias("obj"),
+        )
+        axioms = spark.createDataFrame(
+            [
+                ("knows", True, None, False),
+                ("parent_of", False, "child_of", False),
+                ("mentor_of", False, None, True),
+            ],
+            "pred string, symmetric boolean, inverse_of string,"
+            " transitive boolean",
+        )
+        return owl_property_rules(triples, axioms, max_depth=3)
+
+    q["kg_owl_rules"] = kg_owl_rules
+
+    def sketch_kmv(spark, sf):
+        """KMV distinct-count sketch (sketches.py::kmv_distinct) of the
+        9-char text prefixes per doc_id%3 group: bottom-64 portable md5
+        prefixes, exact below k, (k-1)/kth-fraction estimator above it —
+        every output column replayed bit-for-bit by the DuckDB oracle."""
+        from ahrd_spark.operators.sketches import kmv_distinct
+
+        d = F.col("doc_id")
+        vals = _docs(spark, sf).select(
+            (d % 3).cast("string").alias("g"),
+            F.substring("text", 1, 9).alias("v"),
+        )
+        return kmv_distinct(vals, "v", k=64, group_cols=["g"]).select(
+            "g", "n_seen", "kth_hash", "est_distinct"
+        )
+
+    q["sketch_kmv"] = sketch_kmv
+
+    def sketch_countmin(spark, sf):
+        """Count-Min point-frequency estimates
+        (sketches.py::countmin_freqs): a 4x512 sketch over a skewed token
+        stream (docs at doc_id%13==0 all collapse onto T0) probed for
+        heavy hitter T0, four mid/tail tokens, and the absent TX — whose
+        empty-bucket read must come back 0."""
+        from ahrd_spark.operators.sketches import countmin_freqs
+
+        d = F.col("doc_id")
+        vals = _docs(spark, sf).select(
+            F.when(d % 13 == 0, F.lit("T0"))
+            .otherwise(F.concat(F.lit("T"), (d % 101).cast("string")))
+            .alias("v")
+        )
+        probes = spark.createDataFrame(
+            [("T0",), ("T1",), ("T7",), ("T50",), ("T100",), ("TX",)],
+            "probe string",
+        )
+        return countmin_freqs(vals, "v", probes, width=512, depth=4)
+
+    q["sketch_countmin"] = sketch_countmin
+
     def kg_metapaths(spark, sf):
         """2-hop metapath frequencies (kgschema.py::metapath_counts) over a
         deliberately hub-skewed entity graph: docs at doc_id%7==0 rewire
@@ -3503,6 +3628,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # either way; this only rotates which ones the driver re-checks.
     never_sampled_first = [
         # round-4 additions (newest first: no attestation yet)
+        "kg_bgp_optional", "kg_path_closure", "kg_owl_rules",
+        "sketch_kmv", "sketch_countmin",
         "kg_bgp_chain", "kg_disjoint",
         "kg_rdfs_delta", "kg_rdfs_materialize", "kg_required_props",
         "kg_snapshot_at", "kg_provenance", "kg_canonicalize", "kg_truth",
@@ -4327,6 +4454,127 @@ GROUP BY l.p, r.p
 
     # star-BGP replay (kgschema.py::bgp_match): subjects satisfying BOTH
     # required (hasGOTerm, GO:1)/(hasGOTerm, GO:4) constraints (distinct
+    # OPTIONAL-BGP replay (kgschema.py::bgp_optional): required and
+    # optional predicate slices deduped, then the subject-keyed LEFT JOIN
+    # (SPARQL OPTIONAL semantics — NULL binding when no nick triple)
+    o["kg_bgp_optional"] = """
+WITH raw AS (
+  SELECT 'E' || (doc_id % 50)::VARCHAR AS s,
+         CASE WHEN doc_id % 4 = 0 THEN 'nick' ELSE 'knows' END AS p,
+         CASE WHEN doc_id % 4 = 0 THEN 'N' || (doc_id % 13)::VARCHAR
+              ELSE 'E' || ((doc_id * 7 + 3) % 50)::VARCHAR END AS o
+  FROM documents),
+req AS (SELECT DISTINCT s AS subj, o AS obj FROM raw WHERE p = 'knows'),
+opt AS (SELECT DISTINCT s AS subj, o AS opt_obj FROM raw WHERE p = 'nick')
+SELECT subj, obj, opt_obj FROM req LEFT JOIN opt USING (subj)
+"""
+
+    # property-path replay (kgschema.py::property_path): recursive walk
+    # over the distinct parent_of edges bounded at depth 4; min(depth)
+    # per pair replays the frontier's first-discovery semantics
+    o["kg_path_closure"] = """
+WITH RECURSIVE raw AS (
+  SELECT 'E' || (doc_id % 29)::VARCHAR AS s,
+         CASE WHEN doc_id % 7 = 0 THEN 'E0'
+              ELSE 'E' || ((doc_id * 7 + 3) % 29)::VARCHAR END AS o
+  FROM documents),
+e AS (SELECT DISTINCT s AS src, o AS dst FROM raw),
+walk(subj, obj, depth) AS (
+  SELECT src, dst, 1 FROM e
+  UNION
+  SELECT w.subj, e.dst, w.depth + 1
+  FROM walk w JOIN e ON w.obj = e.src
+  WHERE w.depth < 4)
+SELECT subj, obj, CAST(min(depth) AS INT) AS depth
+FROM walk GROUP BY subj, obj
+"""
+
+    # OWL property-rule replay (kgschema.py::owl_property_rules): the
+    # symmetric/inverse mirror pass (a single pass is this axiom set's
+    # fixpoint — knows is not an inverse, parent/child not symmetric),
+    # the depth-3 mentor_of closure over the widened edges, then
+    # inferred = fixpoint minus asserted
+    o["kg_owl_rules"] = """
+WITH RECURSIVE raw AS (
+  SELECT 'E' || (doc_id % 23)::VARCHAR AS s,
+         CASE doc_id % 4 WHEN 0 THEN 'knows' WHEN 1 THEN 'parent_of'
+              WHEN 2 THEN 'child_of' ELSE 'mentor_of' END AS p,
+         'E' || ((doc_id * 5 + 2) % 23)::VARCHAR AS o
+  FROM documents),
+t AS (SELECT DISTINCT s AS subj, p AS pred, o AS obj FROM raw),
+widened AS (
+  SELECT DISTINCT subj, pred, obj FROM (
+    SELECT subj, pred, obj FROM t
+    UNION ALL SELECT obj, pred, subj FROM t WHERE pred = 'knows'
+    UNION ALL SELECT obj, 'child_of', subj FROM t WHERE pred = 'parent_of'
+    UNION ALL SELECT obj, 'parent_of', subj FROM t
+    WHERE pred = 'child_of')),
+me AS (SELECT DISTINCT subj AS src, obj AS dst FROM widened
+       WHERE pred = 'mentor_of'),
+walk(src, dst, depth) AS (
+  SELECT src, dst, 1 FROM me
+  UNION
+  SELECT w.src, me.dst, w.depth + 1 FROM walk w JOIN me ON w.dst = me.src
+  WHERE w.depth < 3),
+closed AS (
+  SELECT DISTINCT subj, pred, obj FROM (
+    SELECT subj, pred, obj FROM widened
+    UNION ALL
+    SELECT src, 'mentor_of', dst FROM walk WHERE depth > 1))
+SELECT subj, pred, obj, FALSE AS inferred FROM t
+UNION ALL
+SELECT c.subj, c.pred, c.obj, TRUE AS inferred
+FROM closed c ANTI JOIN t USING (subj, pred, obj)
+"""
+
+    # KMV replay (sketches.py::kmv_distinct): distinct 15-hex md5
+    # prefixes per group, bottom-64 via row_number, exact count below k,
+    # floor((k-1) * 16^15 / kth) above it — identical IEEE double ops
+    o["sketch_kmv"] = """
+WITH h AS (
+  SELECT DISTINCT (doc_id % 3)::VARCHAR AS g,
+         substr(md5(substr(text, 1, 9)), 1, 15) AS h
+  FROM documents WHERE substr(text, 1, 9) IS NOT NULL),
+rn AS (SELECT g, h,
+              row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+       FROM h),
+k AS (SELECT g, CAST(count(*) AS BIGINT) AS n_seen, max(h) AS kth_hash
+      FROM rn WHERE rn <= 64 GROUP BY g)
+SELECT g, n_seen, kth_hash,
+       CASE WHEN n_seen < 64 THEN n_seen
+            ELSE CAST(floor(63.0 * 1152921504606846976.0 /
+                 CAST(('0x' || kth_hash)::BIGINT AS DOUBLE)) AS BIGINT)
+       END AS est_distinct
+FROM k
+"""
+
+    # Count-Min replay (sketches.py::countmin_freqs): 4x512 bucket
+    # counts from the shared md5-prefix hash, probe cells LEFT JOINed so
+    # an empty bucket reads 0, min over the 4 rows per probe
+    o["sketch_countmin"] = """
+WITH vals AS (
+  SELECT CASE WHEN doc_id % 13 = 0 THEN 'T0'
+              ELSE 'T' || (doc_id % 101)::VARCHAR END AS v
+  FROM documents),
+js AS (SELECT j FROM range(0, 4) t(j)),
+counts AS (
+  SELECT j,
+         ('0x' || substr(md5(j::VARCHAR || '|' || v), 1, 15))::BIGINT
+           % 512 AS bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM vals CROSS JOIN js GROUP BY 1, 2),
+probes(probe) AS (VALUES ('T0'), ('T1'), ('T7'), ('T50'), ('T100'),
+                         ('TX')),
+pc AS (
+  SELECT probe, j,
+         ('0x' || substr(md5(j::VARCHAR || '|' || probe), 1, 15))::BIGINT
+           % 512 AS bucket
+  FROM probes CROSS JOIN js)
+SELECT probe, CAST(min(coalesce(c, 0)) AS BIGINT) AS est_count
+FROM pc LEFT JOIN counts USING (j, bucket)
+GROUP BY probe
+"""
+
     # satisfied-pair count == 2), inner-joined to their hasDescription
     # bindings — the chr(1) separator keys the distinct pair count
     o["kg_bgp"] = f"""

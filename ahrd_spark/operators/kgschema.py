@@ -23,6 +23,13 @@ schema passes a production triple store runs between extraction and load:
 * ``entity_summary``    — informativeness-ranked top-k facts per entity
   (rarer (pred, obj) pairs rank higher), the RDF analog of IDF-weighted
   document summarization.
+* ``bgp_optional``      — OPTIONAL-clause BGP (SPARQL left-outer-join
+  semantics), the third canonical BGP shape next to the star and chain.
+* ``property_path``     — bounded ``pred+`` transitive closure with
+  minimal hop depth, checkpointed-frontier BFS.
+* ``owl_property_rules`` — OWL 2 RL instance-level property rules
+  (SymmetricProperty / inverseOf / TransitiveProperty) materialized to
+  a provable fixpoint.
 
 Scale shape: the predicate schema / constraint tables are tiny (one row per
 predicate) -> broadcast joins; everything else is distinct + hash aggregate
@@ -34,6 +41,241 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def bgp_optional(
+    triples: DataFrame,
+    pred_req: str,
+    pred_opt: str,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """OPTIONAL-clause SPARQL basic graph pattern
+    ``{ ?s pred_req ?o . OPTIONAL { ?s pred_opt ?o2 } }`` -> distinct
+    ``(subj, obj, opt_obj)`` bindings with ``opt_obj`` NULL when the
+    subject asserts no ``pred_opt`` triple — SPARQL's left-outer-join
+    semantics, the third canonical BGP shape next to the star
+    (``bgp_match``) and the chain (``bgp_chain``).
+
+    Subjects with several ``pred_opt`` objects bind once per object (the
+    OPTIONAL clause multiplies bindings, per the SPARQL algebra); the
+    required slice alone determines which subjects appear at all.
+
+    Scale shape: both predicate slices are scan-side filters (pushed to
+    the source) deduped by hash aggregate; the one join is subject-keyed
+    with both sides hash-partitioned by subject — a plain shuffled left
+    outer join whose fan-out per subject is bounded by that subject's
+    ``pred_opt`` out-degree.  No driver state, no cartesian branch.
+    """
+    t = triples.select(
+        F.col(subj_col).alias("subj"),
+        F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"),
+    )
+    req = t.where(F.col("pred") == pred_req).select("subj", "obj").distinct()
+    opt = (
+        t.where(F.col("pred") == pred_opt)
+        .select("subj", F.col("obj").alias("opt_obj"))
+        .distinct()
+    )
+    return req.join(opt, "subj", "left_outer").select(
+        "subj", "obj", "opt_obj"
+    )
+
+
+def property_path(
+    triples: DataFrame,
+    pred: str,
+    max_depth: int = 8,
+    checkpoint_dir: str | None = None,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Bounded SPARQL property path ``pred+`` -> distinct
+    ``(subj, obj, depth)`` where ``depth`` is the MINIMUM hop count
+    (1 = the asserted edge) over paths of length <= ``max_depth`` —
+    the generic transitive-closure query (``ancestor_of+``,
+    ``part_of+``) that ``rdfs_materialize`` only runs on its two fixed
+    schema predicates.
+
+    Minimal-depth semantics fall out of the frontier construction: a
+    pair enters the result the first round it is reachable and the
+    anti-join bars rediscovery, so ties across distinct shortest paths
+    cannot diverge — the DuckDB replay (recursive CTE + min(depth))
+    matches exactly.
+
+    Scale shape: the predicate slice is a scan-side filter, deduped,
+    persisted once; each round is one frontier ⋈ edges join (both sides
+    hash-partitioned on the junction entity) plus an anti-join against
+    the accumulated reach, frontier and reach re-checkpointed per round
+    (``checkpoint_dir`` for cluster runs, localCheckpoint fallback —
+    same contract as ``pagerank``), so plan lineage stays constant-depth.
+    Terminates early when a frontier empties; the per-round frontier
+    count is the only driver-side action and is O(1) per round.  Cycles
+    are safe: a cyclic pair is still a (subj, obj, first-depth) row, and
+    the anti-join stops it respawning.
+    """
+    if max_depth < 1:
+        raise ValueError("max_depth must be >= 1")
+    spark = triples.sparkSession
+    if checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return (
+            df.checkpoint(eager=True)
+            if checkpoint_dir
+            else df.localCheckpoint(eager=True)
+        )
+
+    e = (
+        triples.where(F.col(pred_col) == pred)
+        .select(F.col(subj_col).alias("src"), F.col(obj_col).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    try:
+        reach = _ckpt(
+            e.select(
+                F.col("src").alias("subj"),
+                F.col("dst").alias("obj"),
+                F.lit(1).cast("int").alias("depth"),
+            )
+        )
+        frontier = reach
+        for d in range(2, max_depth + 1):
+            nxt = (
+                frontier.join(e, frontier["obj"] == e["src"])
+                .select(
+                    frontier["subj"],
+                    e["dst"].alias("obj"),
+                    F.lit(d).cast("int").alias("depth"),
+                )
+                .distinct()
+            )
+            frontier = _ckpt(
+                nxt.join(reach, ["subj", "obj"], "left_anti")
+            )
+            if frontier.isEmpty():
+                break
+            reach = _ckpt(reach.unionByName(frontier))
+        return reach
+    finally:
+        e.unpersist()
+
+
+def owl_property_rules(
+    triples: DataFrame,
+    axioms: DataFrame,
+    max_depth: int = 8,
+    checkpoint_dir: str | None = None,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """OWL property-axiom materialization -> distinct
+    ``(subj, pred, obj, inferred)``: the asserted triples
+    (``inferred=false``) plus everything the three instance-level OWL 2
+    RL property rules entail (``inferred=true``):
+
+    * ``owl:SymmetricProperty``  — ``(s, p, o) => (o, p, s)``.
+    * ``owl:inverseOf``          — ``p owl:inverseOf q`` makes the pair
+      mutually inverse: ``(s, p, o) => (o, q, s)`` AND
+      ``(s, q, o) => (o, p, s)``.
+    * ``owl:TransitiveProperty`` — ``pred+`` closure (``property_path``)
+      per transitive predicate, depth-bounded by ``max_depth``.
+
+    ``axioms``: one row per declared predicate —
+    ``(pred, symmetric: boolean, inverse_of: string|null,
+    transitive: boolean)``; ontology-sized -> broadcast.
+
+    Rule stratification: symmetric/inverse first (run twice — each maps
+    a triple to its mirror under an involution, so every composition of
+    the two rule kinds is reached by length-2 chains and a second pass
+    is the provable fixpoint), then the transitive closure over the
+    widened edge set, then symmetric/inverse once more so closure edges
+    of a symmetric-AND-transitive predicate mirror back.  That ordering
+    is the complete fixpoint for these three rules: transitivity
+    preserves its own predicate, and a symmetric transitive relation's
+    mirrored closure edge is already a path in the mirrored base.
+
+    Scale shape: the axiom table joins broadcast on the predicate
+    column, so the two non-transitive rules never shuffle the instance
+    data at all; the per-predicate closures inherit
+    ``property_path``'s checkpointed-frontier shape.  The final dedup
+    of inferred rows is the one genuine instance-sized shuffle.
+    """
+    t = triples.select(
+        F.col(subj_col).alias("subj"),
+        F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"),
+    ).distinct()
+    asserted = t.withColumn("inferred", F.lit(False))
+
+    ax = axioms.select(
+        "pred",
+        F.col("symmetric").cast("boolean").alias("symmetric"),
+        "inverse_of",
+        F.col("transitive").cast("boolean").alias("transitive"),
+    )
+    # normalize inverseOf to an undirected pred<->inv map (both directions)
+    inv_pairs = (
+        ax.where(F.col("inverse_of").isNotNull())
+        .select("pred", F.col("inverse_of").alias("inv"))
+        .unionByName(
+            ax.where(F.col("inverse_of").isNotNull()).select(
+                F.col("inverse_of").alias("pred"), F.col("pred").alias("inv")
+            )
+        )
+        .distinct()
+    )
+    sym_preds = ax.where(F.col("symmetric")).select("pred").distinct()
+    trans_preds = [
+        r["pred"]
+        for r in ax.where(F.col("transitive"))
+        .select("pred")
+        .distinct()
+        .collect()
+    ]
+
+    def _mirror_pass(cur: DataFrame) -> DataFrame:
+        via_sym = cur.join(F.broadcast(sym_preds), "pred").select(
+            F.col("obj").alias("subj"), "pred", F.col("subj").alias("obj")
+        )
+        via_inv = cur.join(F.broadcast(inv_pairs), "pred").select(
+            F.col("obj").alias("subj"),
+            F.col("inv").alias("pred"),
+            F.col("subj").alias("obj"),
+        )
+        return (
+            cur.unionByName(via_sym).unionByName(via_inv).distinct()
+        )
+
+    widened = _mirror_pass(_mirror_pass(t))
+
+    closed = widened
+    for p in sorted(trans_preds):
+        extra = (
+            property_path(
+                widened,
+                p,
+                max_depth=max_depth,
+                checkpoint_dir=checkpoint_dir,
+            )
+            .where(F.col("depth") > 1)
+            .select("subj", F.lit(p).alias("pred"), "obj")
+        )
+        closed = closed.unionByName(extra)
+    closed = _mirror_pass(closed.distinct())
+
+    new_rows = (
+        closed.join(t, ["subj", "pred", "obj"], "left_anti")
+        .distinct()
+        .withColumn("inferred", F.lit(True))
+    )
+    return asserted.unionByName(new_rows)
 
 
 def infer_types(

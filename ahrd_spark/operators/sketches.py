@@ -1,0 +1,220 @@
+"""Deterministic, engine-replayable sketches for corpus profiling.
+
+At 100 TB the profiling questions ("how many distinct canonical entities
+per predicate?", "how often does this descriptor token occur?") cannot
+afford an exact global pass per question; production engines answer them
+with mergeable sketches.  Spark's built-ins (``approx_count_distinct``'s
+HLL++, the datasketches functions) are estimate-correct but NOT
+replayable by another engine, which would break this repo's DuckDB oracle
+gate and any cross-engine audit.  These operators instead build the two
+classic sketches from the one portable hash the package already
+standardizes on (``functions/hashing.py::md5_prefix60``), so the exact
+same sketch — bit for bit — comes out of Spark and out of the SQL replay:
+
+* ``kmv_distinct``   — K-Minimum-Values distinct-count sketch
+  (Bar-Yossef et al., RANDOM 2002): keep the k smallest value hashes per
+  group; below k the count is exact, above it the kth smallest hash's
+  position in the hash space estimates the cardinality.
+* ``kmv_merge``      — union previously-computed KMV sketches without
+  touching raw data (the actual scale path: per-partition/per-day
+  sketches roll up associatively).
+* ``countmin_freqs`` — Count-Min frequency estimation (Cormode &
+  Muthukrishnan, J.Alg 2005): depth x width bucket counts, point
+  queries answered by the min over depth rows — an upper bound that is
+  exact until buckets collide.
+
+No reference analog (AHRD profiles nothing); this extends the engine's
+table-profiling family (operators/profile.py) with the sublinear-state
+estimators a training-data pipeline runs continuously.
+
+Scale shape: ``kmv_distinct``'s full pass dedups (group, hash) with
+map-side partials then takes bottom-k per group via a window over the
+already-deduped rows (external sort, spill-safe); its OUTPUT is k hashes
+per group, and ``kmv_merge`` folds outputs together with array
+expressions only — incremental rebuilds never rescan history.
+``countmin_freqs`` is one hash aggregate over (row, depth) pairs keyed by
+(depth, bucket) — map-side combinable, output bounded by depth x width
+regardless of input size — plus a broadcast join against the
+driver-sized probe panel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ahrd_spark.functions.hashing import md5_prefix60
+
+# 16^15 == 2^60, the size of the md5_prefix60 hash space; exactly
+# representable as a double, and quoted verbatim in the SQL replay.
+HASH_SPACE = 1152921504606846976.0
+
+
+def _kmv_estimate(k: int, n_seen, kth_hash):
+    """Shared estimate expression: exact below k, else the KMV estimator
+    floor((k-1) * |space| / kth) — floor, not round, so the SQL replay
+    cannot diverge on banker's-rounding edge cases."""
+    kth_val = F.conv(kth_hash, 16, 10).cast("bigint").cast("double")
+    return F.when(n_seen < k, n_seen.cast("bigint")).otherwise(
+        F.floor(F.lit(float(k - 1)) * F.lit(HASH_SPACE) / kth_val).cast(
+            "bigint"
+        )
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    k: int = 64,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """K-Minimum-Values distinct-count sketch per group ->
+    ``(group..., hashes: array<string>, n_seen: bigint,
+    kth_hash: string, est_distinct: bigint)``.
+
+    ``hashes`` is the sorted bottom-k of the 15-hex-char md5 prefixes of
+    the distinct values (fixed-length lowercase hex, so lexicographic
+    order IS numeric order); ``est_distinct`` is exact when the group
+    has fewer than k distinct values and the standard (k-1)/kth-fraction
+    estimator otherwise.  Every column is a pure function of the value
+    set — stable across runs, partition layouts, and engines.
+
+    NULL values are excluded (SQL distinct-count convention).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    groups = list(group_cols or [])
+    v = F.col(value_col).cast("string")
+    hashed = (
+        df.where(v.isNotNull())
+        .select(*groups, F.substring(F.md5(v), 1, 15).alias("h"))
+        .distinct()
+    )
+    if groups:
+        w = Window.partitionBy(*groups).orderBy("h")
+    else:
+        w = Window.partitionBy(F.lit(1)).orderBy("h")
+    bottom = hashed.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= k
+    )
+    agg = bottom.groupBy(*[F.col(g) for g in groups]).agg(
+        F.array_sort(F.collect_list("h")).alias("hashes")
+    )
+    n_seen = F.size("hashes").cast("bigint")
+    kth = F.element_at("hashes", -1)
+    return agg.select(
+        *groups,
+        "hashes",
+        n_seen.alias("n_seen"),
+        kth.alias("kth_hash"),
+        _kmv_estimate(k, n_seen, kth).alias("est_distinct"),
+    )
+
+
+def kmv_merge(
+    sketches: DataFrame,
+    k: int = 64,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Union KMV sketches (rows shaped like ``kmv_distinct`` output,
+    possibly keyed by finer groups than ``group_cols``) into one sketch
+    per ``group_cols`` — same output schema.  The union of two value
+    sets' bottom-k is the bottom-k of the concatenated sketches, so the
+    merge is array_sort + slice per group: no raw data, no rescans —
+    associative and commutative, the property that makes per-day /
+    per-partition sketch rollups work at scale.
+
+    Correct only when all inputs were built with the same ``k`` (a
+    smaller input k would under-represent its value set's tail).
+    """
+    groups = list(group_cols or [])
+    merged = sketches.groupBy(*[F.col(g) for g in groups]).agg(
+        F.slice(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("hashes")))
+            ),
+            1,
+            k,
+        ).alias("hashes")
+    )
+    n_seen = F.size("hashes").cast("bigint")
+    kth = F.element_at("hashes", -1)
+    return merged.select(
+        *groups,
+        "hashes",
+        n_seen.alias("n_seen"),
+        kth.alias("kth_hash"),
+        _kmv_estimate(k, n_seen, kth).alias("est_distinct"),
+    )
+
+
+def countmin_freqs(
+    df: DataFrame,
+    value_col: str,
+    probes: DataFrame,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-Min point-frequency estimates for a panel of probe values ->
+    ``(probe: string, est_count: bigint)``.
+
+    The sketch is ``depth`` independent hash rows of ``width`` buckets;
+    each occurrence of a value increments one bucket per row (hash =
+    ``md5_prefix60(j || '|' || value) % width`` for row j), and a point
+    query reads the MIN over its ``depth`` buckets — an upper bound on
+    the true count that is exact until buckets collide.  Probes absent
+    from the data read whatever their buckets collected (possibly 0) —
+    the standard CM overestimate contract, reproduced exactly by the SQL
+    replay.
+
+    ``probes`` — one ``probe`` string column; a driver-sized panel
+    (heavy-hitter candidates, watchlist tokens) -> broadcast.
+    """
+    if width < 1 or depth < 1:
+        raise ValueError("width and depth must be >= 1")
+    v = F.col(value_col).cast("string")
+    rows = F.array([F.lit(j) for j in range(depth)])
+    counts = (
+        df.where(v.isNotNull())
+        .select(v.alias("v"), F.explode(rows).alias("j"))
+        .select(
+            "j",
+            (
+                md5_prefix60(
+                    F.concat_ws("|", F.col("j").cast("string"), F.col("v"))
+                )
+                % width
+            ).alias("bucket"),
+        )
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probe_cells = (
+        probes.select(F.col("probe").cast("string").alias("probe"))
+        .distinct()
+        .select("probe", F.explode(rows).alias("j"))
+        .select(
+            "probe",
+            "j",
+            (
+                md5_prefix60(
+                    F.concat_ws(
+                        "|", F.col("j").cast("string"), F.col("probe")
+                    )
+                )
+                % width
+            ).alias("bucket"),
+        )
+    )
+    # counts is bounded by depth x width rows regardless of input size ->
+    # broadcast it; an untouched bucket means count 0 (the empty-bucket
+    # read is what makes a definitely-absent probe estimate 0)
+    return (
+        probe_cells.join(F.broadcast(counts), ["j", "bucket"], "left_outer")
+        .groupBy("probe")
+        .agg(
+            F.min(F.coalesce("c", F.lit(0)))
+            .cast("bigint")
+            .alias("est_count")
+        )
+    )

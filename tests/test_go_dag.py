@@ -150,7 +150,7 @@ def test_no_broadcast_hint_on_data_sized_frames():
         r"|dangling\b|weights\b|qterms\b|q_df\b|stats\b|mu_arr\b|v_arr\b"
         r"|nrm\b|anc\b|anc_ic\b|t_total\b|b_total\b|offsets\b|a_max\b"
         r"|h_max\b|pred_schema\b|constraints\b|n_subj\b|go_dag_closure\("
-        r"|requirements\b|disjoint\b)"
+        r"|requirements\b|disjoint\b|sym_preds\b|inv_pairs\b|counts\b)"
     )
     # t_total / b_total (operators/corpus.py::pmi_collocations) are 1-row
     # corpus position totals — scalar aggregates, never input-sized.
@@ -167,7 +167,11 @@ def test_no_broadcast_hint_on_data_sized_frames():
     # ontology-sized by the same contract as closure / anc.  disjoint
     # (kgschema.py::disjoint_violations) is the declared disjoint-class
     # pair list — bounded by the ontology's class vocabulary squared at
-    # worst, in practice a short declaration list.
+    # worst, in practice a short declaration list.  sym_preds / inv_pairs
+    # (kgschema.py::owl_property_rules) are slices of the axiom table —
+    # one row per declared predicate.  counts
+    # (sketches.py::countmin_freqs) is the Count-Min bucket table,
+    # bounded by depth x width by construction regardless of input size.
     offenders = []
     for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
         src = open(path).read()

@@ -9,8 +9,11 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ahrd_spark.operators.kgschema import (  # noqa: E402
+    bgp_optional,
     infer_types,
     metapath_counts,
+    owl_property_rules,
+    property_path,
     validate_triples,
 )
 
@@ -571,4 +574,165 @@ def test_disjoint_violations_after_materialization(spark):
     out = disjoint_violations(types, dj).collect()
     assert [(r.entity, r.type_a, r.type_b) for r in out] == [
         ("e1", "C1", "X")
+    ]
+
+
+def test_bgp_optional_binds_and_nulls(spark):
+    triples = spark.createDataFrame(
+        [
+            ("A", "p", "B"),
+            ("B", "p", "C"),
+            ("C", "p", "D"),
+            ("A", "q", "X"),
+            ("B", "q", "Y"),
+            ("B", "q", "Z"),
+            ("Z", "q", "only-optional-no-required"),
+        ],
+        TRIPLE_SCHEMA,
+    )
+    got = {
+        (r.subj, r.obj, r.opt_obj)
+        for r in bgp_optional(triples, "p", "q").collect()
+    }
+    # C has no q triple -> NULL binding; B has two -> two bindings;
+    # Z asserts only the OPTIONAL pattern -> absent entirely
+    assert got == {
+        ("A", "B", "X"),
+        ("B", "C", "Y"),
+        ("B", "C", "Z"),
+        ("C", "D", None),
+    }
+
+
+def test_bgp_optional_duplicate_triples_ignored(spark):
+    triples = spark.createDataFrame(
+        [("A", "p", "B")] * 3 + [("A", "q", "X")] * 2, TRIPLE_SCHEMA
+    )
+    assert bgp_optional(triples, "p", "q").count() == 1
+
+
+def test_property_path_min_depth_and_bound(spark):
+    # diamond: A->B->D and A->C->D plus a shortcut A->D; min depth wins
+    triples = spark.createDataFrame(
+        [
+            ("A", "p", "B"),
+            ("A", "p", "C"),
+            ("B", "p", "D"),
+            ("C", "p", "D"),
+            ("A", "p", "D"),
+            ("D", "p", "E"),
+        ],
+        TRIPLE_SCHEMA,
+    )
+    got = {
+        (r.subj, r.obj): r.depth
+        for r in property_path(triples, "p", max_depth=2).collect()
+    }
+    assert got[("A", "D")] == 1  # shortcut beats the 2-hop paths
+    assert got[("A", "E")] == 2
+    assert got[("B", "E")] == 2
+    assert ("A", "E") in got and got[("B", "D")] == 1
+    # depth bound respected: nothing deeper than 2 even though A->B->D->E
+    assert max(got.values()) == 2
+
+
+def test_property_path_cycle_terminates(spark):
+    triples = spark.createDataFrame(
+        [("A", "p", "B"), ("B", "p", "C"), ("C", "p", "A")], TRIPLE_SCHEMA
+    )
+    rows = property_path(triples, "p", max_depth=10).collect()
+    got = {(r.subj, r.obj): r.depth for r in rows}
+    # 3-cycle: all 9 ordered pairs reachable, incl. self at depth 3
+    assert len(got) == 9
+    assert got[("A", "A")] == 3 and got[("A", "B")] == 1
+    assert got[("A", "C")] == 2
+
+
+def test_property_path_other_predicates_ignored(spark):
+    triples = spark.createDataFrame(
+        [("A", "p", "B"), ("B", "q", "C")], TRIPLE_SCHEMA
+    )
+    got = {(r.subj, r.obj) for r in property_path(triples, "p").collect()}
+    assert got == {("A", "B")}
+
+
+AXIOM_SCHEMA = (
+    "pred STRING, symmetric BOOLEAN, inverse_of STRING, transitive BOOLEAN"
+)
+
+
+def test_owl_rules_symmetric_and_inverse(spark):
+    triples = spark.createDataFrame(
+        [
+            ("M", "married_to", "N"),
+            ("P", "parent_of", "K"),
+            ("G", "child_of", "H"),  # inverse fires both directions
+        ],
+        TRIPLE_SCHEMA,
+    )
+    axioms = spark.createDataFrame(
+        [
+            ("married_to", True, None, False),
+            ("parent_of", False, "child_of", False),
+        ],
+        AXIOM_SCHEMA,
+    )
+    rows = owl_property_rules(triples, axioms).collect()
+    inferred = {(r.subj, r.pred, r.obj) for r in rows if r.inferred}
+    asserted = {(r.subj, r.pred, r.obj) for r in rows if not r.inferred}
+    assert asserted == {
+        ("M", "married_to", "N"),
+        ("P", "parent_of", "K"),
+        ("G", "child_of", "H"),
+    }
+    assert inferred == {
+        ("N", "married_to", "M"),
+        ("K", "child_of", "P"),
+        ("H", "parent_of", "G"),
+    }
+
+
+def test_owl_rules_transitive_closure_bounded(spark):
+    triples = spark.createDataFrame(
+        [
+            ("A", "anc", "B"),
+            ("B", "anc", "C"),
+            ("C", "anc", "D"),
+        ],
+        TRIPLE_SCHEMA,
+    )
+    axioms = spark.createDataFrame(
+        [("anc", False, None, True)], AXIOM_SCHEMA
+    )
+    rows = owl_property_rules(triples, axioms, max_depth=2).collect()
+    inferred = {(r.subj, r.obj) for r in rows if r.inferred}
+    # depth 2 adds the 2-hop pairs but NOT A->D (3 hops)
+    assert inferred == {("A", "C"), ("B", "D")}
+
+
+def test_owl_rules_symmetric_transitive_interplay(spark):
+    # sibling_of symmetric AND transitive: A-B, B-C => closure over the
+    # mirrored edge set reaches every ordered pair incl. self-loops
+    triples = spark.createDataFrame(
+        [("A", "sib", "B"), ("B", "sib", "C")], TRIPLE_SCHEMA
+    )
+    axioms = spark.createDataFrame(
+        [("sib", True, None, True)], AXIOM_SCHEMA
+    )
+    rows = owl_property_rules(triples, axioms, max_depth=4).collect()
+    got = {(r.subj, r.obj) for r in rows}
+    assert got == {
+        (a, b) for a in "ABC" for b in "ABC"
+    }
+    # asserted rows keep inferred=false even when rules re-derive them
+    flags = {(r.subj, r.obj): r.inferred for r in rows}
+    assert flags[("A", "B")] is False and flags[("B", "A")] is True
+
+
+def test_owl_rules_no_axioms_is_identity(spark):
+    triples = spark.createDataFrame([("A", "p", "B")], TRIPLE_SCHEMA)
+    axioms = spark.createDataFrame([], AXIOM_SCHEMA)
+    rows = owl_property_rules(triples, axioms).collect()
+    assert [(r.subj, r.pred, r.obj, r.inferred) for r in rows] == [
+        ("A", "p", "B", False)
     ]
