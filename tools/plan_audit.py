@@ -44,6 +44,9 @@ EXECUTING = {
     "lpa_communities", "sssp_bounded", "pca_loadings", "pca_project",
     "bpe_merges", "bpe_segment", "kmeans_assign", "semantic_dedup",
     "dedup_incremental", "stream_dedup",
+    # checkpointed-frontier iteration: the returned plan is mostly
+    # truncated checkpoint scans, so a static audit is meaningless
+    "kg_path_closure", "kg_owl_rules",
 }
 
 
