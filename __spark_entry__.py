@@ -992,6 +992,157 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sketch_countmin"] = sketch_countmin
 
+    def kg_bgp_minus(spark, sf):
+        """Negation BGP (kgschema.py::bgp_minus): { ?s knows ?o .
+        FILTER NOT EXISTS { ?s nick ?x } } over the same graph as
+        kg_bgp_optional — exactly the odd-residue subjects (the ones
+        kg_bgp_optional binds with opt_obj=NULL) survive the anti-join,
+        completing the SPARQL algebra's fourth canonical shape."""
+        from ahrd_spark.operators.kgschema import bgp_minus
+
+        d = F.col("doc_id")
+        triples = _docs(spark, sf).select(
+            F.concat(F.lit("E"), (d % 50).cast("string")).alias("subj"),
+            F.when(d % 4 == 0, F.lit("nick"))
+            .otherwise(F.lit("knows"))
+            .alias("pred"),
+            F.when(
+                d % 4 == 0,
+                F.concat(F.lit("N"), (d % 13).cast("string")),
+            )
+            .otherwise(
+                F.concat(F.lit("E"), ((d * 7 + 3) % 50).cast("string"))
+            )
+            .alias("obj"),
+        )
+        return bgp_minus(triples, "knows", "nick")
+
+    q["kg_bgp_minus"] = kg_bgp_minus
+
+    def kg_reach_delta(spark, sf):
+        """Incremental closure maintenance (kgschema.py::reach_delta):
+        the old graph is the cyclic permutation slice a -> (5a+1) mod 12
+        with sources 0 and 6 withheld; the delta re-adds their two edges
+        (0 -> 2, 6 -> 8).  The old closure comes from property_path at a
+        depth bound >= the 12-node diameter, and the semi-naive bridge
+        must surface exactly the pairs whose every path threads a new
+        edge — replayed by differencing two recursive closures."""
+        from ahrd_spark.operators.kgschema import (
+            property_path,
+            reach_delta,
+        )
+
+        d = F.col("doc_id")
+        base = _docs(spark, sf).select(
+            (d % 12).alias("a"), ((d * 5 + 1) % 12).alias("b"), d
+        )
+        old = base.where(d % 6 != 0).select(
+            F.concat(F.lit("E"), F.col("a").cast("string")).alias("subj"),
+            F.lit("link").alias("pred"),
+            F.concat(F.lit("E"), F.col("b").cast("string")).alias("obj"),
+        )
+        delta = base.where(d % 6 == 0).select(
+            F.concat(F.lit("E"), F.col("a").cast("string")).alias("src"),
+            F.concat(
+                F.lit("E"), ((d * 7 + 2) % 12).cast("string")
+            ).alias("dst"),
+        )
+        closure = property_path(old, "link", max_depth=12)
+        return reach_delta(closure, delta, max_rounds=12)
+
+    q["kg_reach_delta"] = kg_reach_delta
+
+    def stream_kmv(spark, sf):
+        """Streaming KMV rollup (streaming/pipeline.py::stream_kmv_sketch
+        + sketches.py::kmv_merge): the corpus lands as multiple files,
+        each trigger writes its own bottom-64 sketch partition, and the
+        merged result must be BIT-IDENTICAL to batch kmv_distinct over
+        the whole corpus (same oracle as sketch_kmv) — the associative/
+        idempotent-merge contract that makes per-day sketch rollups
+        work."""
+        import shutil
+
+        from ahrd_spark.operators.sketches import kmv_merge
+        from ahrd_spark.streaming.pipeline import stream_kmv_sketch
+
+        workdir = f"/tmp/ahrd_q_streamkmv_{_dataset_key(sf)}"
+        shutil.rmtree(workdir, ignore_errors=True)
+        src = f"{workdir}/src"
+        d = F.col("doc_id")
+        _docs(spark, sf).select(
+            (d % 3).cast("string").alias("g"),
+            F.substring("text", 1, 9).alias("v"),
+        ).repartition(4).write.mode("overwrite").parquet(src)
+        sq = stream_kmv_sketch(
+            spark,
+            src,
+            f"{workdir}/sketches",
+            f"{workdir}/ckpt",
+            value_col="v",
+            group_col="g",
+            k=64,
+            schema="g string, v string",
+            max_files_per_trigger=2,
+        )
+        if not sq.awaitTermination(300):
+            sq.stop()
+            raise TimeoutError("stream_kmv: query did not finish in 300s")
+        parts = spark.read.parquet(f"{workdir}/sketches")
+        return kmv_merge(parts, k=64, group_cols=["g"]).select(
+            "g", "n_seen", "kth_hash", "est_distinct"
+        )
+
+    q["stream_kmv"] = stream_kmv
+
+    def kg_owl_delta(spark, sf):
+        """Incremental OWL maintenance (kgschema.py::owl_rules_delta):
+        docs at doc_id%5==0 arrive as a new batch over an 11-node
+        entity graph (knows symmetric, parent_of/child_of mutual
+        inverses, mentor_of transitive with 5-cycles); the delta's rows
+        must equal the difference of two from-scratch fixpoints, which
+        is exactly what the oracle computes."""
+        from ahrd_spark.operators.kgschema import (
+            owl_property_rules,
+            owl_rules_delta,
+        )
+
+        d = F.col("doc_id")
+        m4 = d % 4
+
+        def trip(df):
+            return df.select(
+                F.concat(F.lit("E"), (d % 11).cast("string")).alias(
+                    "subj"
+                ),
+                F.when(m4 == 0, F.lit("knows"))
+                .when(m4 == 1, F.lit("parent_of"))
+                .when(m4 == 2, F.lit("child_of"))
+                .otherwise(F.lit("mentor_of"))
+                .alias("pred"),
+                F.concat(
+                    F.lit("E"), ((d * 5 + 2) % 11).cast("string")
+                ).alias("obj"),
+            )
+
+        docs = _docs(spark, sf)
+        old = trip(docs.where(d % 5 != 0))
+        delta = trip(docs.where(d % 5 == 0))
+        axioms = spark.createDataFrame(
+            [
+                ("knows", True, None, False),
+                ("parent_of", False, "child_of", False),
+                ("mentor_of", False, None, True),
+            ],
+            "pred string, symmetric boolean, inverse_of string,"
+            " transitive boolean",
+        )
+        mat = owl_property_rules(old, axioms, max_depth=11).select(
+            "subj", "pred", "obj"
+        )
+        return owl_rules_delta(mat, axioms, delta, max_rounds=11)
+
+    q["kg_owl_delta"] = kg_owl_delta
+
     def kg_metapaths(spark, sf):
         """2-hop metapath frequencies (kgschema.py::metapath_counts) over a
         deliberately hub-skewed entity graph: docs at doc_id%7==0 rewire
@@ -3629,7 +3780,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never_sampled_first = [
         # round-4 additions (newest first: no attestation yet)
         "kg_bgp_optional", "kg_path_closure", "kg_owl_rules",
-        "sketch_kmv", "sketch_countmin",
+        "sketch_kmv", "sketch_countmin", "kg_bgp_minus",
+        "kg_reach_delta", "stream_kmv", "kg_owl_delta",
         "kg_bgp_chain", "kg_disjoint",
         "kg_rdfs_delta", "kg_rdfs_materialize", "kg_required_props",
         "kg_snapshot_at", "kg_provenance", "kg_canonicalize", "kg_truth",
@@ -4573,6 +4725,107 @@ pc AS (
 SELECT probe, CAST(min(coalesce(c, 0)) AS BIGINT) AS est_count
 FROM pc LEFT JOIN counts USING (j, bucket)
 GROUP BY probe
+"""
+
+    # negation-BGP replay (kgschema.py::bgp_minus): the required slice
+    # anti-joined against the distinct nick-subject set
+    o["kg_bgp_minus"] = """
+WITH raw AS (
+  SELECT 'E' || (doc_id % 50)::VARCHAR AS s,
+         CASE WHEN doc_id % 4 = 0 THEN 'nick' ELSE 'knows' END AS p,
+         CASE WHEN doc_id % 4 = 0 THEN 'N' || (doc_id % 13)::VARCHAR
+              ELSE 'E' || ((doc_id * 7 + 3) % 50)::VARCHAR END AS o
+  FROM documents),
+req AS (SELECT DISTINCT s AS subj, o AS obj FROM raw WHERE p = 'knows'),
+excl AS (SELECT DISTINCT s AS subj FROM raw WHERE p = 'nick')
+SELECT subj, obj FROM req ANTI JOIN excl USING (subj)
+"""
+
+    # incremental-closure replay (kgschema.py::reach_delta): the full
+    # recursive closure of old+delta edges minus the closure of the old
+    # edges alone — definitionally the pairs the delta introduces
+    o["kg_reach_delta"] = """
+WITH RECURSIVE base AS (
+  SELECT doc_id % 12 AS a, (doc_id * 5 + 1) % 12 AS b,
+         (doc_id * 7 + 2) % 12 AS c, doc_id FROM documents),
+old_e AS (
+  SELECT DISTINCT 'E' || a::VARCHAR AS src, 'E' || b::VARCHAR AS dst
+  FROM base WHERE doc_id % 6 <> 0),
+new_e AS (
+  SELECT DISTINCT 'E' || a::VARCHAR AS src, 'E' || c::VARCHAR AS dst
+  FROM base WHERE doc_id % 6 = 0),
+all_e AS (SELECT src, dst FROM old_e UNION SELECT src, dst FROM new_e),
+walk_old(s, o) AS (
+  SELECT src, dst FROM old_e
+  UNION
+  SELECT w.s, e.dst FROM walk_old w JOIN old_e e ON w.o = e.src),
+walk_all(s, o) AS (
+  SELECT src, dst FROM all_e
+  UNION
+  SELECT w.s, e.dst FROM walk_all w JOIN all_e e ON w.o = e.src)
+SELECT s AS subj, o AS obj FROM walk_all
+ANTI JOIN walk_old USING (s, o)
+"""
+
+    # streaming-KMV replay: the merged per-batch sketches must equal the
+    # batch sketch of the whole corpus — so the oracle IS sketch_kmv's
+    o["stream_kmv"] = o["sketch_kmv"]
+
+    # incremental-OWL replay (kgschema.py::owl_rules_delta): two
+    # from-scratch fixpoints (mirror pass + mentor_of recursive closure)
+    # over old and old+delta, differenced; inferred = not asserted by
+    # the delta itself
+    o["kg_owl_delta"] = """
+WITH RECURSIVE raw AS (
+  SELECT doc_id, 'E' || (doc_id % 11)::VARCHAR AS s,
+         CASE doc_id % 4 WHEN 0 THEN 'knows' WHEN 1 THEN 'parent_of'
+              WHEN 2 THEN 'child_of' ELSE 'mentor_of' END AS p,
+         'E' || ((doc_id * 5 + 2) % 11)::VARCHAR AS o
+  FROM documents),
+told AS (SELECT DISTINCT s AS subj, p AS pred, o AS obj FROM raw
+         WHERE doc_id % 5 <> 0),
+tdel AS (SELECT DISTINCT s AS subj, p AS pred, o AS obj FROM raw
+         WHERE doc_id % 5 = 0),
+tall AS (SELECT subj, pred, obj FROM told
+         UNION SELECT subj, pred, obj FROM tdel),
+wo AS (SELECT DISTINCT subj, pred, obj FROM (
+    SELECT subj, pred, obj FROM told
+    UNION ALL SELECT obj, pred, subj FROM told WHERE pred = 'knows'
+    UNION ALL SELECT obj, 'child_of', subj FROM told
+    WHERE pred = 'parent_of'
+    UNION ALL SELECT obj, 'parent_of', subj FROM told
+    WHERE pred = 'child_of')),
+mo AS (SELECT DISTINCT subj AS src, obj AS dst FROM wo
+       WHERE pred = 'mentor_of'),
+wko(src, dst) AS (
+  SELECT src, dst FROM mo
+  UNION
+  SELECT w.src, e.dst FROM wko w JOIN mo e ON w.dst = e.src),
+fixo AS (SELECT DISTINCT subj, pred, obj FROM (
+    SELECT subj, pred, obj FROM wo
+    UNION ALL SELECT src, 'mentor_of', dst FROM wko)),
+wa AS (SELECT DISTINCT subj, pred, obj FROM (
+    SELECT subj, pred, obj FROM tall
+    UNION ALL SELECT obj, pred, subj FROM tall WHERE pred = 'knows'
+    UNION ALL SELECT obj, 'child_of', subj FROM tall
+    WHERE pred = 'parent_of'
+    UNION ALL SELECT obj, 'parent_of', subj FROM tall
+    WHERE pred = 'child_of')),
+ma AS (SELECT DISTINCT subj AS src, obj AS dst FROM wa
+       WHERE pred = 'mentor_of'),
+wka(src, dst) AS (
+  SELECT src, dst FROM ma
+  UNION
+  SELECT w.src, e.dst FROM wka w JOIN ma e ON w.dst = e.src),
+fixa AS (SELECT DISTINCT subj, pred, obj FROM (
+    SELECT subj, pred, obj FROM wa
+    UNION ALL SELECT src, 'mentor_of', dst FROM wka)),
+fresh AS (SELECT subj, pred, obj FROM fixa
+          ANTI JOIN fixo USING (subj, pred, obj))
+SELECT f.subj, f.pred, f.obj, (d.subj IS NULL) AS inferred
+FROM fresh f
+LEFT JOIN tdel d
+  ON d.subj = f.subj AND d.pred = f.pred AND d.obj = f.obj
 """
 
     # satisfied-pair count == 2), inner-joined to their hasDescription

@@ -166,6 +166,284 @@ def property_path(
         e.unpersist()
 
 
+def bgp_minus(
+    triples: DataFrame,
+    pred_req: str,
+    pred_not: str,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Negation BGP ``{ ?s pred_req ?o . FILTER NOT EXISTS
+    { ?s pred_not ?x } }`` -> distinct ``(subj, obj)`` bindings for
+    subjects asserting NO ``pred_not`` triple at all — SPARQL's
+    anti-join shape, completing the algebra next to the star
+    (``bgp_match``), chain (``bgp_chain``) and OPTIONAL
+    (``bgp_optional``) forms.  (For this disjoint-variable pattern
+    MINUS and FILTER NOT EXISTS coincide.)
+
+    Scale shape: two scan-side predicate slices; the exclusion side
+    collapses to its distinct subject set (map-side combinable) before
+    the subject-keyed left-anti join — both sides hash-partitioned by
+    subject, no fan-out at all.
+    """
+    t = triples.select(
+        F.col(subj_col).alias("subj"),
+        F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"),
+    )
+    req = t.where(F.col("pred") == pred_req).select("subj", "obj").distinct()
+    excl = t.where(F.col("pred") == pred_not).select("subj").distinct()
+    return req.join(excl, "subj", "left_anti")
+
+
+def reach_delta(
+    closure: DataFrame,
+    delta_edges: DataFrame,
+    max_rounds: int = 16,
+    checkpoint_dir: str | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Incremental transitive-closure maintenance: the NEW reachability
+    pairs ``(subj, obj)`` that a batch of ``delta_edges`` adds to a graph
+    whose full closure is ``closure`` — without re-running the closure
+    over the (enormously larger) existing graph, the property-path
+    sibling of ``rdfs_delta``.
+
+    Semi-naive evaluation: with R the old closure and D the new edges,
+    the one-new-edge bridge is ``B = R? . D . R?`` (an optional old path
+    into a new edge, then an optional old path out); paths threading
+    SEVERAL new edges are exactly B's own transitive chains, so the
+    answer is ``B+ minus R`` — computed with ``property_path``-style
+    checkpointed frontier rounds over B, which is delta-sized, not
+    graph-sized.  Correctness: any new path decomposes around its new
+    edges into old-closure segments, each (old-segment, new-edge,
+    old-segment) window being one B hop.
+
+    ``closure`` must be the COMPLETE closure of the old graph (e.g.
+    ``property_path`` output at a depth bound >= the graph diameter, or
+    this function's own maintained output); extra columns (``depth``)
+    are ignored.
+
+    Scale shape: building B is two joins of the delta against the
+    closure keyed on the junction entity (delta-sized probe side); each
+    chain round is one frontier ⋈ B join plus an anti-join against the
+    accumulated result, all hash-partitioned on the junction, frontier
+    checkpointed per round.  Nothing ever re-joins the old closure to
+    itself.
+    """
+    spark = closure.sparkSession
+    if checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return (
+            df.checkpoint(eager=True)
+            if checkpoint_dir
+            else df.localCheckpoint(eager=True)
+        )
+
+    r = closure.select(
+        F.col("subj").alias("subj"), F.col("obj").alias("obj")
+    ).distinct()
+    d = (
+        delta_edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .distinct()
+        .persist()
+    )
+    try:
+        # left-extend: an optional old path INTO each new edge
+        into = d.unionByName(
+            r.alias("rl")
+            .join(d.alias("dl"), F.col("rl.obj") == F.col("dl.src"))
+            .select(
+                F.col("rl.subj").alias("src"), F.col("dl.dst").alias("dst")
+            )
+        ).distinct()
+        # right-extend: an optional old path OUT of the new edge
+        bridge = (
+            into.unionByName(
+                into.alias("il")
+                .join(r.alias("rr"), F.col("il.dst") == F.col("rr.subj"))
+                .select(
+                    F.col("il.src").alias("src"),
+                    F.col("rr.obj").alias("dst"),
+                )
+            )
+            .distinct()
+            .persist()
+        )
+        acc = _ckpt(bridge.select("src", "dst"))
+        frontier = acc
+        for _ in range(max_rounds - 1):
+            nxt = (
+                frontier.alias("f")
+                .join(bridge.alias("b"), F.col("f.dst") == F.col("b.src"))
+                .select(
+                    F.col("f.src").alias("src"),
+                    F.col("b.dst").alias("dst"),
+                )
+                .distinct()
+            )
+            frontier = _ckpt(nxt.join(acc, ["src", "dst"], "left_anti"))
+            if frontier.isEmpty():
+                break
+            acc = _ckpt(acc.unionByName(frontier))
+        return (
+            acc.select(
+                F.col("src").alias("subj"), F.col("dst").alias("obj")
+            )
+            .join(r, ["subj", "obj"], "left_anti")
+        )
+    finally:
+        d.unpersist()
+        try:
+            bridge.unpersist()
+        except Exception:
+            pass
+
+
+def _owl_axiom_frames(axioms: DataFrame):
+    """Shared axiom-table decomposition for the OWL rule operators:
+    (symmetric predicate frame, undirected pred<->inverse frame, sorted
+    transitive predicate name list).  All ontology-sized."""
+    ax = axioms.select(
+        "pred",
+        F.col("symmetric").cast("boolean").alias("symmetric"),
+        "inverse_of",
+        F.col("transitive").cast("boolean").alias("transitive"),
+    )
+    inv_pairs = (
+        ax.where(F.col("inverse_of").isNotNull())
+        .select("pred", F.col("inverse_of").alias("inv"))
+        .unionByName(
+            ax.where(F.col("inverse_of").isNotNull()).select(
+                F.col("inverse_of").alias("pred"),
+                F.col("pred").alias("inv"),
+            )
+        )
+        .distinct()
+    )
+    sym_preds = ax.where(F.col("symmetric")).select("pred").distinct()
+    trans_preds = sorted(
+        r["pred"]
+        for r in ax.where(F.col("transitive"))
+        .select("pred")
+        .distinct()
+        .collect()
+    )
+    return sym_preds, inv_pairs, trans_preds
+
+
+def _owl_mirror(
+    cur: DataFrame, sym_preds: DataFrame, inv_pairs: DataFrame
+) -> DataFrame:
+    """One symmetric/inverse mirror pass over (subj, pred, obj) rows; the
+    axiom frames join broadcast, so the instance data never shuffles."""
+    via_sym = cur.join(F.broadcast(sym_preds), "pred").select(
+        F.col("obj").alias("subj"), "pred", F.col("subj").alias("obj")
+    )
+    via_inv = cur.join(F.broadcast(inv_pairs), "pred").select(
+        F.col("obj").alias("subj"),
+        F.col("inv").alias("pred"),
+        F.col("subj").alias("obj"),
+    )
+    return cur.unionByName(via_sym).unionByName(via_inv).distinct()
+
+
+def owl_rules_delta(
+    materialized: DataFrame,
+    axioms: DataFrame,
+    new_triples: DataFrame,
+    max_rounds: int = 16,
+    checkpoint_dir: str | None = None,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Incremental OWL property-rule maintenance: the ``(subj, pred,
+    obj, inferred)`` rows a batch of newly asserted triples ADDS to an
+    existing ``owl_property_rules`` fixpoint — without re-running the
+    rules over the (enormously larger) materialized graph, completing
+    the incremental-view-maintenance family next to ``rdfs_delta`` and
+    ``reach_delta``.
+
+    * Symmetric/inverse rules are per-triple, so two mirror passes over
+      the DELTA alone reach their fixpoint (the old graph's mirrors are
+      already in ``materialized``).
+    * Each transitive predicate's new closure pairs come from
+      ``reach_delta`` against the predicate's slice of the materialized
+      graph — which IS that predicate's complete old closure, because
+      the full operator materialized ``pred+`` (its docstring's
+      fixpoint argument makes the slice composition-closed).
+    * A final mirror pass routes closure pairs of symmetric/inverse
+      transitive predicates back across the rename, mirroring the full
+      operator's final pass.
+
+    Contract (same as ``rdfs_delta``): rows are compared on
+    ``(subj, pred, obj)`` only — a delta triple the old fixpoint already
+    contains (asserted OR inferred) is NOT re-reported, so
+    asserted-over-inferred flag flips are invisible to the delta.
+    ``inferred`` is False for the delta's own surviving assertions, True
+    for everything else.  Union with the old fixpoint to maintain it:
+    the union equals ``owl_property_rules`` on the full triple set
+    row-for-row on (subj, pred, obj) (the equivalence the fuzz suite
+    checks).
+
+    Scale shape: every rule pass is delta-sized (broadcast axiom
+    joins); ``reach_delta`` probes the old closure with delta-keyed
+    joins only; the one old-graph-sized operation is the final
+    (subj, pred, obj)-keyed anti-join against ``materialized`` — both
+    sides hash-partitioned on the full key, the same shape as
+    ``rdfs_delta``'s probe.
+    """
+    m = materialized.select(
+        F.col(subj_col).alias("subj"),
+        F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"),
+    ).distinct()
+    t_new = new_triples.select(
+        F.col(subj_col).alias("subj"),
+        F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"),
+    ).distinct()
+    sym_preds, inv_pairs, trans_preds = _owl_axiom_frames(axioms)
+
+    widened = _owl_mirror(
+        _owl_mirror(t_new, sym_preds, inv_pairs), sym_preds, inv_pairs
+    )
+
+    closed = widened
+    for p in trans_preds:
+        old_closure = m.where(F.col("pred") == p).select("subj", "obj")
+        delta_edges = widened.where(F.col("pred") == p).select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst")
+        )
+        new_pairs = reach_delta(
+            old_closure,
+            delta_edges,
+            max_rounds=max_rounds,
+            checkpoint_dir=checkpoint_dir,
+        ).select("subj", F.lit(p).alias("pred"), "obj")
+        closed = closed.unionByName(new_pairs)
+    closed = _owl_mirror(closed.distinct(), sym_preds, inv_pairs)
+
+    fresh = closed.join(m, ["subj", "pred", "obj"], "left_anti")
+    return fresh.join(
+        t_new.withColumn("asserted", F.lit(True)),
+        ["subj", "pred", "obj"],
+        "left_outer",
+    ).select(
+        "subj",
+        "pred",
+        "obj",
+        F.coalesce(~F.col("asserted"), F.lit(True)).alias("inferred"),
+    )
+
+
 def owl_property_rules(
     triples: DataFrame,
     axioms: DataFrame,
@@ -214,44 +492,10 @@ def owl_property_rules(
     ).distinct()
     asserted = t.withColumn("inferred", F.lit(False))
 
-    ax = axioms.select(
-        "pred",
-        F.col("symmetric").cast("boolean").alias("symmetric"),
-        "inverse_of",
-        F.col("transitive").cast("boolean").alias("transitive"),
-    )
-    # normalize inverseOf to an undirected pred<->inv map (both directions)
-    inv_pairs = (
-        ax.where(F.col("inverse_of").isNotNull())
-        .select("pred", F.col("inverse_of").alias("inv"))
-        .unionByName(
-            ax.where(F.col("inverse_of").isNotNull()).select(
-                F.col("inverse_of").alias("pred"), F.col("pred").alias("inv")
-            )
-        )
-        .distinct()
-    )
-    sym_preds = ax.where(F.col("symmetric")).select("pred").distinct()
-    trans_preds = [
-        r["pred"]
-        for r in ax.where(F.col("transitive"))
-        .select("pred")
-        .distinct()
-        .collect()
-    ]
+    sym_preds, inv_pairs, trans_preds = _owl_axiom_frames(axioms)
 
     def _mirror_pass(cur: DataFrame) -> DataFrame:
-        via_sym = cur.join(F.broadcast(sym_preds), "pred").select(
-            F.col("obj").alias("subj"), "pred", F.col("subj").alias("obj")
-        )
-        via_inv = cur.join(F.broadcast(inv_pairs), "pred").select(
-            F.col("obj").alias("subj"),
-            F.col("inv").alias("pred"),
-            F.col("subj").alias("obj"),
-        )
-        return (
-            cur.unionByName(via_sym).unionByName(via_inv).distinct()
-        )
+        return _owl_mirror(cur, sym_preds, inv_pairs)
 
     widened = _mirror_pass(_mirror_pass(t))
 

@@ -592,3 +592,55 @@ def stream_interleaved_ingest(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_kmv_sketch(
+    spark: SparkSession,
+    source_dir: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    value_col: str = "text",
+    group_col: str | None = None,
+    k: int = 64,
+    schema: str = "doc_id bigint, text string, source string",
+    trigger_once: bool = True,
+    max_files_per_trigger: int = 8,
+):
+    """Streaming KMV distinct-count rollup over a docs landing zone: each
+    micro-batch writes its own bottom-k sketch partition
+    (``sketch_dir/batch_id=N``), and ``sketches.kmv_merge`` folds the
+    per-batch partitions into the corpus sketch on demand.
+
+    Because the KMV merge is associative, commutative AND idempotent
+    (duplicate hashes collapse in the bottom-k), the merged streaming
+    result is BIT-IDENTICAL to the batch ``kmv_distinct`` over the whole
+    corpus, regardless of how arrival order slices the docs across
+    triggers or how many times a failed trigger retried — the
+    overwrite-by-batch-dir layout (same contract as ``stream_triples``)
+    makes replays harmless twice over.
+
+    Scale: per-trigger cost is the batch's own bottom-k (batch-sized);
+    state growth is k hashes per (batch, group) — merge and compact the
+    partitions periodically and history never gets rescanned.
+    """
+    from ahrd_spark.operators.sketches import kmv_distinct
+
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    groups = [group_col] if group_col else None
+
+    def handle(batch_docs: DataFrame, batch_id: int) -> None:
+        sk = kmv_distinct(batch_docs, value_col, k=k, group_cols=groups)
+        sk.write.mode("overwrite").parquet(
+            f"{sketch_dir}/batch_id={batch_id}"
+        )
+
+    writer = docs.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

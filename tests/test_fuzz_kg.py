@@ -506,3 +506,79 @@ def test_disjoint_violations_equals_naive(_spark, typed, dis):
     out = disjoint_violations(ty_df, dj_df)
     got = {(r.entity, r.type_a, r.type_b) for r in out.collect()}
     assert got == naive
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    old=st.lists(
+        st.tuples(
+            st.integers(0, 4),
+            st.sampled_from(["knows", "parent_of", "child_of", "anc", "sib"]),
+            st.integers(0, 4),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    delta=st.lists(
+        st.tuples(
+            st.integers(0, 4),
+            st.sampled_from(["knows", "parent_of", "child_of", "anc", "sib"]),
+            st.integers(0, 4),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_owl_rules_delta_equals_full_difference(_spark, old, delta):
+    """Incremental OWL maintenance == re-running owl_property_rules from
+    scratch, on the (subj, pred, obj) set, across all three rule kinds
+    interacting (symmetric knows, mutually inverse parent/child,
+    transitive anc, symmetric-AND-transitive sib) — incl. cycles and
+    re-assertions from the overlapping strategies."""
+    from ahrd_spark.operators.kgschema import (
+        owl_property_rules,
+        owl_rules_delta,
+    )
+
+    schema = "subj STRING, pred STRING, obj STRING"
+    axioms = _spark.createDataFrame(
+        [
+            ("knows", True, None, False),
+            ("parent_of", False, "child_of", False),
+            ("sib", True, None, True),
+            ("anc", False, None, True),
+        ],
+        "pred STRING, symmetric BOOLEAN, inverse_of STRING,"
+        " transitive BOOLEAN",
+    )
+
+    def mk(rows):
+        return [("n%d" % s, p, "n%d" % o) for s, p, o in rows]
+
+    old_df = _spark.createDataFrame(mk(old), schema)
+    both_df = _spark.createDataFrame(mk(old) + mk(delta), schema)
+    delta_df = _spark.createDataFrame(mk(delta), schema)
+
+    full_old = owl_property_rules(old_df, axioms, max_depth=8)
+    mat = full_old.select("subj", "pred", "obj")
+    old_set = {(r.subj, r.pred, r.obj) for r in mat.collect()}
+    full_new = owl_property_rules(both_df, axioms, max_depth=8)
+    new_set = {
+        (r.subj, r.pred, r.obj) for r in full_new.collect()
+    }
+
+    out = owl_rules_delta(mat, axioms, delta_df, max_rounds=8)
+    got = {(r.subj, r.pred, r.obj, r.inferred) for r in out.collect()}
+    got_set = {(s, p, o) for (s, p, o, _f) in got}
+
+    assert got_set == new_set - old_set
+    # flags: False exactly for the delta's own surviving assertions
+    delta_set = set(mk(delta))
+    for s, p, o, inferred in got:
+        assert inferred == ((s, p, o) not in delta_set)
+    # union invariant
+    assert old_set | got_set == new_set

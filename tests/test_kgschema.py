@@ -9,11 +9,14 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ahrd_spark.operators.kgschema import (  # noqa: E402
+    bgp_minus,
     bgp_optional,
     infer_types,
     metapath_counts,
     owl_property_rules,
+    owl_rules_delta,
     property_path,
+    reach_delta,
     validate_triples,
 )
 
@@ -736,3 +739,155 @@ def test_owl_rules_no_axioms_is_identity(spark):
     assert [(r.subj, r.pred, r.obj, r.inferred) for r in rows] == [
         ("A", "p", "B", False)
     ]
+
+
+def test_bgp_minus_excludes_subjects_with_negated_pred(spark):
+    triples = spark.createDataFrame(
+        [
+            ("A", "p", "B"),
+            ("B", "p", "C"),
+            ("C", "p", "D"),
+            ("A", "q", "X"),  # A asserts q -> excluded entirely
+            ("E", "q", "Y"),  # q-only subject: never in the result
+        ],
+        TRIPLE_SCHEMA,
+    )
+    got = {
+        (r.subj, r.obj)
+        for r in bgp_minus(triples, "p", "q").collect()
+    }
+    assert got == {("B", "C"), ("C", "D")}
+
+
+def test_bgp_minus_complement_of_optional_nulls(spark):
+    # MINUS survivors == OPTIONAL rows that bound NULL
+    triples = spark.createDataFrame(
+        [
+            ("A", "p", "B"),
+            ("B", "p", "C"),
+            ("A", "q", "X"),
+        ],
+        TRIPLE_SCHEMA,
+    )
+    minus = {
+        (r.subj, r.obj)
+        for r in bgp_minus(triples, "p", "q").collect()
+    }
+    opt_nulls = {
+        (r.subj, r.obj)
+        for r in bgp_optional(triples, "p", "q").collect()
+        if r.opt_obj is None
+    }
+    assert minus == opt_nulls == {("B", "C")}
+
+
+def _closure_pairs(edges):
+    """NumPy-free reference closure for reach_delta tests."""
+    reach = set(edges)
+    while True:
+        add = {
+            (a, d)
+            for (a, b) in reach
+            for (c, d) in reach
+            if b == c and (a, d) not in reach
+        }
+        if not add:
+            return reach
+        reach |= add
+
+
+def test_reach_delta_matches_closure_difference(spark):
+    old = [("A", "B"), ("B", "C"), ("X", "Y")]
+    delta = [("C", "X"), ("Y", "A")]  # creates a cycle through everything
+    closure = spark.createDataFrame(
+        sorted(_closure_pairs(old)), "subj STRING, obj STRING"
+    )
+    d_df = spark.createDataFrame(delta, "src STRING, dst STRING")
+    got = {
+        (r.subj, r.obj)
+        for r in reach_delta(closure, d_df, max_rounds=8).collect()
+    }
+    expected = _closure_pairs(old + delta) - _closure_pairs(old)
+    assert got == expected
+    # the cycle makes self-reachability new pairs — sanity that the
+    # difference is non-trivial
+    assert ("A", "A") in got and ("A", "B") not in got
+
+
+def test_reach_delta_duplicate_and_known_edges(spark):
+    # a delta edge already implied by the closure adds nothing
+    old = [("A", "B"), ("B", "C")]
+    closure = spark.createDataFrame(
+        sorted(_closure_pairs(old)), "subj STRING, obj STRING"
+    )
+    d_df = spark.createDataFrame(
+        [("A", "C"), ("A", "C")], "src STRING, dst STRING"
+    )
+    assert reach_delta(closure, d_df).count() == 0
+
+
+def test_reach_delta_chains_multiple_new_edges(spark):
+    # P -> Q and R -> S both new, old path Q -> R bridges them: P
+    # reaches S only via TWO new edges — the B+ rounds must find it
+    old = [("Q", "R")]
+    closure = spark.createDataFrame(old, "subj STRING, obj STRING")
+    d_df = spark.createDataFrame(
+        [("P", "Q"), ("R", "S")], "src STRING, dst STRING"
+    )
+    got = {
+        (r.subj, r.obj) for r in reach_delta(closure, d_df).collect()
+    }
+    assert got == {
+        ("P", "Q"),
+        ("R", "S"),
+        ("P", "R"),
+        ("Q", "S"),
+        ("P", "S"),
+    }
+
+
+def test_owl_rules_delta_transitive_extension(spark):
+    axioms = spark.createDataFrame(
+        [("anc", False, None, True)], AXIOM_SCHEMA
+    )
+    old = spark.createDataFrame([("A", "anc", "B")], TRIPLE_SCHEMA)
+    mat = owl_property_rules(old, axioms).select("subj", "pred", "obj")
+    delta = spark.createDataFrame([("B", "anc", "C")], TRIPLE_SCHEMA)
+    got = {
+        (r.subj, r.pred, r.obj, r.inferred)
+        for r in owl_rules_delta(mat, axioms, delta).collect()
+    }
+    assert got == {
+        ("B", "anc", "C", False),   # the new assertion itself
+        ("A", "anc", "C", True),    # old path extended through it
+    }
+
+
+def test_owl_rules_delta_drops_known_rows(spark):
+    axioms = spark.createDataFrame(
+        [("knows", True, None, False)], AXIOM_SCHEMA
+    )
+    old = spark.createDataFrame([("A", "knows", "B")], TRIPLE_SCHEMA)
+    mat = owl_property_rules(old, axioms).select("subj", "pred", "obj")
+    # (B, knows, A) was only INFERRED before; re-asserting it is not new
+    delta = spark.createDataFrame(
+        [("B", "knows", "A"), ("A", "knows", "B")], TRIPLE_SCHEMA
+    )
+    assert owl_rules_delta(mat, axioms, delta).count() == 0
+
+
+def test_owl_rules_delta_inverse_both_ways(spark):
+    axioms = spark.createDataFrame(
+        [("parent_of", False, "child_of", False)], AXIOM_SCHEMA
+    )
+    old = spark.createDataFrame([("P", "parent_of", "K")], TRIPLE_SCHEMA)
+    mat = owl_property_rules(old, axioms).select("subj", "pred", "obj")
+    delta = spark.createDataFrame([("K", "child_of", "Q")], TRIPLE_SCHEMA)
+    got = {
+        (r.subj, r.pred, r.obj, r.inferred)
+        for r in owl_rules_delta(mat, axioms, delta).collect()
+    }
+    assert got == {
+        ("K", "child_of", "Q", False),
+        ("Q", "parent_of", "K", True),
+    }

@@ -46,7 +46,8 @@ EXECUTING = {
     "dedup_incremental", "stream_dedup",
     # checkpointed-frontier iteration: the returned plan is mostly
     # truncated checkpoint scans, so a static audit is meaningless
-    "kg_path_closure", "kg_owl_rules",
+    "kg_path_closure", "kg_owl_rules", "kg_reach_delta",
+    "stream_kmv", "kg_owl_delta",
 }
 
 
