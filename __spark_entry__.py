@@ -1143,6 +1143,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_owl_delta"] = kg_owl_delta
 
+    def kg_pred_align(spark, sf):
+        """Cross-source predicate alignment
+        (truth.py::predicate_alignment): KG A names relations
+        PA0..PA4 (doc_id%5), KG B names the same underlying pair
+        extensions QB0..QB9 (doc_id%10) — so each QBj aligns with
+        PA(j%5) on a strict subset of its extension; docs at
+        doc_id%11==0 divert their object to X, making the extension
+        sizes non-uniform."""
+        from ahrd_spark.operators.truth import predicate_alignment
+
+        d = F.col("doc_id")
+        subj = F.concat(F.lit("E"), (d % 40).cast("string"))
+        obj = F.when(d % 11 == 0, F.lit("X")).otherwise(
+            F.concat(F.lit("E"), ((d * 7 + 3) % 40).cast("string"))
+        )
+        kg_a = _docs(spark, sf).select(
+            subj.alias("subj"),
+            F.concat(F.lit("PA"), (d % 5).cast("string")).alias("pred"),
+            obj.alias("obj"),
+        )
+        kg_b = _docs(spark, sf).select(
+            subj.alias("subj"),
+            F.concat(F.lit("QB"), (d % 10).cast("string")).alias("pred"),
+            obj.alias("obj"),
+        )
+        return predicate_alignment(kg_a, kg_b)
+
+    q["kg_pred_align"] = kg_pred_align
+
+    def dedup_blocking_quality(spark, sf):
+        """Blocking-scheme evaluation (dedup.py::blocking_quality): the
+        candidate pairs block on the first text word, the gold pairs on
+        the second — partially overlapping sets, so pair completeness
+        and precision are both strictly between 0 and 1, and the
+        reduction ratio uses the real corpus size."""
+        from ahrd_spark.operators.dedup import blocking_quality
+
+        docs = _docs(spark, sf).select(
+            F.col("doc_id").cast("string").alias("id"),
+            F.split("text", " ").getItem(0).alias("w1"),
+            F.split("text", " ").getItem(1).alias("w2"),
+        )
+        n = docs.count()
+
+        def pairs(col):
+            return (
+                docs.alias("x")
+                .join(docs.alias("y"), col)
+                .where(F.col("x.id") < F.col("y.id"))
+                .select(
+                    F.col("x.id").alias("a"), F.col("y.id").alias("b")
+                )
+            )
+
+        return blocking_quality(pairs("w1"), pairs("w2"), n_records=n)
+
+    q["dedup_blocking_quality"] = dedup_blocking_quality
+
     def kg_metapaths(spark, sf):
         """2-hop metapath frequencies (kgschema.py::metapath_counts) over a
         deliberately hub-skewed entity graph: docs at doc_id%7==0 rewire
@@ -3782,6 +3840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_optional", "kg_path_closure", "kg_owl_rules",
         "sketch_kmv", "sketch_countmin", "kg_bgp_minus",
         "kg_reach_delta", "stream_kmv", "kg_owl_delta",
+        "kg_pred_align", "dedup_blocking_quality",
         "kg_bgp_chain", "kg_disjoint",
         "kg_rdfs_delta", "kg_rdfs_materialize", "kg_required_props",
         "kg_snapshot_at", "kg_provenance", "kg_canonicalize", "kg_truth",
@@ -4826,6 +4885,64 @@ SELECT f.subj, f.pred, f.obj, (d.subj IS NULL) AS inferred
 FROM fresh f
 LEFT JOIN tdel d
   ON d.subj = f.subj AND d.pred = f.pred AND d.obj = f.obj
+"""
+
+    # predicate-alignment replay (truth.py::predicate_alignment): both
+    # KGs deduped to distinct (pred, subj, obj), joined on the shared
+    # (subj, obj) pair, Jaccard over the per-predicate extension sizes
+    o["kg_pred_align"] = """
+WITH d AS (
+  SELECT doc_id, 'E' || (doc_id % 40)::VARCHAR AS s,
+         CASE WHEN doc_id % 11 = 0 THEN 'X'
+              ELSE 'E' || ((doc_id * 7 + 3) % 40)::VARCHAR END AS o
+  FROM documents),
+a AS (SELECT DISTINCT 'PA' || (doc_id % 5)::VARCHAR AS pred_a, s, o
+      FROM d),
+b AS (SELECT DISTINCT 'QB' || (doc_id % 10)::VARCHAR AS pred_b, s, o
+      FROM d),
+na AS (SELECT pred_a, CAST(count(*) AS BIGINT) AS n_a FROM a
+       GROUP BY pred_a),
+nb AS (SELECT pred_b, CAST(count(*) AS BIGINT) AS n_b FROM b
+       GROUP BY pred_b),
+sh AS (SELECT pred_a, pred_b, CAST(count(*) AS BIGINT) AS n_shared
+       FROM a JOIN b USING (s, o) GROUP BY pred_a, pred_b)
+SELECT pred_a, pred_b, n_shared, n_a, n_b,
+       round(n_shared / (n_a + n_b - n_shared), 6) AS jaccard_r
+FROM sh JOIN na USING (pred_a) JOIN nb USING (pred_b)
+WHERE n_shared >= 1
+"""
+
+    # blocking-quality replay (dedup.py::blocking_quality): candidate
+    # pairs block on word 1, gold on word 2, normalized (least,
+    # greatest) pair keys, the three counts and the two ratios plus the
+    # reduction ratio against n·(n-1)/2
+    o["dedup_blocking_quality"] = """
+WITH d AS (
+  SELECT doc_id::VARCHAR AS id,
+         split_part(text, ' ', 1) AS w1,
+         split_part(text, ' ', 2) AS w2
+  FROM documents),
+cand AS (SELECT DISTINCT least(x.id, y.id) AS pa,
+                greatest(x.id, y.id) AS pb
+         FROM d x JOIN d y ON x.w1 = y.w1 AND x.id < y.id),
+gold AS (SELECT DISTINCT least(x.id, y.id) AS pa,
+                greatest(x.id, y.id) AS pb
+         FROM d x JOIN d y ON x.w2 = y.w2 AND x.id < y.id),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n_matched
+      FROM gold SEMI JOIN cand USING (pa, pb)),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+ng AS (SELECT CAST(count(*) AS BIGINT) AS n_gold FROM gold),
+nn AS (SELECT count(*) AS n FROM d)
+SELECT n_cand, n_gold, n_matched,
+       CASE WHEN n_gold > 0
+            THEN round(n_matched / n_gold, 6) END
+         AS pair_completeness_r,
+       CASE WHEN n_cand > 0
+            THEN round(n_matched / n_cand, 6) END
+         AS pair_precision_r,
+       round(1.0 - n_cand / (n * (n - 1) / 2.0), 6)
+         AS reduction_ratio_r
+FROM nc, ng, m, nn
 """
 
     # satisfied-pair count == 2), inner-joined to their hasDescription

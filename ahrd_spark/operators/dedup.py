@@ -624,3 +624,75 @@ def containment_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def blocking_quality(
+    cand_pairs: DataFrame,
+    gold_pairs: DataFrame,
+    n_records: int | None = None,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Blocking-scheme evaluation for entity resolution / dedup -> ONE
+    row ``(n_cand, n_gold, n_matched, pair_completeness_r,
+    pair_precision_r, reduction_ratio_r)``: the two standard blocking
+    metrics (Christen, "Data Matching", 2012) —
+
+    * pair completeness = matched gold pairs / all gold pairs (the
+      recall a blocking scheme caps downstream matching at — the number
+      that decides whether an LSH/canopy configuration is usable);
+    * pair precision   = matched gold pairs / candidate pairs;
+    * reduction ratio  = 1 - candidates / (n·(n-1)/2), NULL when
+      ``n_records`` is not given.
+
+    Both inputs are UNORDERED pair sets: rows normalize to
+    (least, greatest), self-pairs drop, duplicates collapse — so callers
+    can feed raw LSH bucket expansions or ordered join output directly.
+
+    Scale shape: two distinct-aggregates on the normalized pair key and
+    one pair-keyed semi-join (co-partitioned both sides), then 1-row
+    count aggregates — nothing driver-side, output is one row.
+    """
+    def norm(df):
+        a, b = F.col(a_col).cast("string"), F.col(b_col).cast("string")
+        return (
+            df.select(
+                F.least(a, b).alias("pa"), F.greatest(a, b).alias("pb")
+            )
+            .where(F.col("pa") != F.col("pb"))
+            .distinct()
+        )
+
+    cand = norm(cand_pairs)
+    gold = norm(gold_pairs)
+    matched = gold.join(cand, ["pa", "pb"], "left_semi")
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    n_gold = gold.agg(F.count(F.lit(1)).alias("n_gold"))
+    n_matched = matched.agg(F.count(F.lit(1)).alias("n_matched"))
+    row = (
+        n_cand.crossJoin(F.broadcast(n_gold))
+        .crossJoin(F.broadcast(n_matched))
+    )
+    total_pairs = (
+        F.lit(float(n_records * (n_records - 1) / 2))
+        if n_records is not None
+        else None
+    )
+    return row.select(
+        F.col("n_cand").cast("bigint").alias("n_cand"),
+        F.col("n_gold").cast("bigint").alias("n_gold"),
+        F.col("n_matched").cast("bigint").alias("n_matched"),
+        F.when(
+            F.col("n_gold") > 0,
+            F.round(F.col("n_matched") / F.col("n_gold"), 6),
+        ).alias("pair_completeness_r"),
+        F.when(
+            F.col("n_cand") > 0,
+            F.round(F.col("n_matched") / F.col("n_cand"), 6),
+        ).alias("pair_precision_r"),
+        (
+            F.round(F.lit(1.0) - F.col("n_cand") / total_pairs, 6)
+            if total_pairs is not None
+            else F.lit(None).cast("double")
+        ).alias("reduction_ratio_r"),
+    )

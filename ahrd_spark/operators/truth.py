@@ -120,3 +120,67 @@ def truth_discovery(
             "subj", "pred", "obj", F.round("conf", 6).alias("conf_r")
         )
     )
+
+
+def predicate_alignment(
+    kg_a: DataFrame,
+    kg_b: DataFrame,
+    min_shared: int = 1,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Cross-source predicate (schema) alignment by extension overlap ->
+    ``(pred_a, pred_b, n_shared, n_a, n_b, jaccard_r)``: predicate pairs
+    whose distinct ``(subj, obj)`` extensions share at least
+    ``min_shared`` pairs, with the Jaccard of the two extensions —
+    the instance-based ontology-matching baseline (PARIS / instance
+    matching family): two sources calling the same relation
+    ``encodes`` vs ``codes_for`` surface as a high-Jaccard pair, the
+    input an owl:equivalentProperty reviewer needs.
+
+    Both KGs must already be on a shared entity namespace (run after
+    ``canonicalize_triples`` / sameAs resolution — alignment without
+    entity grounding is meaningless).
+
+    Scale shape: each side collapses to distinct (pred, subj, obj) with
+    map-side partial dedup; the candidate join is keyed on the SHARED
+    ``(subj, obj)`` pair — disjoint predicates never meet, and the
+    per-pair fan-out is bounded by the predicate vocabularies (schema-
+    sized, not corpus-sized).  Per-predicate extension sizes are hash
+    aggregates; the final stats join them broadcast (one row per
+    predicate).
+    """
+    def prep(kg, side):
+        return kg.select(
+            F.col(pred_col).alias(f"pred_{side}"),
+            F.col(subj_col).alias("s"),
+            F.col(obj_col).alias("o"),
+        ).distinct()
+
+    a = prep(kg_a, "a")
+    b = prep(kg_b, "b")
+    n_a = a.groupBy("pred_a").agg(F.count(F.lit(1)).alias("n_a"))
+    n_b = b.groupBy("pred_b").agg(F.count(F.lit(1)).alias("n_b"))
+    shared = (
+        a.join(b, ["s", "o"])
+        .groupBy("pred_a", "pred_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return (
+        shared.join(F.broadcast(n_a), "pred_a")
+        .join(F.broadcast(n_b), "pred_b")
+        .select(
+            "pred_a",
+            "pred_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard_r"),
+        )
+    )

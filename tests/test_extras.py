@@ -1890,3 +1890,41 @@ def test_kcore_raises_when_max_rounds_too_small(spark):
         kcore(path, k=2, max_rounds=1)
     # with enough rounds the same input converges (to the empty 2-core)
     assert kcore(path, k=2).count() == 0
+
+
+def test_blocking_quality_metrics(spark):
+    from ahrd_spark.operators.dedup import blocking_quality
+
+    cand = spark.createDataFrame(
+        # unordered dupes + a self-pair that must be dropped
+        [("1", "2"), ("2", "1"), ("3", "4"), ("5", "6"), ("7", "7")],
+        "a STRING, b STRING",
+    )
+    gold = spark.createDataFrame(
+        [("2", "1"), ("3", "4"), ("8", "9")], "a STRING, b STRING"
+    )
+    row = blocking_quality(cand, gold, n_records=10).collect()[0]
+    assert (row.n_cand, row.n_gold, row.n_matched) == (3, 3, 2)
+    assert row.pair_completeness_r == pytest.approx(2 / 3, abs=1e-6)
+    assert row.pair_precision_r == pytest.approx(2 / 3, abs=1e-6)
+    # 1 - 3/45
+    assert row.reduction_ratio_r == pytest.approx(1 - 3 / 45, abs=1e-6)
+
+
+def test_blocking_quality_no_n_records_null_rr(spark):
+    from ahrd_spark.operators.dedup import blocking_quality
+
+    cand = spark.createDataFrame([("1", "2")], "a STRING, b STRING")
+    gold = spark.createDataFrame([("1", "2")], "a STRING, b STRING")
+    row = blocking_quality(cand, gold).collect()[0]
+    assert row.reduction_ratio_r is None
+    assert row.pair_completeness_r == 1.0
+
+
+def test_blocking_quality_empty_gold(spark):
+    from ahrd_spark.operators.dedup import blocking_quality
+
+    cand = spark.createDataFrame([("1", "2")], "a STRING, b STRING")
+    gold = spark.createDataFrame([], "a STRING, b STRING")
+    row = blocking_quality(cand, gold).collect()[0]
+    assert row.n_gold == 0 and row.pair_completeness_r is None

@@ -107,3 +107,45 @@ def test_confidences_sum_to_one_per_item(spark):
         per_item[(r.subj, r.pred)] += r.conf
     for total in per_item.values():
         assert math.isclose(total, 1.0, rel_tol=1e-9)
+
+
+def test_predicate_alignment_overlap_and_jaccard(spark):
+    from ahrd_spark.operators.truth import predicate_alignment
+
+    schema = "subj STRING, pred STRING, obj STRING"
+    kg_a = spark.createDataFrame(
+        [
+            ("e1", "encodes", "x"),
+            ("e2", "encodes", "y"),
+            ("e3", "encodes", "z"),
+            ("e1", "located_in", "m"),
+            ("e1", "encodes", "x"),  # dup assertion: extension still 3
+        ],
+        schema,
+    )
+    kg_b = spark.createDataFrame(
+        [
+            ("e1", "codes_for", "x"),
+            ("e2", "codes_for", "y"),
+            ("e9", "codes_for", "q"),
+            ("e8", "unrelated", "r"),
+        ],
+        schema,
+    )
+    rows = predicate_alignment(kg_a, kg_b).collect()
+    got = {
+        (r.pred_a, r.pred_b): (r.n_shared, r.n_a, r.n_b, r.jaccard_r)
+        for r in rows
+    }
+    # encodes(3) vs codes_for(3): share {e1-x, e2-y} -> J = 2/(3+3-2)
+    assert got == {("encodes", "codes_for"): (2, 3, 3, 0.5)}
+
+
+def test_predicate_alignment_min_shared_filters(spark):
+    from ahrd_spark.operators.truth import predicate_alignment
+
+    schema = "subj STRING, pred STRING, obj STRING"
+    kg_a = spark.createDataFrame([("e1", "p", "x")], schema)
+    kg_b = spark.createDataFrame([("e1", "q", "x")], schema)
+    assert predicate_alignment(kg_a, kg_b, min_shared=2).count() == 0
+    assert predicate_alignment(kg_a, kg_b, min_shared=1).count() == 1
