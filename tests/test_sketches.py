@@ -139,3 +139,72 @@ def test_countmin_matches_hashlib_replay(spark):
             counts.get((j, bucket(j, p)), 0) for j in range(depth)
         )
         assert got[p] == expected
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+if HAVE_HYP:
+    import pytest
+
+    @pytest.fixture(scope="module")
+    def _spark(spark):
+        return spark
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        values=st.lists(
+            st.text(
+                alphabet=st.characters(
+                    min_codepoint=32, max_codepoint=126
+                ),
+                max_size=8,
+            ),
+            min_size=1,
+            max_size=60,
+        ),
+        cut=st.integers(0, 59),
+        k=st.sampled_from([2, 4, 16]),
+    )
+    def test_kmv_fuzz_replay_and_split_merge(_spark, values, cut, k):
+        """Random value multisets: the sketch equals the hashlib replay,
+        and merging the sketches of ANY two-way split equals the sketch
+        of the whole — the associativity the streaming rollup rests
+        on."""
+        cut = min(cut, len(values))
+        left, right = values[:cut], values[cut:]
+        df = _spark.createDataFrame([(v,) for v in values], "v STRING")
+        whole = kmv_distinct(df, "v", k=k).collect()[0]
+        hashes, n, kth, est = _kmv_expected(values, k)
+        assert whole.hashes == hashes
+        assert (whole.n_seen, whole.kth_hash, whole.est_distinct) == (
+            n, kth, est,
+        )
+        parts = []
+        for tag, chunk in (("l", left), ("r", right)):
+            if chunk:
+                parts.append(
+                    kmv_distinct(
+                        _spark.createDataFrame(
+                            [(tag, v) for v in chunk], "part STRING, v STRING"
+                        ),
+                        "v",
+                        k=k,
+                        group_cols=["part"],
+                    )
+                )
+        merged_src = parts[0]
+        for p in parts[1:]:
+            merged_src = merged_src.unionByName(p)
+        merged = kmv_merge(merged_src, k=k).collect()[0]
+        assert merged.hashes == whole.hashes
+        assert merged.est_distinct == whole.est_distinct
