@@ -18,10 +18,12 @@ same sketch — bit for bit — comes out of Spark and out of the SQL replay:
 * ``kmv_merge``      — union previously-computed KMV sketches without
   touching raw data (the actual scale path: per-partition/per-day
   sketches roll up associatively).
-* ``countmin_freqs`` — Count-Min frequency estimation (Cormode &
-  Muthukrishnan, J.Alg 2005): depth x width bucket counts, point
-  queries answered by the min over depth rows — an upper bound that is
-  exact until buckets collide.
+* ``countmin_table`` / ``countmin_merge`` / ``countmin_query`` —
+  Count-Min frequency estimation (Cormode & Muthukrishnan, J.Alg 2005):
+  depth x width bucket counts (additive -> mergeable across batches),
+  point queries answered by the min over depth rows — an upper bound
+  that is exact until buckets collide.  ``countmin_freqs`` composes
+  build + query for the one-shot case.
 
 No reference analog (AHRD profiles nothing); this extends the engine's
 table-profiling family (operators/profile.py) with the sublinear-state
@@ -148,33 +150,26 @@ def kmv_merge(
     )
 
 
-def countmin_freqs(
+def countmin_table(
     df: DataFrame,
     value_col: str,
-    probes: DataFrame,
     width: int = 1024,
     depth: int = 4,
 ) -> DataFrame:
-    """Count-Min point-frequency estimates for a panel of probe values ->
-    ``(probe: string, est_count: bigint)``.
-
-    The sketch is ``depth`` independent hash rows of ``width`` buckets;
-    each occurrence of a value increments one bucket per row (hash =
-    ``md5_prefix60(j || '|' || value) % width`` for row j), and a point
-    query reads the MIN over its ``depth`` buckets — an upper bound on
-    the true count that is exact until buckets collide.  Probes absent
-    from the data read whatever their buckets collected (possibly 0) —
-    the standard CM overestimate contract, reproduced exactly by the SQL
-    replay.
-
-    ``probes`` — one ``probe`` string column; a driver-sized panel
-    (heavy-hitter candidates, watchlist tokens) -> broadcast.
-    """
+    """Build the Count-Min bucket table -> ``(j, bucket, c)``: ``depth``
+    independent hash rows of ``width`` buckets, each value occurrence
+    incrementing one bucket per row (hash = ``md5_prefix60(j || '|' ||
+    value) % width``).  Output is bounded by depth x width regardless of
+    input size, making it the persistable / mergeable sketch state:
+    bucket counts are ADDITIVE, so ``countmin_merge`` folds per-day /
+    per-partition tables with one sum — the Count-Min twin of
+    ``kmv_merge`` (merge correctness requires identical width/depth
+    across inputs)."""
     if width < 1 or depth < 1:
         raise ValueError("width and depth must be >= 1")
     v = F.col(value_col).cast("string")
     rows = F.array([F.lit(j) for j in range(depth)])
-    counts = (
+    return (
         df.where(v.isNotNull())
         .select(v.alias("v"), F.explode(rows).alias("j"))
         .select(
@@ -189,6 +184,35 @@ def countmin_freqs(
         .groupBy("j", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def countmin_merge(tables: DataFrame) -> DataFrame:
+    """Union Count-Min bucket tables (rows shaped like ``countmin_table``
+    output, possibly concatenated across batches) into one table — bucket
+    counts are additive, so the merge is a single (j, bucket) hash
+    aggregate; associative and commutative, no raw data rescans."""
+    return tables.groupBy("j", "bucket").agg(F.sum("c").alias("c"))
+
+
+def countmin_query(
+    counts: DataFrame,
+    probes: DataFrame,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Answer point queries against a Count-Min bucket table ->
+    ``(probe: string, est_count: bigint)``: min over the probe's
+    ``depth`` buckets, an upper bound on the true count that is exact
+    until buckets collide; an untouched bucket reads 0, so a
+    definitely-absent probe estimates 0.
+
+    ``probes`` — one ``probe`` string column; a driver-sized panel
+    (heavy-hitter candidates, watchlist tokens).  ``width``/``depth``
+    must match the build call.
+    """
+    if width < 1 or depth < 1:
+        raise ValueError("width and depth must be >= 1")
+    rows = F.array([F.lit(j) for j in range(depth)])
     probe_cells = (
         probes.select(F.col("probe").cast("string").alias("probe"))
         .distinct()
@@ -217,4 +241,24 @@ def countmin_freqs(
             .cast("bigint")
             .alias("est_count")
         )
+    )
+
+
+def countmin_freqs(
+    df: DataFrame,
+    value_col: str,
+    probes: DataFrame,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """One-shot Count-Min point-frequency estimates ->
+    ``(probe, est_count)``: ``countmin_table`` + ``countmin_query``
+    composed (build the bucket table, read the probe panel).  Use the
+    staged pair directly when the sketch state should be persisted and
+    merged across batches."""
+    return countmin_query(
+        countmin_table(df, value_col, width=width, depth=depth),
+        probes,
+        width=width,
+        depth=depth,
     )

@@ -208,3 +208,30 @@ if HAVE_HYP:
         merged = kmv_merge(merged_src, k=k).collect()[0]
         assert merged.hashes == whole.hashes
         assert merged.est_distinct == whole.est_distinct
+
+
+def test_countmin_merge_equals_table_of_union(spark):
+    from ahrd_spark.operators.sketches import (
+        countmin_merge,
+        countmin_query,
+        countmin_table,
+    )
+
+    a = [("x",)] * 5 + [("y",)] * 2
+    b = [("x",)] * 3 + [("z",)] * 4
+    w, d = 64, 3
+    t_a = countmin_table(spark.createDataFrame(a, "v STRING"), "v", w, d)
+    t_b = countmin_table(spark.createDataFrame(b, "v STRING"), "v", w, d)
+    merged = countmin_merge(t_a.unionByName(t_b))
+    direct = countmin_table(
+        spark.createDataFrame(a + b, "v STRING"), "v", w, d
+    )
+    got = {(r.j, r.bucket): r.c for r in merged.collect()}
+    want = {(r.j, r.bucket): r.c for r in direct.collect()}
+    assert got == want
+    probes = spark.createDataFrame([("x",), ("z",)], "probe STRING")
+    est = {
+        r.probe: r.est_count
+        for r in countmin_query(merged, probes, w, d).collect()
+    }
+    assert est == {"x": 8, "z": 4}
