@@ -1201,6 +1201,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_blocking_quality"] = dedup_blocking_quality
 
+    def kg_random_walks(spark, sf):
+        """Deterministic hash-seeded random walks
+        (graph.py::random_walks) over the kg_bgp_chain entity graph
+        (29 residue nodes + the E0 hub rewire): 2 walks of length 4
+        from every node, every hop a pure function of
+        (node, step, walk, seed) — the DeepWalk corpus step, replayed
+        hop-for-hop by the oracle's unrolled SQL."""
+        from ahrd_spark.operators.graph import random_walks
+
+        d = F.col("doc_id")
+        edges = _docs(spark, sf).select(
+            F.concat(F.lit("E"), (d % 29).cast("string")).alias("src"),
+            F.when(d % 7 == 0, F.lit("E0"))
+            .otherwise(
+                F.concat(F.lit("E"), ((d * 7 + 3) % 29).cast("string"))
+            )
+            .alias("dst"),
+        )
+        return random_walks(edges, walk_len=4, walks_per_node=2, seed="w")
+
+    q["kg_random_walks"] = kg_random_walks
+
     def kg_metapaths(spark, sf):
         """2-hop metapath frequencies (kgschema.py::metapath_counts) over a
         deliberately hub-skewed entity graph: docs at doc_id%7==0 rewire
@@ -3840,7 +3862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_optional", "kg_path_closure", "kg_owl_rules",
         "sketch_kmv", "sketch_countmin", "kg_bgp_minus",
         "kg_reach_delta", "stream_kmv", "kg_owl_delta",
-        "kg_pred_align", "dedup_blocking_quality",
+        "kg_pred_align", "dedup_blocking_quality", "kg_random_walks",
         "kg_bgp_chain", "kg_disjoint",
         "kg_rdfs_delta", "kg_rdfs_materialize", "kg_required_props",
         "kg_snapshot_at", "kg_provenance", "kg_canonicalize", "kg_truth",
@@ -4944,6 +4966,44 @@ SELECT n_cand, n_gold, n_matched,
          AS reduction_ratio_r
 FROM nc, ng, m, nn
 """
+
+    # random-walk replay (graph.py::random_walks): sorted distinct
+    # adjacency lists, then the 4 hops unrolled — each hop indexes the
+    # neighbor list with the same md5-prefix hash of (cur|step|walk|seed)
+    def _rw_step(i):
+        h = (
+            f"(('0x' || substr(md5(cur || '|{i}|' || walk_ix::VARCHAR"
+            f" || '|w'), 1, 15))::BIGINT % len(nbrs))::INT + 1"
+        )
+        return f""",
+s{i} AS (SELECT start, walk_ix, path,
+  CASE WHEN nbrs IS NULL OR len(nbrs) = 0 THEN NULL
+       ELSE nbrs[{h}] END AS nxt
+  FROM w{i - 1} LEFT JOIN nb ON w{i - 1}.cur = nb.node),
+w{i} AS (SELECT start, walk_ix, nxt AS cur,
+  CASE WHEN nxt IS NULL THEN path
+       ELSE list_append(path, nxt) END AS path
+  FROM s{i})"""
+
+    o["kg_random_walks"] = (
+        """
+WITH raw AS (
+  SELECT 'E' || (doc_id % 29)::VARCHAR AS s,
+         CASE WHEN doc_id % 7 = 0 THEN 'E0'
+              ELSE 'E' || ((doc_id * 7 + 3) % 29)::VARCHAR END AS o
+  FROM documents),
+e AS (SELECT DISTINCT s AS node, o AS dst FROM raw),
+nb AS (SELECT node, list_sort(list(DISTINCT dst)) AS nbrs FROM e
+       GROUP BY node),
+starts AS (SELECT node FROM e UNION SELECT dst FROM e),
+w0 AS (SELECT st.node AS start, CAST(t.walk_ix AS INT) AS walk_ix,
+              st.node AS cur, [st.node] AS path
+       FROM starts st CROSS JOIN range(0, 2) t(walk_ix))"""
+        + "".join(_rw_step(i) for i in range(1, 5))
+        + """
+SELECT start, walk_ix, path FROM w4
+"""
+    )
 
     # satisfied-pair count == 2), inner-joined to their hasDescription
     # bindings — the chr(1) separator keys the distinct pair count

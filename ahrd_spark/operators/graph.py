@@ -1377,3 +1377,119 @@ def hits_scores(
     finally:
         e.unpersist()
     return scores
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int = 4,
+    walks_per_node: int = 1,
+    seed: str = "w",
+    max_degree: int | None = None,
+    checkpoint_dir: str | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Deterministic hash-seeded random walks over the graph ->
+    ``(start, walk_ix, path: array<string>)``, one row per (start node,
+    walk index): the DeepWalk/node2vec corpus-generation step
+    (Perozzi et al., KDD 2014) re-expressed so the walks are a PURE
+    FUNCTION of (graph, seed) — stable across runs, partition layouts,
+    and engines (the DuckDB oracle replays every hop), unlike RNG-driven
+    samplers whose corpora can never be rebuilt bit-identically.
+
+    Each hop from node u at step t of walk w picks
+    ``sorted_neighbors(u)[ md5_prefix60(u|t|w|seed) % degree(u) ]`` —
+    uniform over neighbors, independent across (node, step, walk) by the
+    hash.  Dead-end nodes truncate their walk (path keeps what it has).
+
+    ``max_degree``: optional deterministic cap — only the first
+    ``max_degree`` SORTED neighbors participate, bounding the per-node
+    adjacency row a celebrity hub would otherwise materialize (the
+    documented-exclusion contract of the metapath/chain hub caps).
+
+    Scale shape: adjacency built once ((src)-keyed hash agg, sorted
+    arrays); each of the ``walk_len`` hops is ONE join of the walk
+    frontier against the adjacency keyed on the current node, frontier
+    checkpointed per hop (``checkpoint_dir`` on clusters, localCheckpoint
+    fallback) so plan lineage stays constant-depth.  Walk state carries
+    the path array only — rows never fan out (one row per walk
+    throughout).
+    """
+    if walk_len < 1 or walks_per_node < 1:
+        raise ValueError("walk_len and walks_per_node must be >= 1")
+    from ahrd_spark.functions.hashing import md5_prefix60
+
+    spark = edges.sparkSession
+    if checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return (
+            df.checkpoint(eager=True)
+            if checkpoint_dir
+            else df.localCheckpoint(eager=True)
+        )
+
+    e = edges.select(
+        F.col(src_col).cast("string").alias("node"),
+        F.col(dst_col).cast("string").alias("dst"),
+    ).distinct()
+    nbrs = e.groupBy("node").agg(
+        F.array_sort(F.collect_set("dst")).alias("nbrs")
+    )
+    if max_degree is not None:
+        nbrs = nbrs.select(
+            "node", F.slice("nbrs", 1, max_degree).alias("nbrs")
+        )
+    nbrs = nbrs.persist()
+
+    starts = (
+        e.select("node")
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    walks = starts.crossJoin(
+        spark.range(walks_per_node).select(
+            F.col("id").cast("int").alias("walk_ix")
+        )
+    ).select(
+        F.col("node").alias("start"),
+        "walk_ix",
+        F.col("node").alias("cur"),
+        F.array(F.col("node")).alias("path"),
+    )
+    walks = _ckpt(walks)
+    try:
+        for t in range(1, walk_len + 1):
+            joined = walks.join(
+                nbrs, walks["cur"] == nbrs["node"], "left_outer"
+            )
+            deg = F.size("nbrs")
+            idx = (
+                md5_prefix60(
+                    F.concat_ws(
+                        "|",
+                        F.col("cur"),
+                        F.lit(str(t)),
+                        F.col("walk_ix").cast("string"),
+                        F.lit(seed),
+                    )
+                )
+                % deg
+            ).cast("int")
+            nxt = F.when(
+                F.col("nbrs").isNull() | (deg == 0), F.lit(None)
+            ).otherwise(F.element_at("nbrs", idx + F.lit(1)))
+            walks = _ckpt(
+                joined.select(
+                    "start",
+                    "walk_ix",
+                    nxt.alias("cur"),
+                    F.when(nxt.isNull(), F.col("path"))
+                    .otherwise(F.array_append("path", nxt))
+                    .alias("path"),
+                )
+            )
+        return walks.select("start", "walk_ix", "path")
+    finally:
+        nbrs.unpersist()

@@ -600,3 +600,76 @@ def test_triple_provenance_bounded_sample(spark):
         "a": (4, 2, 1, 3, "1|3"),
         "b": (1, 1, 2, 2, "4"),
     }
+
+
+def test_random_walks_matches_hashlib_replay(spark):
+    import hashlib
+
+    from ahrd_spark.operators.graph import random_walks
+
+    edges = [("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"), ("C", "D")]
+    df = spark.createDataFrame(edges, "src STRING, dst STRING")
+    got = {
+        (r.start, r.walk_ix): r.path
+        for r in random_walks(
+            df, walk_len=3, walks_per_node=2, seed="t"
+        ).collect()
+    }
+
+    nbrs = {}
+    for s, d in edges:
+        nbrs.setdefault(s, set()).add(d)
+    nbrs = {k: sorted(v) for k, v in nbrs.items()}
+
+    def step(u, t, w):
+        ns = nbrs.get(u)
+        if not ns:
+            return None
+        h = int(
+            hashlib.md5(f"{u}|{t}|{w}|t".encode()).hexdigest()[:15], 16
+        )
+        return ns[h % len(ns)]
+
+    for start in ["A", "B", "C", "D"]:
+        for w in range(2):
+            path = [start]
+            cur = start
+            for t in range(1, 4):
+                cur = step(cur, t, w)
+                if cur is None:
+                    break
+                path.append(cur)
+            assert got[(start, w)] == path, (start, w)
+    # D is a dead end: its walks never leave
+    assert got[("D", 0)] == ["D"] and got[("D", 1)] == ["D"]
+
+
+def test_random_walks_max_degree_cap(spark):
+    from ahrd_spark.operators.graph import random_walks
+
+    # hub H has 4 neighbors; cap 2 keeps only the first two sorted
+    edges = [("H", "n4"), ("H", "n1"), ("H", "n3"), ("H", "n2")]
+    df = spark.createDataFrame(edges, "src STRING, dst STRING")
+    rows = random_walks(
+        df, walk_len=1, walks_per_node=8, max_degree=2, seed="c"
+    ).collect()
+    visited = {r.path[1] for r in rows if r.start == "H" and len(r.path) > 1}
+    assert visited <= {"n1", "n2"}
+
+
+def test_random_walks_deterministic_across_runs(spark):
+    from ahrd_spark.operators.graph import random_walks
+
+    edges = [("A", "B"), ("B", "A"), ("B", "C"), ("C", "B")]
+    df = spark.createDataFrame(edges, "src STRING, dst STRING")
+    a = sorted(
+        (r.start, r.walk_ix, tuple(r.path))
+        for r in random_walks(df, walk_len=5, walks_per_node=3).collect()
+    )
+    b = sorted(
+        (r.start, r.walk_ix, tuple(r.path))
+        for r in random_walks(
+            df.repartition(7), walk_len=5, walks_per_node=3
+        ).collect()
+    )
+    assert a == b

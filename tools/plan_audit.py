@@ -47,7 +47,7 @@ EXECUTING = {
     # checkpointed-frontier iteration: the returned plan is mostly
     # truncated checkpoint scans, so a static audit is meaningless
     "kg_path_closure", "kg_owl_rules", "kg_reach_delta",
-    "stream_kmv", "kg_owl_delta",
+    "stream_kmv", "kg_owl_delta", "kg_random_walks",
 }
 
 
