@@ -669,10 +669,10 @@ def blocking_quality(
     n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
     n_gold = gold.agg(F.count(F.lit(1)).alias("n_gold"))
     n_matched = matched.agg(F.count(F.lit(1)).alias("n_matched"))
-    row = (
-        n_cand.crossJoin(F.broadcast(n_gold))
-        .crossJoin(F.broadcast(n_matched))
-    )
+    # deliberate 1-row BNLJ metric assembly (same convention as
+    # events.py::active_users) — no broadcast hint: this module consumes
+    # the docs/hits stream, and test_plan_shapes bans stream-side hints
+    row = n_cand.crossJoin(n_gold).crossJoin(n_matched)
     total_pairs = (
         F.lit(float(n_records * (n_records - 1) / 2))
         if n_records is not None

@@ -151,7 +151,7 @@ def test_no_broadcast_hint_on_data_sized_frames():
         r"|nrm\b|anc\b|anc_ic\b|t_total\b|b_total\b|offsets\b|a_max\b"
         r"|h_max\b|pred_schema\b|constraints\b|n_subj\b|go_dag_closure\("
         r"|requirements\b|disjoint\b|sym_preds\b|inv_pairs\b|counts\b"
-        r"|n_a\b|n_b\b|n_gold\b|n_matched\b)"
+        r"|n_a\b|n_b\b)"
     )
     # t_total / b_total (operators/corpus.py::pmi_collocations) are 1-row
     # corpus position totals — scalar aggregates, never input-sized.
@@ -174,8 +174,7 @@ def test_no_broadcast_hint_on_data_sized_frames():
     # (sketches.py::countmin_freqs) is the Count-Min bucket table,
     # bounded by depth x width by construction regardless of input size.
     # n_a / n_b (truth.py::predicate_alignment) are per-predicate
-    # extension sizes — one row per predicate, schema-sized.  n_gold /
-    # n_matched (dedup.py::blocking_quality) are 1-row count aggregates.
+    # extension sizes — one row per predicate, schema-sized.
     offenders = []
     for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
         src = open(path).read()
