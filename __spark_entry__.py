@@ -1223,6 +1223,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_random_walks"] = kg_random_walks
 
+    def kg_skipgram(spark, sf):
+        """Skip-gram pair extraction (graph.py::skipgram_pairs) over
+        deterministic length-4 entity paths (the word2vec/DeepWalk
+        training-pair step downstream of kg_random_walks): window 2,
+        directional pairs, counts aggregated across the corpus."""
+        from ahrd_spark.operators.graph import skipgram_pairs
+
+        d = F.col("doc_id")
+
+        def ent(expr):
+            return F.concat(F.lit("E"), expr.cast("string"))
+
+        walks = _docs(spark, sf).select(
+            F.array(
+                ent(d % 20),
+                ent((d * 3 + 1) % 20),
+                ent((d * 9 + 4) % 20),
+                ent((d * 7 + 2) % 20),
+            ).alias("path")
+        )
+        return skipgram_pairs(walks, window=2)
+
+    q["kg_skipgram"] = kg_skipgram
+
+    def kg_contract(spark, sf):
+        """Community contraction (graph.py::contract_graph): the
+        kg_bgp_chain entity graph coarsened along the residue-mod-5
+        grouping — two node-keyed relabel joins (mapping is graph-sized,
+        NOT broadcast) and one supergroup-pair aggregate, self-loops
+        dropped."""
+        from ahrd_spark.operators.graph import contract_graph
+
+        d = F.col("doc_id")
+        edges = _docs(spark, sf).select(
+            F.concat(F.lit("E"), (d % 29).cast("string")).alias("src"),
+            F.when(d % 7 == 0, F.lit("E0"))
+            .otherwise(
+                F.concat(F.lit("E"), ((d * 7 + 3) % 29).cast("string"))
+            )
+            .alias("dst"),
+        )
+        mapping = _docs(spark, sf).select(
+            F.concat(F.lit("E"), (d % 29).cast("string")).alias("node"),
+            F.concat(F.lit("C"), ((d % 29) % 5).cast("string")).alias(
+                "group"
+            ),
+        ).distinct()
+        return contract_graph(edges, mapping)
+
+    q["kg_contract"] = kg_contract
+
     def kg_metapaths(spark, sf):
         """2-hop metapath frequencies (kgschema.py::metapath_counts) over a
         deliberately hub-skewed entity graph: docs at doc_id%7==0 rewire
@@ -3863,6 +3914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv", "sketch_countmin", "kg_bgp_minus",
         "kg_reach_delta", "stream_kmv", "kg_owl_delta",
         "kg_pred_align", "dedup_blocking_quality", "kg_random_walks",
+        "kg_skipgram", "kg_contract",
         "kg_bgp_chain", "kg_disjoint",
         "kg_rdfs_delta", "kg_rdfs_materialize", "kg_required_props",
         "kg_snapshot_at", "kg_provenance", "kg_canonicalize", "kg_truth",
@@ -5004,6 +5056,50 @@ w0 AS (SELECT st.node AS start, CAST(t.walk_ix AS INT) AS walk_ix,
 SELECT start, walk_ix, path FROM w4
 """
     )
+
+    # skip-gram replay (graph.py::skipgram_pairs): the fixed length-4
+    # paths make the window-2 position pairs a fixed combo list —
+    # every ordered (i, j) with 0 < |i-j| <= 2, unioned then counted
+    o["kg_skipgram"] = """
+WITH p AS (
+  SELECT 'E' || (doc_id % 20)::VARCHAR AS p0,
+         'E' || ((doc_id * 3 + 1) % 20)::VARCHAR AS p1,
+         'E' || ((doc_id * 9 + 4) % 20)::VARCHAR AS p2,
+         'E' || ((doc_id * 7 + 2) % 20)::VARCHAR AS p3
+  FROM documents),
+pairs AS (
+  SELECT p0 AS center, p1 AS context FROM p
+  UNION ALL SELECT p0, p2 FROM p
+  UNION ALL SELECT p1, p0 FROM p
+  UNION ALL SELECT p1, p2 FROM p
+  UNION ALL SELECT p1, p3 FROM p
+  UNION ALL SELECT p2, p0 FROM p
+  UNION ALL SELECT p2, p1 FROM p
+  UNION ALL SELECT p2, p3 FROM p
+  UNION ALL SELECT p3, p1 FROM p
+  UNION ALL SELECT p3, p2 FROM p)
+SELECT center, context, CAST(count(*) AS BIGINT) AS n
+FROM pairs GROUP BY center, context
+"""
+
+    # contraction replay (graph.py::contract_graph): distinct edges,
+    # residue-mod-5 relabel on both ends, self-groups dropped
+    o["kg_contract"] = """
+WITH raw AS (
+  SELECT 'E' || (doc_id % 29)::VARCHAR AS s,
+         CASE WHEN doc_id % 7 = 0 THEN 'E0'
+              ELSE 'E' || ((doc_id * 7 + 3) % 29)::VARCHAR END AS o
+  FROM documents),
+e AS (SELECT DISTINCT s AS src, o AS dst FROM raw),
+m AS (SELECT DISTINCT 'E' || (doc_id % 29)::VARCHAR AS node,
+             'C' || ((doc_id % 29) % 5)::VARCHAR AS grp
+      FROM documents)
+SELECT ms.grp AS src_group, md.grp AS dst_group,
+       CAST(count(*) AS BIGINT) AS weight
+FROM e JOIN m ms ON e.src = ms.node JOIN m md ON e.dst = md.node
+WHERE ms.grp <> md.grp
+GROUP BY ms.grp, md.grp
+"""
 
     # satisfied-pair count == 2), inner-joined to their hasDescription
     # bindings — the chr(1) separator keys the distinct pair count

@@ -1493,3 +1493,98 @@ def random_walks(
         return walks.select("start", "walk_ix", "path")
     finally:
         nbrs.unpersist()
+
+
+def skipgram_pairs(
+    walks: DataFrame,
+    window: int = 2,
+    path_col: str = "path",
+) -> DataFrame:
+    """Skip-gram (center, context) pair extraction from walk/token
+    sequences -> ``(center, context, n)``: for every position in every
+    path, each neighbor within ``window`` hops (both directions,
+    excluding the position itself) contributes one pair occurrence —
+    the word2vec/DeepWalk training-pair step downstream of
+    ``random_walks``.
+
+    Pairs are DIRECTIONAL position pairs (center at i, context at j,
+    0 < |i-j| <= window), so a node adjacent on both sides contributes
+    twice — the standard skip-gram counting.
+
+    Scale shape: pair generation happens INSIDE each row with one
+    posexplode (paths are walk_len-bounded arrays, so per-row fan-out is
+    <= walk_len x 2·window — a constant), then one hash aggregate on
+    (center, context) with map-side partials.  No joins, no
+    corpus-sized shuffle beyond the final count.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    p = F.col(path_col)
+    pos = F.posexplode(p)
+    exploded = walks.select(p.alias("_p"), pos.alias("i", "center"))
+    lo = F.greatest(F.col("i") - window, F.lit(0))
+    # slice is 1-based; take [lo, i-1] and [i+1, i+window] around i
+    before = F.slice(
+        F.col("_p"), lo + 1, F.col("i") - lo
+    )
+    after = F.slice(
+        F.col("_p"),
+        F.col("i") + 2,
+        F.least(
+            F.lit(window),
+            F.size("_p") - F.col("i") - 1,
+        ),
+    )
+    ctx = F.explode(F.concat(before, after))
+    return (
+        exploded.select("center", ctx.alias("context"))
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def contract_graph(
+    edges: DataFrame,
+    mapping: DataFrame,
+    keep_self: bool = False,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Contract a graph along a node -> group mapping (community ids
+    from ``lpa_communities``, canonical ids from connected components,
+    type buckets) -> the weighted supergraph
+    ``(src_group, dst_group, weight)`` where ``weight`` counts the
+    distinct underlying edges between the two groups — the coarsening
+    step of multilevel graph processing and the community-interaction
+    summary a KG dashboard reads.
+
+    ``keep_self=False`` (default) drops intra-group edges (the usual
+    coarsening contract); ``True`` keeps them as self-loops carrying the
+    group's internal edge count.
+
+    ``mapping`` — ``(node, group)`` rows, node-unique.  This is
+    graph-sized, NOT dictionary-sized: both relabel joins key on the
+    node column with the edge table hash-partitioned the same way — no
+    broadcast, the shape that survives a 10^12-edge graph.
+
+    Scale shape: edges dedup once; two node-keyed equi-joins (src then
+    dst relabel); one (group, group) hash aggregate, map-side
+    combinable.  Output is group-pair-bounded, not edge-bounded.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    m_src = mapping.select(
+        F.col("node").alias("src"), F.col("group").alias("src_group")
+    )
+    m_dst = mapping.select(
+        F.col("node").alias("dst"), F.col("group").alias("dst_group")
+    )
+    relabeled = e.join(m_src, "src").join(m_dst, "dst")
+    if not keep_self:
+        relabeled = relabeled.where(
+            F.col("src_group") != F.col("dst_group")
+        )
+    return relabeled.groupBy("src_group", "dst_group").agg(
+        F.count(F.lit(1)).alias("weight")
+    )

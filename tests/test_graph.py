@@ -673,3 +673,68 @@ def test_random_walks_deterministic_across_runs(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_skipgram_pairs_window_counting(spark):
+    from ahrd_spark.operators.graph import skipgram_pairs
+
+    walks = spark.createDataFrame(
+        [(["a", "b", "c", "d"],)], "path ARRAY<STRING>"
+    )
+    got = {
+        (r.center, r.context): r.n
+        for r in skipgram_pairs(walks, window=2).collect()
+    }
+    # brute-force expectation
+    path = ["a", "b", "c", "d"]
+    want = {}
+    for i, c in enumerate(path):
+        for j in range(max(0, i - 2), min(len(path), i + 3)):
+            if j != i:
+                want[(c, path[j])] = want.get((c, path[j]), 0) + 1
+    assert got == want
+    # directional double-count sanity: (b,a) and (a,b) both present
+    assert got[("a", "b")] == 1 and got[("b", "a")] == 1
+
+
+def test_skipgram_pairs_aggregates_across_walks(spark):
+    from ahrd_spark.operators.graph import skipgram_pairs
+
+    walks = spark.createDataFrame(
+        [(["x", "y"],), (["x", "y"],), (["y", "x"],)],
+        "path ARRAY<STRING>",
+    )
+    got = {
+        (r.center, r.context): r.n
+        for r in skipgram_pairs(walks, window=1).collect()
+    }
+    assert got == {("x", "y"): 3, ("y", "x"): 3}
+
+
+def test_contract_graph_weights_and_self_loops(spark):
+    from ahrd_spark.operators.graph import contract_graph
+
+    edges = spark.createDataFrame(
+        [
+            ("a1", "b1"),
+            ("a2", "b2"),
+            ("a1", "a2"),   # intra-group
+            ("b1", "a1"),
+            ("a1", "b1"),   # duplicate edge: deduped
+        ],
+        "src STRING, dst STRING",
+    )
+    mapping = spark.createDataFrame(
+        [("a1", "A"), ("a2", "A"), ("b1", "B"), ("b2", "B")],
+        "node STRING, group STRING",
+    )
+    got = {
+        (r.src_group, r.dst_group): r.weight
+        for r in contract_graph(edges, mapping).collect()
+    }
+    assert got == {("A", "B"): 2, ("B", "A"): 1}
+    with_self = {
+        (r.src_group, r.dst_group): r.weight
+        for r in contract_graph(edges, mapping, keep_self=True).collect()
+    }
+    assert with_self[("A", "A")] == 1
