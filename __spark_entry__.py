@@ -1100,7 +1100,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         entity graph (knows symmetric, parent_of/child_of mutual
         inverses, mentor_of transitive with 5-cycles); the delta's rows
         must equal the difference of two from-scratch fixpoints, which
-        is exactly what the oracle computes."""
+        is exactly what the oracle computes.  The delta batch uses a
+        DIFFERENT object congruence ((5d+7)%11 vs the old set's
+        (5d+2)%11) — provably disjoint from every old triple (equal
+        subj+obj would force d' == d and d' == d+1 mod 11 at once), so
+        the gate exercises genuinely new assertions AND their
+        entailments, never an empty diff."""
         from ahrd_spark.operators.kgschema import (
             owl_property_rules,
             owl_rules_delta,
@@ -1109,7 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = F.col("doc_id")
         m4 = d % 4
 
-        def trip(df):
+        def trip(df, shift):
             return df.select(
                 F.concat(F.lit("E"), (d % 11).cast("string")).alias(
                     "subj"
@@ -1120,13 +1125,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .otherwise(F.lit("mentor_of"))
                 .alias("pred"),
                 F.concat(
-                    F.lit("E"), ((d * 5 + 2) % 11).cast("string")
+                    F.lit("E"), ((d * 5 + shift) % 11).cast("string")
                 ).alias("obj"),
             )
 
         docs = _docs(spark, sf)
-        old = trip(docs.where(d % 5 != 0))
-        delta = trip(docs.where(d % 5 == 0))
+        old = trip(docs.where(d % 5 != 0), 2)
+        delta = trip(docs.where(d % 5 == 0), 7)
         axioms = spark.createDataFrame(
             [
                 ("knows", True, None, False),
@@ -1180,10 +1185,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         reduction ratio uses the real corpus size."""
         from ahrd_spark.operators.dedup import blocking_quality
 
+        # coalesce to '' pins one-word-text semantics to the oracle's
+        # split_part (which yields '' for a missing field, where Spark's
+        # getItem(1) would yield NULL and silently join nothing)
         docs = _docs(spark, sf).select(
             F.col("doc_id").cast("string").alias("id"),
-            F.split("text", " ").getItem(0).alias("w1"),
-            F.split("text", " ").getItem(1).alias("w2"),
+            F.coalesce(
+                F.split("text", " ").getItem(0), F.lit("")
+            ).alias("w1"),
+            F.coalesce(
+                F.split("text", " ").getItem(1), F.lit("")
+            ).alias("w2"),
         )
         n = docs.count()
 
@@ -4913,7 +4925,8 @@ WITH RECURSIVE raw AS (
   SELECT doc_id, 'E' || (doc_id % 11)::VARCHAR AS s,
          CASE doc_id % 4 WHEN 0 THEN 'knows' WHEN 1 THEN 'parent_of'
               WHEN 2 THEN 'child_of' ELSE 'mentor_of' END AS p,
-         'E' || ((doc_id * 5 + 2) % 11)::VARCHAR AS o
+         'E' || ((doc_id * 5 + CASE WHEN doc_id % 5 = 0 THEN 7
+                                    ELSE 2 END) % 11)::VARCHAR AS o
   FROM documents),
 told AS (SELECT DISTINCT s AS subj, p AS pred, o AS obj FROM raw
          WHERE doc_id % 5 <> 0),

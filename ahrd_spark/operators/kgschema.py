@@ -278,20 +278,34 @@ def reach_delta(
         )
         acc = _ckpt(bridge.select("src", "dst"))
         frontier = acc
-        for _ in range(max_rounds - 1):
-            nxt = (
-                frontier.alias("f")
+        converged = False
+
+        def _extend(fr):
+            return _ckpt(
+                fr.alias("f")
                 .join(bridge.alias("b"), F.col("f.dst") == F.col("b.src"))
                 .select(
                     F.col("f.src").alias("src"),
                     F.col("b.dst").alias("dst"),
                 )
                 .distinct()
+                .join(acc, ["src", "dst"], "left_anti")
             )
-            frontier = _ckpt(nxt.join(acc, ["src", "dst"], "left_anti"))
+
+        for _ in range(max_rounds - 1):
+            frontier = _extend(frontier)
             if frontier.isEmpty():
+                converged = True
                 break
             acc = _ckpt(acc.unionByName(frontier))
+        if not converged and not _extend(frontier).isEmpty():
+            # same contract as graph.py::kcore — an incomplete delta
+            # silently corrupts an incrementally-maintained closure
+            raise RuntimeError(
+                "reach_delta did not reach fixpoint within "
+                f"max_rounds={max_rounds}; raise max_rounds (bridge "
+                "chains thread more new edges than rounds allowed)"
+            )
         return (
             acc.select(
                 F.col("src").alias("subj"), F.col("dst").alias("obj")

@@ -45,7 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ahrd_spark.functions.hashing import md5_prefix60
+from ahrd_spark.functions.hashing import md5_hex15, md5_prefix60
 
 # 16^15 == 2^60, the size of the md5_prefix60 hash space; exactly
 # representable as a double, and quoted verbatim in the SQL replay.
@@ -89,7 +89,7 @@ def kmv_distinct(
     v = F.col(value_col).cast("string")
     hashed = (
         df.where(v.isNotNull())
-        .select(*groups, F.substring(F.md5(v), 1, 15).alias("h"))
+        .select(*groups, md5_hex15(v).alias("h"))
         .distinct()
     )
     if groups:
@@ -230,11 +230,15 @@ def countmin_query(
             ).alias("bucket"),
         )
     )
-    # counts is bounded by depth x width rows regardless of input size ->
-    # broadcast it; an untouched bucket means count 0 (the empty-bucket
-    # read is what makes a definitely-absent probe estimate 0)
+    # the bucket table is bounded by depth x width rows regardless of
+    # input size -> broadcast it; an untouched bucket means count 0 (the
+    # empty-bucket read is what makes a definitely-absent probe estimate
+    # 0).  Local name keeps the broadcast-hint allowlist specific.
+    cm_counts = counts
     return (
-        probe_cells.join(F.broadcast(counts), ["j", "bucket"], "left_outer")
+        probe_cells.join(
+            F.broadcast(cm_counts), ["j", "bucket"], "left_outer"
+        )
         .groupBy("probe")
         .agg(
             F.min(F.coalesce("c", F.lit(0)))

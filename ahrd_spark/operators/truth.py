@@ -160,8 +160,8 @@ def predicate_alignment(
 
     a = prep(kg_a, "a")
     b = prep(kg_b, "b")
-    n_a = a.groupBy("pred_a").agg(F.count(F.lit(1)).alias("n_a"))
-    n_b = b.groupBy("pred_b").agg(F.count(F.lit(1)).alias("n_b"))
+    pred_n_a = a.groupBy("pred_a").agg(F.count(F.lit(1)).alias("n_a"))
+    pred_n_b = b.groupBy("pred_b").agg(F.count(F.lit(1)).alias("n_b"))
     shared = (
         a.join(b, ["s", "o"])
         .groupBy("pred_a", "pred_b")
@@ -169,8 +169,8 @@ def predicate_alignment(
         .where(F.col("n_shared") >= min_shared)
     )
     return (
-        shared.join(F.broadcast(n_a), "pred_a")
-        .join(F.broadcast(n_b), "pred_b")
+        shared.join(F.broadcast(pred_n_a), "pred_a")
+        .join(F.broadcast(pred_n_b), "pred_b")
         .select(
             "pred_a",
             "pred_b",

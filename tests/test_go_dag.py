@@ -150,8 +150,8 @@ def test_no_broadcast_hint_on_data_sized_frames():
         r"|dangling\b|weights\b|qterms\b|q_df\b|stats\b|mu_arr\b|v_arr\b"
         r"|nrm\b|anc\b|anc_ic\b|t_total\b|b_total\b|offsets\b|a_max\b"
         r"|h_max\b|pred_schema\b|constraints\b|n_subj\b|go_dag_closure\("
-        r"|requirements\b|disjoint\b|sym_preds\b|inv_pairs\b|counts\b"
-        r"|n_a\b|n_b\b)"
+        r"|requirements\b|disjoint\b|sym_preds\b|inv_pairs\b"
+        r"|cm_counts\b|pred_n_a\b|pred_n_b\b)"
     )
     # t_total / b_total (operators/corpus.py::pmi_collocations) are 1-row
     # corpus position totals — scalar aggregates, never input-sized.
@@ -170,11 +170,12 @@ def test_no_broadcast_hint_on_data_sized_frames():
     # pair list — bounded by the ontology's class vocabulary squared at
     # worst, in practice a short declaration list.  sym_preds / inv_pairs
     # (kgschema.py::owl_property_rules) are slices of the axiom table —
-    # one row per declared predicate.  counts
-    # (sketches.py::countmin_freqs) is the Count-Min bucket table,
-    # bounded by depth x width by construction regardless of input size.
-    # n_a / n_b (truth.py::predicate_alignment) are per-predicate
-    # extension sizes — one row per predicate, schema-sized.
+    # one row per declared predicate.
+    # cm_counts (sketches.py::countmin_query) is the Count-Min bucket
+    # table, bounded by depth x width by construction regardless of
+    # input size.  pred_n_a / pred_n_b (truth.py::predicate_alignment)
+    # are per-predicate extension sizes — one row per predicate,
+    # schema-sized.
     offenders = []
     for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
         src = open(path).read()

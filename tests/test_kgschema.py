@@ -891,3 +891,18 @@ def test_owl_rules_delta_inverse_both_ways(spark):
         ("K", "child_of", "Q", False),
         ("Q", "parent_of", "K", True),
     }
+
+
+def test_reach_delta_raises_when_rounds_exhausted(spark):
+    import pytest
+
+    # a 5-new-edge chain with an empty old closure needs 5 bridge
+    # rounds; max_rounds=3 cannot reach fixpoint and must say so
+    closure = spark.createDataFrame([], "subj STRING, obj STRING")
+    delta = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(6)], "src STRING, dst STRING"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        reach_delta(closure, delta, max_rounds=3)
+    # enough rounds: full 21-pair closure of the 6-edge chain
+    assert reach_delta(closure, delta, max_rounds=8).count() == 21
