@@ -1286,6 +1286,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_contract"] = kg_contract
 
+    def kg_embedding_prep(spark, sf):
+        """Staged embedding-prep pipeline
+        (plans/embedding_prep.py::run_embedding_prep): triples ->
+        checkpointed walks -> skip-gram pairs -> leakage-safe entity
+        split, over the kg_random_walks graph with identical
+        walk/seed knobs — the oracle replays walks hop-for-hop, the
+        window combos, and group_split's md5 buckets.  The /tmp
+        workdir is WIPED first (cold run; a stale checkpoint from
+        older code would fake a pass)."""
+        import shutil
+
+        from ahrd_spark.plans.embedding_prep import (
+            EmbeddingPrepConfig,
+            run_embedding_prep,
+        )
+
+        d = F.col("doc_id")
+        triples = _docs(spark, sf).select(
+            F.concat(F.lit("E"), (d % 29).cast("string")).alias("subj"),
+            F.lit("link").alias("pred"),
+            F.when(d % 7 == 0, F.lit("E0"))
+            .otherwise(
+                F.concat(F.lit("E"), ((d * 7 + 3) % 29).cast("string"))
+            )
+            .alias("obj"),
+        )
+        workdir = f"/tmp/ahrd_q_embprep_{_dataset_key(sf)}"
+        shutil.rmtree(workdir, ignore_errors=True)
+        return run_embedding_prep(
+            spark,
+            triples,
+            workdir,
+            cfg=EmbeddingPrepConfig(
+                walk_len=4, walks_per_node=2, window=2, seed="w"
+            ),
+        )
+
+    q["kg_embedding_prep"] = kg_embedding_prep
+
     def kg_metapaths(spark, sf):
         """2-hop metapath frequencies (kgschema.py::metapath_counts) over a
         deliberately hub-skewed entity graph: docs at doc_id%7==0 rewire
@@ -3926,7 +3965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv", "sketch_countmin", "kg_bgp_minus",
         "kg_reach_delta", "stream_kmv", "kg_owl_delta",
         "kg_pred_align", "dedup_blocking_quality", "kg_random_walks",
-        "kg_skipgram", "kg_contract",
+        "kg_skipgram", "kg_contract", "kg_embedding_prep",
         "kg_bgp_chain", "kg_disjoint",
         "kg_rdfs_delta", "kg_rdfs_materialize", "kg_required_props",
         "kg_snapshot_at", "kg_provenance", "kg_canonicalize", "kg_truth",
@@ -5050,7 +5089,7 @@ w{i} AS (SELECT start, walk_ix, nxt AS cur,
        ELSE list_append(path, nxt) END AS path
   FROM s{i})"""
 
-    o["kg_random_walks"] = (
+    _rw_walk_cte = (
         """
 WITH raw AS (
   SELECT 'E' || (doc_id % 29)::VARCHAR AS s,
@@ -5065,8 +5104,43 @@ w0 AS (SELECT st.node AS start, CAST(t.walk_ix AS INT) AS walk_ix,
               st.node AS cur, [st.node] AS path
        FROM starts st CROSS JOIN range(0, 2) t(walk_ix))"""
         + "".join(_rw_step(i) for i in range(1, 5))
+    )
+
+    o["kg_random_walks"] = (
+        _rw_walk_cte
         + """
 SELECT start, walk_ix, path FROM w4
+"""
+    )
+
+    # staged embedding-prep replay (plans/embedding_prep.py): the walk
+    # CTEs above (identical graph/seed/length), then the window-2
+    # skip-gram position combos over the length-5 paths (this graph has
+    # no dead ends, so every path is full length), then group_split's
+    # md5-bucket split keyed on the center entity (salt '')
+    _sg_combos = ", ".join(
+        f"({i}, {j})"
+        for i in range(1, 6)
+        for j in range(1, 6)
+        if i != j and abs(i - j) <= 2
+    )
+    o["kg_embedding_prep"] = (
+        _rw_walk_cte
+        + f""",
+combos(ci, cj) AS (VALUES {_sg_combos}),
+prs AS (
+  SELECT path[ci] AS center, path[cj] AS context
+  FROM w4 CROSS JOIN combos),
+cnt AS (SELECT center, context, CAST(count(*) AS BIGINT) AS n
+        FROM prs GROUP BY center, context)
+SELECT center, context, n,
+       CASE WHEN b < 100 THEN 'test'
+            WHEN b < 9900 THEN 'train'
+            ELSE 'val' END AS split
+FROM (SELECT center, context, n,
+             (('0x' || substr(md5(center || ':'), 1, 15))::BIGINT
+               % 10000) AS b
+      FROM cnt)
 """
     )
 

@@ -50,6 +50,8 @@ EXECUTING = {
     "stream_kmv", "kg_owl_delta", "kg_random_walks",
     # runs docs.count() at build time to size the reduction ratio
     "dedup_blocking_quality",
+    # checkpointed staged pipeline (cold-run workdir)
+    "kg_embedding_prep",
 }
 
 
