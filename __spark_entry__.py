@@ -1325,6 +1325,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_embedding_prep"] = kg_embedding_prep
 
+    def kg_link_pred_eval(spark, sf):
+        """Link-prediction ranking metrics
+        (evaluation.py::link_prediction_metrics): a deterministic
+        scored candidate panel (25 queries x 40 candidate names,
+        golds at doc_id%11==0) evaluated with the realistic
+        (mean-over-ties) rank protocol -> one row of
+        n_gold / MRR / Hits@{1,3,10}."""
+        from ahrd_spark.operators.evaluation import (
+            link_prediction_metrics,
+        )
+
+        d = F.col("doc_id")
+        scores = _docs(spark, sf).select(
+            F.concat(F.lit("Q"), (d % 25).cast("string")).alias(
+                "query_id"
+            ),
+            F.concat(F.lit("C"), (d % 40).cast("string")).alias(
+                "candidate"
+            ),
+            F.round(((d * 13) % 97) / 97.0, 6).alias("score_r"),
+            (d % 11 == 0).alias("is_gold"),
+        )
+        return link_prediction_metrics(scores)
+
+    q["kg_link_pred_eval"] = kg_link_pred_eval
+
+    def eval_calibration(spark, sf):
+        """Reliability bins + ECE (evaluation.py::calibration_bins)
+        over a deterministic probability/label panel (probs hit 1.0 to
+        exercise the top-bin fold; labels correlate with probability so
+        the bins are informatively mis-calibrated)."""
+        from ahrd_spark.operators.evaluation import calibration_bins
+
+        d = F.col("doc_id")
+        preds = _docs(spark, sf).select(
+            F.round((d % 101) / 100.0, 6).alias("prob_r"),
+            F.when((d % 101 > 50) & (d % 3 > 0), 1)
+            .otherwise(0)
+            .alias("label"),
+        )
+        return calibration_bins(preds)
+
+    q["eval_calibration"] = eval_calibration
+
     def kg_metapaths(spark, sf):
         """2-hop metapath frequencies (kgschema.py::metapath_counts) over a
         deliberately hub-skewed entity graph: docs at doc_id%7==0 rewire
@@ -3966,6 +4010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_reach_delta", "stream_kmv", "kg_owl_delta",
         "kg_pred_align", "dedup_blocking_quality", "kg_random_walks",
         "kg_skipgram", "kg_contract", "kg_embedding_prep",
+        "kg_link_pred_eval", "eval_calibration",
         "kg_bgp_chain", "kg_disjoint",
         "kg_rdfs_delta", "kg_rdfs_materialize", "kg_required_props",
         "kg_snapshot_at", "kg_provenance", "kg_canonicalize", "kg_truth",
@@ -5186,6 +5231,53 @@ SELECT ms.grp AS src_group, md.grp AS dst_group,
 FROM e JOIN m ms ON e.src = ms.node JOIN m md ON e.dst = md.node
 WHERE ms.grp <> md.grp
 GROUP BY ms.grp, md.grp
+"""
+
+    # link-prediction replay (evaluation.py::link_prediction_metrics):
+    # the gold slice joined to its query's full candidate panel, the
+    # realistic (mean-over-ties) rank, then the 1-row metric aggregate
+    o["kg_link_pred_eval"] = """
+WITH s AS (
+  SELECT 'Q' || (doc_id % 25)::VARCHAR AS q,
+         'C' || (doc_id % 40)::VARCHAR AS c,
+         round(((doc_id * 13) % 97) / 97.0, 6) AS sc,
+         doc_id % 11 = 0 AS g
+  FROM documents),
+gold AS (SELECT q, c AS gc, sc AS gs FROM s WHERE g),
+r AS (SELECT gold.q, gc, gs,
+             sum(CASE WHEN s.sc > gs THEN 1 ELSE 0 END) AS higher,
+             sum(CASE WHEN s.sc = gs THEN 1 ELSE 0 END) - 1 AS eq
+      FROM gold JOIN s ON gold.q = s.q GROUP BY gold.q, gc, gs),
+rk AS (SELECT 1.0 + higher + eq / 2.0 AS rank FROM r)
+SELECT CAST(count(*) AS BIGINT) AS n_gold,
+       round(avg(1.0 / rank), 6) AS mrr_r,
+       round(avg(CASE WHEN rank <= 1 THEN 1.0 ELSE 0.0 END), 6)
+         AS hits1_r,
+       round(avg(CASE WHEN rank <= 3 THEN 1.0 ELSE 0.0 END), 6)
+         AS hits3_r,
+       round(avg(CASE WHEN rank <= 10 THEN 1.0 ELSE 0.0 END), 6)
+         AS hits10_r
+FROM rk
+"""
+
+    # calibration replay (evaluation.py::calibration_bins): equal-width
+    # round-6 probability bins (1.0 folds into bin 9), per-bin
+    # confidence/accuracy, the scalar ECE repeated on every row
+    o["eval_calibration"] = """
+WITH preds AS (
+  SELECT round((doc_id % 101) / 100.0, 6) AS p,
+         CASE WHEN doc_id % 101 > 50 AND doc_id % 3 > 0 THEN 1
+              ELSE 0 END AS y
+  FROM documents),
+per_bin AS (
+  SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         round(avg(p), 6) AS conf_r,
+         round(avg(y::DOUBLE), 6) AS acc_r
+  FROM preds GROUP BY 1),
+ece AS (SELECT round(sum(n * abs(acc_r - conf_r)) / sum(n), 6)
+          AS ece_r FROM per_bin)
+SELECT bin, n, conf_r, acc_r, ece_r FROM per_bin CROSS JOIN ece
 """
 
     # satisfied-pair count == 2), inner-joined to their hasDescription

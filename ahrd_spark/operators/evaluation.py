@@ -138,3 +138,135 @@ def highest_possible_scores(
             "highest_possible_score"
         )
     )
+
+
+def link_prediction_metrics(
+    scores: DataFrame,
+    k_values: tuple[int, ...] = (1, 3, 10),
+    query_col: str = "query_id",
+    cand_col: str = "candidate",
+    score_col: str = "score_r",
+    gold_col: str = "is_gold",
+) -> DataFrame:
+    """Link-prediction ranking evaluation -> ONE row
+    ``(n_gold, mrr_r, hits1_r, hits3_r, hits10_r, ...)``: the standard
+    KG-embedding metrics (Bordes et al., NIPS 2013 protocol) computed
+    over a scored candidate table — downstream of the embedding-prep
+    pipeline once a model scores (query, candidate) pairs.
+
+    ``scores``: one row per (query, candidate) with a rounded score and
+    an ``is_gold`` flag; several golds per query are allowed (each is
+    ranked against ALL of its query's candidates, gold or not).
+
+    Tie protocol: the REALISTIC (mean) rank —
+    ``1 + #{stronger} + #{equal-scored others}/2`` — the convention that
+    neither rewards (optimistic) nor punishes (pessimistic) a model for
+    emitting ties; deterministic, and computed on the ROUND-6 score so
+    engine ulp noise cannot flip a rank.  Hits@k counts golds with
+    realistic rank <= k.
+
+    No reference analog (AHRD evaluates token F-beta, S1-S6); this
+    serves the KG-embedding training loop.
+
+    Scale shape: one query-keyed equi-join of the gold slice against
+    the full candidate table (both sides hash-partitioned by query;
+    fan-out bounded by candidates-per-query, the caller's panel size),
+    one (query, gold) aggregate, then a 1-row global aggregate.
+    """
+    q = F.col(query_col)
+    s = F.round(F.col(score_col), 6)
+    base = scores.select(
+        q.alias("q"), F.col(cand_col).alias("c"), s.alias("s"),
+        F.col(gold_col).cast("boolean").alias("g"),
+    )
+    gold = base.where("g").select(
+        F.col("q"), F.col("c").alias("gc"), F.col("s").alias("gs")
+    )
+    ranked = (
+        gold.join(base.select("q", "c", "s"), "q")
+        .groupBy("q", "gc", "gs")
+        .agg(
+            F.sum(F.when(F.col("s") > F.col("gs"), 1).otherwise(0)).alias(
+                "higher"
+            ),
+            (
+                F.sum(
+                    F.when(F.col("s") == F.col("gs"), 1).otherwise(0)
+                )
+                - 1
+            ).alias("equal_others"),
+        )
+        .select(
+            (
+                F.lit(1.0)
+                + F.col("higher")
+                + F.col("equal_others") / F.lit(2.0)
+            ).alias("rank")
+        )
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_gold"),
+        F.round(F.avg(F.lit(1.0) / F.col("rank")), 6).alias("mrr_r"),
+    ]
+    for k in k_values:
+        aggs.append(
+            F.round(
+                F.avg(
+                    F.when(F.col("rank") <= k, 1.0).otherwise(0.0)
+                ),
+                6,
+            ).alias(f"hits{k}_r")
+        )
+    return ranked.agg(*aggs)
+
+
+def calibration_bins(
+    preds: DataFrame,
+    n_bins: int = 10,
+    prob_col: str = "prob_r",
+    label_col: str = "label",
+) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic classifier ->
+    ``(bin, n, conf_r, acc_r, ece_r)``: equal-width probability bins
+    (prob 1.0 folds into the top bin), each with its count, mean
+    predicted probability (confidence), and empirical positive rate
+    (accuracy); ``ece_r`` repeats the scalar Expected Calibration Error
+    ``sum n_b/N * |acc_b - conf_b|`` on every row (Naeini et al., AAAI
+    2015) — the quality-classifier health check a curation pipeline
+    monitors before trusting thresholds.
+
+    Probabilities are consumed at ROUND-6 (the repo's float-gate
+    convention), so bin membership cannot flip on engine ulp noise.
+
+    Scale shape: one n_bins-row hash aggregate with map-side partials,
+    then a 1-row ECE aggregate joined back — output bounded by n_bins.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    p = F.round(F.col(prob_col), 6)
+    b = F.least(
+        F.floor(p * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    per_bin = (
+        preds.select(
+            b.alias("bin"),
+            p.alias("p"),
+            F.col(label_col).cast("double").alias("y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("p"), 6).alias("conf_r"),
+            F.round(F.avg("y"), 6).alias("acc_r"),
+        )
+    )
+    ece = per_bin.agg(
+        F.round(
+            F.sum(
+                F.col("n") * F.abs(F.col("acc_r") - F.col("conf_r"))
+            )
+            / F.sum("n"),
+            6,
+        ).alias("ece_r")
+    )
+    return per_bin.crossJoin(ece)

@@ -1928,3 +1928,64 @@ def test_blocking_quality_empty_gold(spark):
     gold = spark.createDataFrame([], "a STRING, b STRING")
     row = blocking_quality(cand, gold).collect()[0]
     assert row.n_gold == 0 and row.pair_completeness_r is None
+
+
+def test_link_prediction_metrics_realistic_ties(spark):
+    from ahrd_spark.operators.evaluation import link_prediction_metrics
+
+    rows = [
+        # q1: gold a ties with c at the top -> realistic rank 1.5
+        ("q1", "a", 0.9, True),
+        ("q1", "b", 0.8, False),
+        ("q1", "c", 0.9, False),
+        # q2: gold d behind e -> rank 2
+        ("q2", "d", 0.5, True),
+        ("q2", "e", 0.7, False),
+        ("q2", "f", 0.3, False),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id STRING, candidate STRING, score_r DOUBLE,"
+        " is_gold BOOLEAN"
+    )
+    row = link_prediction_metrics(df).collect()[0]
+    assert row.n_gold == 2
+    assert row.mrr_r == pytest.approx((1 / 1.5 + 1 / 2) / 2, abs=1e-6)
+    assert row.hits1_r == 0.0
+    assert row.hits3_r == 1.0 and row.hits10_r == 1.0
+
+
+def test_link_prediction_multiple_golds_per_query(spark):
+    from ahrd_spark.operators.evaluation import link_prediction_metrics
+
+    rows = [
+        ("q", "a", 0.9, True),   # rank 1
+        ("q", "b", 0.5, True),   # rank 2
+        ("q", "c", 0.1, False),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id STRING, candidate STRING, score_r DOUBLE,"
+        " is_gold BOOLEAN"
+    )
+    row = link_prediction_metrics(df).collect()[0]
+    assert row.n_gold == 2
+    assert row.mrr_r == pytest.approx((1 + 0.5) / 2, abs=1e-6)
+
+
+def test_calibration_bins_and_ece(spark):
+    from ahrd_spark.operators.evaluation import calibration_bins
+
+    rows = [(0.05, 0), (0.15, 0), (0.95, 1), (0.85, 1), (0.85, 0)]
+    df = spark.createDataFrame(rows, "prob_r DOUBLE, label INT")
+    got = {r.bin: (r.n, r.conf_r, r.acc_r, r.ece_r)
+           for r in calibration_bins(df).collect()}
+    assert got[0] == (1, 0.05, 0.0, pytest.approx(0.19, abs=1e-6))
+    assert got[8][0] == 2 and got[8][2] == 0.5
+    assert got[9] == (1, 0.95, 1.0, pytest.approx(0.19, abs=1e-6))
+
+
+def test_calibration_top_bin_includes_prob_one(spark):
+    from ahrd_spark.operators.evaluation import calibration_bins
+
+    df = spark.createDataFrame([(1.0, 1)], "prob_r DOUBLE, label INT")
+    rows = calibration_bins(df).collect()
+    assert len(rows) == 1 and rows[0].bin == 9
