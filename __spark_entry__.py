@@ -1369,6 +1369,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["eval_calibration"] = eval_calibration
 
+    def dedup_setsim(spark, sf):
+        """EXACT Jaccard-0.8 set-similarity self-join
+        (dedup.py::setsim_join, SSJoin/PPJoin prefix filtering) over
+        the distinct word sets of every document — the oracle is a
+        BRUTE-FORCE all-pairs replay, so any pair the prefix filter
+        missed (a false negative LSH would tolerate but this operator
+        must not) fails the gate."""
+        from ahrd_spark.operators.dedup import setsim_join
+
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.array_distinct(F.split("text", " ")).alias("toks"),
+        )
+        return setsim_join(docs, 0.8)
+
+    q["dedup_setsim"] = dedup_setsim
+
     def kg_metapaths(spark, sf):
         """2-hop metapath frequencies (kgschema.py::metapath_counts) over a
         deliberately hub-skewed entity graph: docs at doc_id%7==0 rewire
@@ -4010,7 +4027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_reach_delta", "stream_kmv", "kg_owl_delta",
         "kg_pred_align", "dedup_blocking_quality", "kg_random_walks",
         "kg_skipgram", "kg_contract", "kg_embedding_prep",
-        "kg_link_pred_eval", "eval_calibration",
+        "kg_link_pred_eval", "eval_calibration", "dedup_setsim",
         "kg_bgp_chain", "kg_disjoint",
         "kg_rdfs_delta", "kg_rdfs_materialize", "kg_required_props",
         "kg_snapshot_at", "kg_provenance", "kg_canonicalize", "kg_truth",
@@ -5278,6 +5295,27 @@ per_bin AS (
 ece AS (SELECT round(sum(n * abs(acc_r - conf_r)) / sum(n), 6)
           AS ece_r FROM per_bin)
 SELECT bin, n, conf_r, acc_r, ece_r FROM per_bin CROSS JOIN ece
+"""
+
+    # set-similarity replay (dedup.py::setsim_join): BRUTE-FORCE
+    # all-pairs Jaccard at round-6 — deliberately ignores the prefix
+    # filter, so the oracle proves the filter's exactness (no false
+    # negatives), not just its arithmetic
+    o["dedup_setsim"] = """
+WITH d AS (
+  SELECT doc_id::VARCHAR AS id,
+         list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+  WHERE len(list_distinct(string_split(text, ' '))) > 0),
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         round(
+           len(list_intersect(a.toks, b.toks))::DOUBLE
+           / (len(a.toks) + len(b.toks)
+              - len(list_intersect(a.toks, b.toks))),
+           6) AS jaccard_r
+  FROM d a JOIN d b ON a.id < b.id)
+SELECT id_a, id_b, jaccard_r FROM p WHERE jaccard_r >= 0.8
 """
 
     # satisfied-pair count == 2), inner-joined to their hasDescription

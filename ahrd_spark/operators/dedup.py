@@ -696,3 +696,103 @@ def blocking_quality(
             else F.lit(None).cast("double")
         ).alias("reduction_ratio_r"),
     )
+
+
+def setsim_join(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    tokens_col: str = "toks",
+) -> DataFrame:
+    """EXACT Jaccard threshold self-join via prefix filtering
+    (SSJoin/PPJoin family: Chaudhuri et al., ICDE 2006; Xiao et al.,
+    WWW 2008) -> ``(id_a, id_b, jaccard_r)`` for every UNORDERED pair of
+    rows whose token-SET Jaccard is >= ``threshold`` — the exact
+    complement to the MinHash-LSH path: no false negatives, for the
+    threshold regimes (>= ~0.5) where prefix filtering stays
+    subquadratic.
+
+    The guarantee: order every document's distinct tokens by the one
+    GLOBAL canonical order (document frequency ascending, then token —
+    rare-first, the ordering that makes prefixes selective); a document
+    of n tokens keeps a prefix of ``n - ceil(threshold*n) + 1``.  Any
+    pair with Jaccard >= threshold MUST share a token inside both
+    prefixes (suffix-only overlap is < ceil(threshold*n) on the smaller
+    side, below the overlap a qualifying pair needs), so generating
+    candidates only from shared prefix tokens loses nothing — the
+    driver oracle checks this against a BRUTE-FORCE all-pairs replay.
+
+    Scale shape: token df is one hash aggregate; the canonical re-sort
+    is per-row array work after one token-keyed join; candidates come
+    from the prefix-token self-join (token-keyed, both sides pruned to
+    prefixes — rare tokens by construction, so per-token fan-out stays
+    small; the frequent tokens that would flood a bucket sort to the
+    END of every document and rarely enter a prefix); verification is
+    per-pair array intersection after a pair-keyed dedup.  Thresholds
+    and the emitted Jaccard compare at ROUND-6, so engine ulp noise
+    cannot flip membership.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    t = F.lit(float(threshold))
+    base = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.array_distinct(F.col(tokens_col)).alias("toks"),
+    ).where(F.size("toks") > 0)
+
+    tok_df = (
+        base.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tdf"))
+    )
+    # canonical rare-first order: re-sort each doc's tokens by (df, tok)
+    ordered = (
+        base.select("id", F.explode("toks").alias("tok"))
+        .join(tok_df, "tok")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("tdf", "tok"))
+                ),
+                lambda s: s["tok"],
+            ).alias("toks")
+        )
+    )
+    n = F.size("toks")
+    # round before ceil: 0.6*5 must be 3, not the 3.0000000000000004 ulp
+    prefix_len = n - F.ceil(F.round(t * n, 9)).cast("int") + 1
+    prefixed = ordered.select(
+        "id", "toks", F.slice("toks", 1, prefix_len).alias("prefix")
+    )
+    cand = (
+        prefixed.select("id", F.explode("prefix").alias("tok"))
+        .alias("x")
+        .join(
+            prefixed.select(
+                F.col("id").alias("id_b"), F.explode("prefix").alias("tok")
+            ).alias("y"),
+            "tok",
+        )
+        .where(F.col("x.id") < F.col("y.id_b"))
+        .select(F.col("x.id").alias("id_a"), "id_b")
+        .distinct()
+    )
+    a = prefixed.select(
+        F.col("id").alias("id_a"), F.col("toks").alias("toks_a")
+    )
+    b = prefixed.select(
+        F.col("id").alias("id_b"), F.col("toks").alias("toks_b")
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / union, 6).alias("jaccard_r"),
+        )
+        .where(F.col("jaccard_r") >= F.round(t, 6))
+    )

@@ -1989,3 +1989,47 @@ def test_calibration_top_bin_includes_prob_one(spark):
     df = spark.createDataFrame([(1.0, 1)], "prob_r DOUBLE, label INT")
     rows = calibration_bins(df).collect()
     assert len(rows) == 1 and rows[0].bin == 9
+
+
+def test_setsim_join_exact_vs_bruteforce(spark):
+    import itertools
+
+    from ahrd_spark.operators.dedup import setsim_join
+
+    rows = [
+        ("1", ["a", "b", "c", "d"]),
+        ("2", ["a", "b", "c", "e"]),      # J(1,2)=3/5=0.6
+        ("3", ["a", "b", "c", "d"]),      # J(1,3)=1.0
+        ("4", ["x", "y"]),
+        ("5", ["x", "y", "z"]),           # J(4,5)=2/3
+        ("6", ["q"]),
+        ("7", ["a", "a", "b", "c", "d"]),  # dup token: set == doc 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id STRING, toks ARRAY<STRING>")
+    for theta in (0.5, 0.6, 0.75, 1.0):
+        got = {
+            (r.id_a, r.id_b): r.jaccard_r
+            for r in setsim_join(df, theta).collect()
+        }
+        want = {}
+        sets = {i: set(t) for i, t in rows}
+        for x, y in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[x] & sets[y])
+            j = round(inter / len(sets[x] | sets[y]), 6)
+            if j >= round(theta, 6):
+                want[(x, y)] = j
+        assert got == want, theta
+
+
+def test_setsim_join_ulp_safe_ceil(spark):
+    from ahrd_spark.operators.dedup import setsim_join
+
+    # 0.6 * 5 is 3.0000000000000004 in fp: a naive ceil would shrink the
+    # prefix and silently drop qualifying pairs
+    rows = [
+        ("1", ["a", "b", "c", "d", "e"]),
+        ("2", ["a", "b", "c", "d", "f"]),  # J = 4/6 = 0.666667 >= 0.6
+    ]
+    df = spark.createDataFrame(rows, "doc_id STRING, toks ARRAY<STRING>")
+    got = {(r.id_a, r.id_b) for r in setsim_join(df, 0.6).collect()}
+    assert got == {("1", "2")}
