@@ -100,3 +100,108 @@ def test_minhash_properties(spark, texts):
         assert sigs[f"a{i}"] == sigs[f"b{i}"]
         assert len(sigs[f"a{i}"]) == 16
         assert all(0 <= v < MINHASH_P for v in sigs[f"a{i}"])
+
+
+import pytest  # noqa: E402
+from hypothesis import HealthCheck  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def _spark(spark):
+    return spark
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=1, max_size=6
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    theta=st.sampled_from([0.34, 0.5, 0.67, 0.8, 1.0]),
+)
+def test_setsim_join_fuzz_no_false_negatives(_spark, docs, theta):
+    """Random small-alphabet token sets at awkward thresholds: the
+    prefix-filter join must equal the brute-force all-pairs answer —
+    in BOTH directions (no false negatives AND no spurious pairs)."""
+    import itertools
+
+    from ahrd_spark.operators.dedup import setsim_join
+
+    rows = [(str(i), toks) for i, toks in enumerate(docs)]
+    df = _spark.createDataFrame(rows, "doc_id STRING, toks ARRAY<STRING>")
+    got = {
+        (r.id_a, r.id_b): r.jaccard_r
+        for r in setsim_join(df, theta).collect()
+    }
+    sets = {i: set(t) for i, t in rows}
+    want = {}
+    for x, y in itertools.combinations(sorted(sets), 2):
+        j = round(len(sets[x] & sets[y]) / len(sets[x] | sets[y]), 6)
+        if j >= round(theta, 6):
+            want[(x, y)] = j
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    scores=st.lists(
+        st.tuples(
+            st.integers(0, 3),            # query
+            st.integers(0, 6),            # candidate id
+            st.integers(0, 5),            # score bucket (forces ties)
+            st.booleans(),                # gold flag
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+)
+def test_link_prediction_fuzz_matches_reference(_spark, scores):
+    """Random scored panels with deliberate ties: MRR/Hits@k equal a
+    plain-Python realistic-rank reference."""
+    from ahrd_spark.operators.evaluation import link_prediction_metrics
+
+    rows = [
+        (f"q{q}", f"c{c}", round(s / 5.0, 6), g)
+        for q, c, s, g in scores
+    ]
+    if not any(g for *_x, g in rows):
+        rows.append(("q0", "cg", 0.4, True))
+    df = _spark.createDataFrame(
+        rows, "query_id STRING, candidate STRING, score_r DOUBLE,"
+        " is_gold BOOLEAN"
+    )
+    row = link_prediction_metrics(df).collect()[0]
+
+    by_q: dict = {}
+    for q, c, s, g in rows:
+        by_q.setdefault(q, []).append((c, s, g))
+    ranks = []
+    for q, cands in by_q.items():
+        for gc, gs, g in cands:
+            if not g:
+                continue
+            higher = sum(1 for _c, s, _g in cands if s > gs)
+            equal = sum(1 for _c, s, _g in cands if s == gs) - 1
+            ranks.append(1.0 + higher + equal / 2.0)
+    assert row.n_gold == len(ranks)
+    assert row.mrr_r == pytest.approx(
+        round(sum(1.0 / r for r in ranks) / len(ranks), 6), abs=1e-6
+    )
+    for k in (1, 3, 10):
+        assert getattr(row, f"hits{k}_r") == pytest.approx(
+            round(
+                sum(1.0 for r in ranks if r <= k) / len(ranks), 6
+            ),
+            abs=1e-6,
+        )
