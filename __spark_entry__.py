@@ -1386,6 +1386,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_setsim"] = dedup_setsim
 
+    def kg_weighted_walks(spark, sf):
+        """Weight-biased deterministic walks
+        (graph.py::weighted_random_walks) over the kg_bgp_chain graph
+        with evidence-count weights 1+(doc_id%5) (multi-assertions of
+        the same edge SUM): integer-exact target draws — the oracle
+        replays every hop relationally with a per-node cumulative-weight
+        window and min_by over the qualifying neighbors."""
+        from ahrd_spark.operators.graph import weighted_random_walks
+
+        d = F.col("doc_id")
+        edges = _docs(spark, sf).select(
+            F.concat(F.lit("E"), (d % 29).cast("string")).alias("src"),
+            F.when(d % 7 == 0, F.lit("E0"))
+            .otherwise(
+                F.concat(F.lit("E"), ((d * 7 + 3) % 29).cast("string"))
+            )
+            .alias("dst"),
+            (1 + d % 5).alias("weight"),
+        )
+        return weighted_random_walks(
+            edges, walk_len=3, walks_per_node=2, seed="v"
+        )
+
+    q["kg_weighted_walks"] = kg_weighted_walks
+
     def kg_metapaths(spark, sf):
         """2-hop metapath frequencies (kgschema.py::metapath_counts) over a
         deliberately hub-skewed entity graph: docs at doc_id%7==0 rewire
@@ -4028,6 +4053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pred_align", "dedup_blocking_quality", "kg_random_walks",
         "kg_skipgram", "kg_contract", "kg_embedding_prep",
         "kg_link_pred_eval", "eval_calibration", "dedup_setsim",
+        "kg_weighted_walks",
         "kg_bgp_chain", "kg_disjoint",
         "kg_rdfs_delta", "kg_rdfs_materialize", "kg_required_props",
         "kg_snapshot_at", "kg_provenance", "kg_canonicalize", "kg_truth",
@@ -5172,6 +5198,56 @@ w0 AS (SELECT st.node AS start, CAST(t.walk_ix AS INT) AS walk_ix,
         _rw_walk_cte
         + """
 SELECT start, walk_ix, path FROM w4
+"""
+    )
+
+    # weighted-walk replay (graph.py::weighted_random_walks): summed
+    # edge weights, per-node cumulative weights in dst order, each hop
+    # draws target = md5-prefix mod total and min_by-selects the first
+    # neighbor whose cumulative weight exceeds it
+    def _ww_step(i):
+        return f""",
+s{i} AS (SELECT w{i - 1}.start, w{i - 1}.walk_ix, w{i - 1}.path,
+                w{i - 1}.cur,
+                ('0x' || substr(md5(w{i - 1}.cur || '|{i}|'
+                  || w{i - 1}.walk_ix::VARCHAR || '|v'), 1, 15))::BIGINT
+                  % tot.total AS tg
+         FROM w{i - 1} LEFT JOIN tot ON w{i - 1}.cur = tot.node),
+p{i} AS (SELECT s{i}.start, s{i}.walk_ix, s{i}.path,
+                min_by(c.dst, c.cw) FILTER (WHERE c.cw > s{i}.tg)
+                  AS nxt
+         FROM s{i} LEFT JOIN cum c ON s{i}.cur = c.node
+         GROUP BY s{i}.start, s{i}.walk_ix, s{i}.path, s{i}.cur,
+                  s{i}.tg),
+w{i} AS (SELECT start, walk_ix, nxt AS cur,
+                CASE WHEN nxt IS NULL THEN path
+                     ELSE list_append(path, nxt) END AS path
+         FROM p{i})"""
+
+    o["kg_weighted_walks"] = (
+        """
+WITH raw AS (
+  SELECT 'E' || (doc_id % 29)::VARCHAR AS s,
+         CASE WHEN doc_id % 7 = 0 THEN 'E0'
+              ELSE 'E' || ((doc_id * 7 + 3) % 29)::VARCHAR END AS o,
+         1 + doc_id % 5 AS w
+  FROM documents),
+e AS (SELECT s AS node, o AS dst, CAST(sum(w) AS BIGINT) AS w
+      FROM raw GROUP BY s, o),
+tot AS (SELECT node, CAST(sum(w) AS BIGINT) AS total FROM e
+        GROUP BY node),
+cum AS (SELECT node, dst, w,
+               sum(w) OVER (PARTITION BY node ORDER BY dst
+                            ROWS UNBOUNDED PRECEDING) AS cw
+        FROM e),
+starts AS (SELECT DISTINCT node FROM (
+    SELECT node FROM e UNION ALL SELECT dst FROM e)),
+w0 AS (SELECT st.node AS start, CAST(t.walk_ix AS INT) AS walk_ix,
+              st.node AS cur, [st.node] AS path
+       FROM starts st CROSS JOIN range(0, 2) t(walk_ix))"""
+        + "".join(_ww_step(i) for i in range(1, 4))
+        + """
+SELECT start, walk_ix, path FROM w3
 """
     )
 

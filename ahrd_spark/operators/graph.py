@@ -1588,3 +1588,171 @@ def contract_graph(
     return relabeled.groupBy("src_group", "dst_group").agg(
         F.count(F.lit(1)).alias("weight")
     )
+
+
+def weighted_random_walks(
+    edges: DataFrame,
+    walk_len: int = 4,
+    walks_per_node: int = 1,
+    seed: str = "w",
+    max_degree: int | None = None,
+    checkpoint_dir: str | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Weight-biased deterministic random walks ->
+    ``(start, walk_ix, path: array<string>)``: like ``random_walks`` but
+    each hop picks a neighbor with probability proportional to its
+    INTEGER edge weight (evidence counts, co-occurrence counts — the
+    natural KG edge weights), still a pure function of (graph, seed).
+
+    Selection is integer-exact, never a float threshold: hop t of walk
+    w at node u draws ``target = md5_prefix60(u|t|w|seed) mod
+    total_weight(u)`` and walks the dst-sorted neighbor list to the
+    first neighbor whose cumulative weight exceeds the target — uniform
+    over weight mass, identical in every engine (a float fraction would
+    risk an ulp flip at a cumsum boundary).  Multi-edges SUM their
+    weights first; non-positive weights are dropped; dead ends truncate
+    the walk.
+
+    ``max_degree``: optional deterministic cap — only the first
+    ``max_degree`` dst-sorted neighbors (and their weight mass)
+    participate, the same documented-exclusion contract as
+    ``random_walks``.
+
+    Scale shape: identical to ``random_walks`` — adjacency (arrays of
+    (dst, weight) structs + one total) built once, one frontier ⋈
+    adjacency join per hop with the in-row cumulative scan done by an
+    array fold (no per-hop window shuffle), frontier checkpointed per
+    hop.
+    """
+    if walk_len < 1 or walks_per_node < 1:
+        raise ValueError("walk_len and walks_per_node must be >= 1")
+    from ahrd_spark.functions.hashing import md5_prefix60
+
+    spark = edges.sparkSession
+    if checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return (
+            df.checkpoint(eager=True)
+            if checkpoint_dir
+            else df.localCheckpoint(eager=True)
+        )
+
+    e = (
+        edges.select(
+            F.col(src_col).cast("string").alias("node"),
+            F.col(dst_col).cast("string").alias("dst"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .where(F.col("w") > 0)
+        .groupBy("node", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    nbrs = e.groupBy("node").agg(
+        F.array_sort(F.collect_list(F.struct("dst", "w"))).alias("nbrs")
+    )
+    if max_degree is not None:
+        nbrs = nbrs.select(
+            "node", F.slice("nbrs", 1, max_degree).alias("nbrs")
+        )
+    nbrs = nbrs.select(
+        "node",
+        "nbrs",
+        F.aggregate(
+            "nbrs", F.lit(0).cast("long"), lambda acc, x: acc + x["w"]
+        ).alias("total"),
+    ).persist()
+
+    starts = (
+        e.select("node")
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    walks = _ckpt(
+        starts.crossJoin(
+            spark.range(walks_per_node).select(
+                F.col("id").cast("int").alias("walk_ix")
+            )
+        ).select(
+            F.col("node").alias("start"),
+            "walk_ix",
+            F.col("node").alias("cur"),
+            F.array(F.col("node")).alias("path"),
+        )
+    )
+    try:
+        for t in range(1, walk_len + 1):
+            joined = walks.join(
+                nbrs, walks["cur"] == nbrs["node"], "left_outer"
+            )
+            # stage 1: materialize the target draw as a plain column
+            staged = joined.select(
+                "start",
+                "walk_ix",
+                "path",
+                "nbrs",
+                "total",
+                (
+                    md5_prefix60(
+                        F.concat_ws(
+                            "|",
+                            F.col("cur"),
+                            F.lit(str(t)),
+                            F.col("walk_ix").cast("string"),
+                            F.lit(seed),
+                        )
+                    )
+                    % F.col("total")
+                ).alias("_target"),
+            )
+            # stage 2: fold the dst-sorted list ONCE — first neighbor
+            # whose cumulative weight exceeds the target wins.  The fold
+            # must appear exactly once in exactly one projection: a
+            # lambda that captures an outer column (_target) evaluates
+            # INCONSISTENTLY when the same expression is duplicated in
+            # a single select (observed: the cur and path copies of the
+            # old inline formulation disagreed on the same row), so the
+            # pick is materialized here and only the plain _next column
+            # is reused downstream.
+            pick = F.aggregate(
+                F.col("nbrs"),
+                F.struct(
+                    F.lit(0).cast("long").alias("cum"),
+                    F.lit(None).cast("string").alias("pick"),
+                ),
+                lambda acc, x: F.struct(
+                    (acc["cum"] + x["w"]).alias("cum"),
+                    F.when(acc["pick"].isNotNull(), acc["pick"])
+                    .when(F.col("_target") < acc["cum"] + x["w"], x["dst"])
+                    .alias("pick"),
+                ),
+                lambda acc: acc["pick"],
+            )
+            stepped = staged.select(
+                "start",
+                "walk_ix",
+                "path",
+                F.when(
+                    F.col("nbrs").isNull() | (F.col("total") <= 0),
+                    F.lit(None).cast("string"),
+                )
+                .otherwise(pick)
+                .alias("_next"),
+            )
+            walks = _ckpt(
+                stepped.select(
+                    "start",
+                    "walk_ix",
+                    F.col("_next").alias("cur"),
+                    F.when(F.col("_next").isNull(), F.col("path"))
+                    .otherwise(F.array_append("path", F.col("_next")))
+                    .alias("path"),
+                )
+            )
+        return walks.select("start", "walk_ix", "path")
+    finally:
+        nbrs.unpersist()

@@ -738,3 +738,104 @@ def test_contract_graph_weights_and_self_loops(spark):
         for r in contract_graph(edges, mapping, keep_self=True).collect()
     }
     assert with_self[("A", "A")] == 1
+
+
+def test_weighted_random_walks_matches_hashlib_replay(spark):
+    import hashlib
+
+    from ahrd_spark.operators.graph import weighted_random_walks
+
+    edges = [
+        ("A", "B", 3), ("A", "C", 1), ("A", "B", 2),  # A: B w5, C w1
+        ("B", "A", 1), ("B", "C", 1),
+        ("C", "A", 7),
+    ]
+    df = spark.createDataFrame(edges, "src STRING, dst STRING, weight INT")
+    got = {
+        (r.start, r.walk_ix): r.path
+        for r in weighted_random_walks(
+            df, walk_len=3, walks_per_node=2, seed="v"
+        ).collect()
+    }
+
+    adj = {}
+    for s, d, w in edges:
+        adj.setdefault(s, {})
+        adj[s][d] = adj[s].get(d, 0) + w
+
+    def step(u, t, w_ix):
+        ns = adj.get(u)
+        if not ns:
+            return None
+        items = sorted(ns.items())
+        total = sum(w for _d, w in items)
+        target = (
+            int(
+                hashlib.md5(f"{u}|{t}|{w_ix}|v".encode()).hexdigest()[:15],
+                16,
+            )
+            % total
+        )
+        cum = 0
+        for d, w in items:
+            cum += w
+            if target < cum:
+                return d
+        raise AssertionError("unreachable")
+
+    for start in "ABC":
+        for w_ix in range(2):
+            path, cur = [start], start
+            for t in range(1, 4):
+                cur = step(cur, t, w_ix)
+                if cur is None:
+                    break
+                path.append(cur)
+            assert got[(start, w_ix)] == path, (start, w_ix)
+
+
+def test_weighted_random_walks_heavy_edge_dominates(spark):
+    from ahrd_spark.operators.graph import weighted_random_walks
+
+    # H -> big carries 10^6x the weight of H -> rare: across 32 walks
+    # the rare edge should essentially never be drawn
+    edges = [("H", "big", 1_000_000), ("H", "rare", 1)]
+    df = spark.createDataFrame(edges, "src STRING, dst STRING, weight INT")
+    rows = weighted_random_walks(df, walk_len=1, walks_per_node=32).collect()
+    hops = [r.path[1] for r in rows if r.start == "H" and len(r.path) > 1]
+    assert len(hops) == 32
+    assert hops.count("big") >= 31
+
+
+def test_weighted_random_walks_drops_nonpositive_weights(spark):
+    from ahrd_spark.operators.graph import weighted_random_walks
+
+    edges = [("A", "B", 0), ("A", "C", -5), ("B", "A", 2)]
+    df = spark.createDataFrame(edges, "src STRING, dst STRING, weight INT")
+    got = {
+        (r.start, r.walk_ix): r.path
+        for r in weighted_random_walks(df, walk_len=2).collect()
+    }
+    # A has no positive out-edges -> dead end; B walks to A then stops
+    assert got[("A", 0)] == ["A"]
+    assert got[("B", 0)] == ["B", "A"]
+
+
+def test_weighted_random_walks_deterministic_across_layouts(spark):
+    from ahrd_spark.operators.graph import weighted_random_walks
+
+    edges = [("A", "B", 2), ("A", "C", 3), ("B", "A", 1), ("C", "B", 4)]
+    df = spark.createDataFrame(edges, "src STRING, dst STRING, weight INT")
+    a = sorted(
+        (r.start, r.walk_ix, tuple(r.path))
+        for r in weighted_random_walks(
+            df, walk_len=5, walks_per_node=3
+        ).collect()
+    )
+    b = sorted(
+        (r.start, r.walk_ix, tuple(r.path))
+        for r in weighted_random_walks(
+            df.repartition(7), walk_len=5, walks_per_node=3
+        ).collect()
+    )
+    assert a == b

@@ -48,6 +48,7 @@ EXECUTING = {
     # truncated checkpoint scans, so a static audit is meaningless
     "kg_path_closure", "kg_owl_rules", "kg_reach_delta",
     "stream_kmv", "kg_owl_delta", "kg_random_walks",
+    "kg_weighted_walks",
     # runs docs.count() at build time to size the reduction ratio
     "dedup_blocking_quality",
     # checkpointed staged pipeline (cold-run workdir)
