@@ -1218,8 +1218,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (graph.py::random_walks) over the kg_bgp_chain entity graph
         (29 residue nodes + the E0 hub rewire): 2 walks of length 4
         from every node, every hop a pure function of
-        (node, step, walk, seed) — the DeepWalk corpus step, replayed
-        hop-for-hop by the oracle's unrolled SQL."""
+        (node, start, step, walk, seed) — the DeepWalk corpus step,
+        replayed hop-for-hop by the oracle's unrolled SQL.  The gate
+        row flattens the path array to a '>'-joined string (the only
+        schema the driver's pandas canonicalizer can sort/hash); the
+        array-returning operator API stays internal."""
         from ahrd_spark.operators.graph import random_walks
 
         d = F.col("doc_id")
@@ -1231,7 +1234,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .alias("dst"),
         )
-        return random_walks(edges, walk_len=4, walks_per_node=2, seed="w")
+        return random_walks(
+            edges, walk_len=4, walks_per_node=2, seed="w"
+        ).select(
+            "start",
+            "walk_ix",
+            F.array_join("path", ">").alias("path_str"),
+        )
 
     q["kg_random_walks"] = kg_random_walks
 
@@ -1392,7 +1401,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         with evidence-count weights 1+(doc_id%5) (multi-assertions of
         the same edge SUM): integer-exact target draws — the oracle
         replays every hop relationally with a per-node cumulative-weight
-        window and min_by over the qualifying neighbors."""
+        window and min_by over the qualifying neighbors.  Path emitted
+        as a '>'-joined string for the driver canonicalizer (arrays are
+        unhashable in its pandas sort); operator API stays internal."""
         from ahrd_spark.operators.graph import weighted_random_walks
 
         d = F.col("doc_id")
@@ -1407,6 +1418,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return weighted_random_walks(
             edges, walk_len=3, walks_per_node=2, seed="v"
+        ).select(
+            "start",
+            "walk_ix",
+            F.array_join("path", ">").alias("path_str"),
         )
 
     q["kg_weighted_walks"] = kg_weighted_walks
@@ -5164,7 +5179,8 @@ FROM nc, ng, m, nn
     # neighbor list with the same md5-prefix hash of (cur|step|walk|seed)
     def _rw_step(i):
         h = (
-            f"(('0x' || substr(md5(cur || '|{i}|' || walk_ix::VARCHAR"
+            f"(('0x' || substr(md5(cur || '|' || start || '|{i}|'"
+            f" || walk_ix::VARCHAR"
             f" || '|w'), 1, 15))::BIGINT % len(nbrs))::INT + 1"
         )
         return f""",
@@ -5197,7 +5213,7 @@ w0 AS (SELECT st.node AS start, CAST(t.walk_ix AS INT) AS walk_ix,
     o["kg_random_walks"] = (
         _rw_walk_cte
         + """
-SELECT start, walk_ix, path FROM w4
+SELECT start, walk_ix, array_to_string(path, '>') AS path_str FROM w4
 """
     )
 
@@ -5209,7 +5225,8 @@ SELECT start, walk_ix, path FROM w4
         return f""",
 s{i} AS (SELECT w{i - 1}.start, w{i - 1}.walk_ix, w{i - 1}.path,
                 w{i - 1}.cur,
-                ('0x' || substr(md5(w{i - 1}.cur || '|{i}|'
+                ('0x' || substr(md5(w{i - 1}.cur || '|'
+                  || w{i - 1}.start || '|{i}|'
                   || w{i - 1}.walk_ix::VARCHAR || '|v'), 1, 15))::BIGINT
                   % tot.total AS tg
          FROM w{i - 1} LEFT JOIN tot ON w{i - 1}.cur = tot.node),
@@ -5247,7 +5264,7 @@ w0 AS (SELECT st.node AS start, CAST(t.walk_ix AS INT) AS walk_ix,
        FROM starts st CROSS JOIN range(0, 2) t(walk_ix))"""
         + "".join(_ww_step(i) for i in range(1, 4))
         + """
-SELECT start, walk_ix, path FROM w3
+SELECT start, walk_ix, array_to_string(path, '>') AS path_str FROM w3
 """
     )
 
@@ -5330,12 +5347,16 @@ GROUP BY ms.grp, md.grp
     # the gold slice joined to its query's full candidate panel, the
     # realistic (mean-over-ties) rank, then the 1-row metric aggregate
     o["kg_link_pred_eval"] = """
-WITH s AS (
+WITH s0 AS (
   SELECT 'Q' || (doc_id % 25)::VARCHAR AS q,
          'C' || (doc_id % 40)::VARCHAR AS c,
          round(((doc_id * 13) % 97) / 97.0, 6) AS sc,
          doc_id % 11 = 0 AS g
   FROM documents),
+-- the operator's duplicate-row contract: (query, candidate) panels
+-- are SETS — duplicates collapse to (max score, OR gold) first
+s AS (SELECT q, c, max(sc) AS sc, bool_or(g) AS g
+      FROM s0 GROUP BY q, c),
 gold AS (SELECT q, c AS gc, sc AS gs FROM s WHERE g),
 r AS (SELECT gold.q, gc, gs,
              sum(CASE WHEN s.sc > gs THEN 1 ELSE 0 END) AS higher,

@@ -703,6 +703,7 @@ def setsim_join(
     threshold: float,
     id_col: str = "doc_id",
     tokens_col: str = "toks",
+    allow_low_threshold: bool = False,
 ) -> DataFrame:
     """EXACT Jaccard threshold self-join via prefix filtering
     (SSJoin/PPJoin family: Chaudhuri et al., ICDE 2006; Xiao et al.,
@@ -731,9 +732,38 @@ def setsim_join(
     per-pair array intersection after a pair-keyed dedup.  Thresholds
     and the emitted Jaccard compare at ROUND-6, so engine ulp noise
     cannot flip membership.
+
+    THRESHOLD REGIME GUARD: below ``threshold`` 0.5 the prefix
+    ``n - ceil(t*n) + 1`` approaches the whole document, the candidate
+    self-join degenerates toward all-pairs, and the plan that sails at
+    sf0.01 melts at 100 TB — so t < 0.5 RAISES (the kcore/reach_delta
+    "raise, don't silently degrade" convention).  Callers who truly
+    want a low-threshold run on a bounded input opt in explicitly with
+    ``allow_low_threshold=True`` (a warning is emitted); the scalable
+    low-threshold path is MinHash-LSH (``lsh_candidate_pairs``), which
+    trades exactness for bounded bucket fan-out.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
+    if threshold < 0.5 and not allow_low_threshold:
+        raise ValueError(
+            "setsim_join: threshold < 0.5 leaves the subquadratic "
+            "prefix-filter regime (prefixes cover most of each "
+            "document and the candidate join degenerates toward "
+            "all-pairs at scale). Use the MinHash-LSH path for low "
+            "thresholds, or pass allow_low_threshold=True for a "
+            "bounded input you accept the quadratic risk on."
+        )
+    if threshold < 0.5:
+        import warnings
+
+        warnings.warn(
+            "setsim_join running below the subquadratic threshold "
+            "regime (t < 0.5, allow_low_threshold=True): candidate "
+            "generation may approach all-pairs on large inputs",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     t = F.lit(float(threshold))
     base = df.select(
         F.col(id_col).cast("string").alias("id"),

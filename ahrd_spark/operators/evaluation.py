@@ -154,9 +154,14 @@ def link_prediction_metrics(
     over a scored candidate table — downstream of the embedding-prep
     pipeline once a model scores (query, candidate) pairs.
 
-    ``scores``: one row per (query, candidate) with a rounded score and
-    an ``is_gold`` flag; several golds per query are allowed (each is
+    ``scores``: (query, candidate) rows with a rounded score and an
+    ``is_gold`` flag; several golds per query are allowed (each is
     ranked against ALL of its query's candidates, gold or not).
+    Duplicate (query, candidate) rows are collapsed FIRST — max score,
+    OR of the gold flags — so the operator is well-defined on any
+    input (a duplicated gold row must not both undercount n_gold and
+    inflate the equal-tie count; the panel is a set of candidates, not
+    a multiset).
 
     Tie protocol: the REALISTIC (mean) rank —
     ``1 + #{stronger} + #{equal-scored others}/2`` — the convention that
@@ -175,9 +180,13 @@ def link_prediction_metrics(
     """
     q = F.col(query_col)
     s = F.round(F.col(score_col), 6)
-    base = scores.select(
-        q.alias("q"), F.col(cand_col).alias("c"), s.alias("s"),
-        F.col(gold_col).cast("boolean").alias("g"),
+    base = (
+        scores.select(
+            q.alias("q"), F.col(cand_col).alias("c"), s.alias("s"),
+            F.col(gold_col).cast("boolean").alias("g"),
+        )
+        .groupBy("q", "c")
+        .agg(F.max("s").alias("s"), F.bool_or("g").alias("g"))
     )
     gold = base.where("g").select(
         F.col("q"), F.col("c").alias("gc"), F.col("s").alias("gs")

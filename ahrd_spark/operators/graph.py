@@ -1397,10 +1397,15 @@ def random_walks(
     and engines (the DuckDB oracle replays every hop), unlike RNG-driven
     samplers whose corpora can never be rebuilt bit-identically.
 
-    Each hop from node u at step t of walk w picks
-    ``sorted_neighbors(u)[ md5_prefix60(u|t|w|seed) % degree(u) ]`` —
-    uniform over neighbors, independent across (node, step, walk) by the
-    hash.  Dead-end nodes truncate their walk (path keeps what it has).
+    Each hop from node u at step t of walk w started at node v picks
+    ``sorted_neighbors(u)[ md5_prefix60(u|v|t|w|seed) % degree(u) ]`` —
+    uniform over neighbors, independent across (node, START, step, walk)
+    by the hash.  The walk's START is in the hash input on purpose: two
+    walks with the same walk index that happen to reach the same node at
+    the same step would otherwise make identical picks and coalesce
+    permanently, correlating the DeepWalk corpus and biasing downstream
+    skip-gram counts.  Dead-end nodes truncate their walk (path keeps
+    what it has).
 
     ``max_degree``: optional deterministic cap — only the first
     ``max_degree`` SORTED neighbors participate, bounding the per-node
@@ -1470,6 +1475,7 @@ def random_walks(
                     F.concat_ws(
                         "|",
                         F.col("cur"),
+                        F.col("start"),
                         F.lit(str(t)),
                         F.col("walk_ix").cast("string"),
                         F.lit(seed),
@@ -1608,8 +1614,10 @@ def weighted_random_walks(
     natural KG edge weights), still a pure function of (graph, seed).
 
     Selection is integer-exact, never a float threshold: hop t of walk
-    w at node u draws ``target = md5_prefix60(u|t|w|seed) mod
-    total_weight(u)`` and walks the dst-sorted neighbor list to the
+    w started at v, sitting at node u, draws ``target =
+    md5_prefix60(u|v|t|w|seed) mod total_weight(u)`` (start in the hash
+    so same-index walks meeting at a node do not coalesce — see
+    ``random_walks``) and walks the dst-sorted neighbor list to the
     first neighbor whose cumulative weight exceeds the target — uniform
     over weight mass, identical in every engine (a float fraction would
     risk an ulp flip at a cumsum boundary).  Multi-edges SUM their
@@ -1701,6 +1709,7 @@ def weighted_random_walks(
                         F.concat_ws(
                             "|",
                             F.col("cur"),
+                            F.col("start"),
                             F.lit(str(t)),
                             F.col("walk_ix").cast("string"),
                             F.lit(seed),

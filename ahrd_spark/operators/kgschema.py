@@ -322,26 +322,37 @@ def reach_delta(
 
 def _owl_axiom_frames(axioms: DataFrame):
     """Shared axiom-table decomposition for the OWL rule operators:
-    (symmetric predicate frame, undirected pred<->inverse frame, sorted
-    transitive predicate name list).  All ontology-sized."""
+    (sorted symmetric predicate list, directed pred->inverse edge list,
+    sorted transitive predicate name list) — collected driver-side,
+    legitimate because the axiom table is ontology-sized by contract
+    (one row per declared predicate), the same bounded control read as
+    the transitive list always was."""
     ax = axioms.select(
         "pred",
         F.col("symmetric").cast("boolean").alias("symmetric"),
         "inverse_of",
         F.col("transitive").cast("boolean").alias("transitive"),
     )
-    inv_pairs = (
-        ax.where(F.col("inverse_of").isNotNull())
-        .select("pred", F.col("inverse_of").alias("inv"))
-        .unionByName(
-            ax.where(F.col("inverse_of").isNotNull()).select(
-                F.col("inverse_of").alias("pred"),
-                F.col("pred").alias("inv"),
+    inv_edges = sorted(
+        {
+            pair
+            for r in ax.where(F.col("inverse_of").isNotNull())
+            .select("pred", "inverse_of")
+            .distinct()
+            .collect()
+            for pair in (
+                (r["pred"], r["inverse_of"]),
+                (r["inverse_of"], r["pred"]),
             )
-        )
-        .distinct()
+        }
     )
-    sym_preds = ax.where(F.col("symmetric")).select("pred").distinct()
+    sym_list = sorted(
+        r["pred"]
+        for r in ax.where(F.col("symmetric"))
+        .select("pred")
+        .distinct()
+        .collect()
+    )
     trans_preds = sorted(
         r["pred"]
         for r in ax.where(F.col("transitive"))
@@ -349,23 +360,66 @@ def _owl_axiom_frames(axioms: DataFrame):
         .distinct()
         .collect()
     )
-    return sym_preds, inv_pairs, trans_preds
+    return sym_list, inv_edges, trans_preds
 
 
-def _owl_mirror(
-    cur: DataFrame, sym_preds: DataFrame, inv_pairs: DataFrame
-) -> DataFrame:
-    """One symmetric/inverse mirror pass over (subj, pred, obj) rows; the
-    axiom frames join broadcast, so the instance data never shuffles."""
-    via_sym = cur.join(F.broadcast(sym_preds), "pred").select(
-        F.col("obj").alias("subj"), "pred", F.col("subj").alias("obj")
+def _owl_mirror_map(sym_list, inv_edges):
+    """Predicate-level FIXPOINT of the symmetric/inverse rewrite system
+    -> ``[(pred, out_pred, flip)]``: for every predicate, every
+    (predicate, orientation) state reachable through ANY chain of
+    symmetric flips and inverseOf renames.  Both rules act on the
+    predicate alone (symmetric p: (q, f) -> (q, !f); p inverseOf q:
+    (p, f) <-> (q, !f)), so the instance-level fixpoint is exactly one
+    broadcast join against this closed map — no pass count to reason
+    about, and chained inverseOf declarations (p->q->r->w, predicate
+    equivalence chains) that a fixed 2+1-pass schedule provably missed
+    are handled.  BFS over <= 2x|pred vocab| states, driver-side,
+    ontology-sized."""
+    sym = set(sym_list)
+    inv: dict = {}
+    for a, b in inv_edges:
+        inv.setdefault(a, set()).add(b)
+    out = []
+    for p in sorted(sym | set(inv)):
+        seen = {(p, False)}
+        stack = [(p, False)]
+        while stack:
+            q, f = stack.pop()
+            nxt = [(q, not f)] if q in sym else []
+            nxt.extend((r, not f) for r in inv.get(q, ()))
+            for st in nxt:
+                if st not in seen:
+                    seen.add(st)
+                    stack.append(st)
+        out.extend(
+            (p, q, f) for q, f in sorted(seen - {(p, False)})
+        )
+    return out
+
+
+def _owl_mirror(cur: DataFrame, mirror_rows) -> DataFrame:
+    """Symmetric/inverse mirror FIXPOINT over (subj, pred, obj) rows in
+    ONE pass: ``mirror_rows`` (from ``_owl_mirror_map``) already closes
+    the predicate-level rewrite chains, so a single broadcast join emits
+    every entailed mirror; flip=true swaps subj/obj, flip=false keeps
+    orientation (an even-length rule chain that only renames the
+    predicate).  The instance data shuffles only for the final dedup."""
+    if not mirror_rows:
+        return cur
+    spark = cur.sparkSession
+    mirror_map = spark.createDataFrame(
+        mirror_rows, "pred STRING, out_pred STRING, flip BOOLEAN"
     )
-    via_inv = cur.join(F.broadcast(inv_pairs), "pred").select(
-        F.col("obj").alias("subj"),
-        F.col("inv").alias("pred"),
-        F.col("subj").alias("obj"),
+    mirrored = cur.join(F.broadcast(mirror_map), "pred").select(
+        F.when(F.col("flip"), F.col("obj"))
+        .otherwise(F.col("subj"))
+        .alias("subj"),
+        F.col("out_pred").alias("pred"),
+        F.when(F.col("flip"), F.col("subj"))
+        .otherwise(F.col("obj"))
+        .alias("obj"),
     )
-    return cur.unionByName(via_sym).unionByName(via_inv).distinct()
+    return cur.unionByName(mirrored).distinct()
 
 
 def owl_rules_delta(
@@ -385,9 +439,11 @@ def owl_rules_delta(
     the incremental-view-maintenance family next to ``rdfs_delta`` and
     ``reach_delta``.
 
-    * Symmetric/inverse rules are per-triple, so two mirror passes over
-      the DELTA alone reach their fixpoint (the old graph's mirrors are
-      already in ``materialized``).
+    * Symmetric/inverse rules are per-triple and predicate-determined,
+      so ONE pass of the closed mirror map over the DELTA alone reaches
+      their fixpoint (the old graph's mirrors are already in
+      ``materialized``; chained inverseOf declarations are closed
+      inside the map itself — ``_owl_mirror_map``).
     * Each transitive predicate's new closure pairs come from
       ``reach_delta`` against the predicate's slice of the materialized
       graph — which IS that predicate's complete old closure, because
@@ -424,11 +480,10 @@ def owl_rules_delta(
         F.col(pred_col).alias("pred"),
         F.col(obj_col).alias("obj"),
     ).distinct()
-    sym_preds, inv_pairs, trans_preds = _owl_axiom_frames(axioms)
+    sym_list, inv_edges, trans_preds = _owl_axiom_frames(axioms)
+    mrows = _owl_mirror_map(sym_list, inv_edges)
 
-    widened = _owl_mirror(
-        _owl_mirror(t_new, sym_preds, inv_pairs), sym_preds, inv_pairs
-    )
+    widened = _owl_mirror(t_new, mrows)
 
     closed = widened
     for p in trans_preds:
@@ -443,7 +498,7 @@ def owl_rules_delta(
             checkpoint_dir=checkpoint_dir,
         ).select("subj", F.lit(p).alias("pred"), "obj")
         closed = closed.unionByName(new_pairs)
-    closed = _owl_mirror(closed.distinct(), sym_preds, inv_pairs)
+    closed = _owl_mirror(closed.distinct(), mrows)
 
     fresh = closed.join(m, ["subj", "pred", "obj"], "left_anti")
     return fresh.join(
@@ -483,15 +538,18 @@ def owl_property_rules(
     ``(pred, symmetric: boolean, inverse_of: string|null,
     transitive: boolean)``; ontology-sized -> broadcast.
 
-    Rule stratification: symmetric/inverse first (run twice — each maps
-    a triple to its mirror under an involution, so every composition of
-    the two rule kinds is reached by length-2 chains and a second pass
-    is the provable fixpoint), then the transitive closure over the
-    widened edge set, then symmetric/inverse once more so closure edges
-    of a symmetric-AND-transitive predicate mirror back.  That ordering
-    is the complete fixpoint for these three rules: transitivity
-    preserves its own predicate, and a symmetric transitive relation's
-    mirrored closure edge is already a path in the mirrored base.
+    Rule stratification: the symmetric/inverse FIXPOINT first (one pass
+    of the predicate-level closed mirror map — ``_owl_mirror_map`` BFSes
+    every chain of flips and inverseOf renames over the axiom vocab, so
+    chained inverseOf declarations like p->q->r->w are fully honored),
+    then the transitive closure over the widened edge set, then the
+    mirror fixpoint once more so closure edges route back across every
+    rename/flip chain.  That ordering is the complete fixpoint for
+    these three rules: the widened base already contains every mirror
+    of every asserted edge, so any mirror of a closure pair into a
+    transitive predicate r is itself an r-path in the widened base and
+    r's own closure already produced it — the final mirror pass only
+    adds mirrors into non-transitive predicates, which seed nothing.
 
     Scale shape: the axiom table joins broadcast on the predicate
     column, so the two non-transitive rules never shuffle the instance
@@ -506,12 +564,10 @@ def owl_property_rules(
     ).distinct()
     asserted = t.withColumn("inferred", F.lit(False))
 
-    sym_preds, inv_pairs, trans_preds = _owl_axiom_frames(axioms)
+    sym_list, inv_edges, trans_preds = _owl_axiom_frames(axioms)
+    mrows = _owl_mirror_map(sym_list, inv_edges)
 
-    def _mirror_pass(cur: DataFrame) -> DataFrame:
-        return _owl_mirror(cur, sym_preds, inv_pairs)
-
-    widened = _mirror_pass(_mirror_pass(t))
+    widened = _owl_mirror(t, mrows)
 
     closed = widened
     for p in sorted(trans_preds):
@@ -526,7 +582,7 @@ def owl_property_rules(
             .select("subj", F.lit(p).alias("pred"), "obj")
         )
         closed = closed.unionByName(extra)
-    closed = _mirror_pass(closed.distinct())
+    closed = _owl_mirror(closed.distinct(), mrows)
 
     new_rows = (
         closed.join(t, ["subj", "pred", "obj"], "left_anti")

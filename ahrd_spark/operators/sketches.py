@@ -31,7 +31,9 @@ estimators a training-data pipeline runs continuously.
 
 Scale shape: ``kmv_distinct``'s full pass dedups (group, hash) with
 map-side partials then takes bottom-k per group via a window over the
-already-deduped rows (external sort, spill-safe); its OUTPUT is k hashes
+already-deduped rows (external sort, spill-safe); the UNGROUPED build
+pre-reduces to a per-partition local bottom-k first so no single task
+ever sorts the full distinct-hash stream; its OUTPUT is k hashes
 per group, and ``kmv_merge`` folds outputs together with array
 expressions only — incremental rebuilds never rescan history.
 ``countmin_freqs`` is one hash aggregate over (row, depth) pairs keyed by
@@ -94,11 +96,31 @@ def kmv_distinct(
     )
     if groups:
         w = Window.partitionBy(*groups).orderBy("h")
+        bottom = hashed.withColumn("rn", F.row_number().over(w)).where(
+            F.col("rn") <= k
+        )
     else:
-        w = Window.partitionBy(F.lit(1)).orderBy("h")
-    bottom = hashed.withColumn("rn", F.row_number().over(w)).where(
-        F.col("rn") <= k
-    )
+        # ungrouped: a row_number window over partitionBy(lit(1)) would
+        # funnel EVERY distinct hash through one task's external sort —
+        # a single-partition bottleneck at scale.  Two-level bottom-k
+        # instead (the kmv_merge shape applied to the build): level 1
+        # takes the bottom-k of each post-dedup partition in parallel
+        # (window keyed on spark_partition_id — per-partition external
+        # sorts, spill-safe; result is layout-independent because the
+        # global bottom-k is contained in the union of local bottom-ks
+        # whatever the partitioning), so only <= k x n_partitions
+        # survivor rows reach the level-2 global window.
+        wp = Window.partitionBy("_pid").orderBy("h")
+        local = (
+            hashed.withColumn("_pid", F.spark_partition_id())
+            .withColumn("rn", F.row_number().over(wp))
+            .where(F.col("rn") <= k)
+            .drop("_pid", "rn")
+        )
+        wg = Window.partitionBy(F.lit(1)).orderBy("h")
+        bottom = local.withColumn("rn", F.row_number().over(wg)).where(
+            F.col("rn") <= k
+        )
     agg = bottom.groupBy(*[F.col(g) for g in groups]).agg(
         F.array_sort(F.collect_list("h")).alias("hashes")
     )

@@ -2021,6 +2021,27 @@ def test_setsim_join_exact_vs_bruteforce(spark):
         assert got == want, theta
 
 
+def test_setsim_join_low_threshold_guard(spark):
+    """t < 0.5 leaves the subquadratic prefix-filter regime: raise by
+    default (the scale-killer guard), run with an explicit opt-in."""
+    import pytest as _pytest
+
+    from ahrd_spark.operators.dedup import setsim_join
+
+    rows = [("1", ["a", "b"]), ("2", ["a", "c"])]  # J = 1/3
+    df = spark.createDataFrame(rows, "doc_id STRING, toks ARRAY<STRING>")
+    with _pytest.raises(ValueError, match="subquadratic"):
+        setsim_join(df, 0.3)
+    with _pytest.warns(RuntimeWarning, match="threshold regime"):
+        got = {
+            (r.id_a, r.id_b)
+            for r in setsim_join(
+                df, 0.3, allow_low_threshold=True
+            ).collect()
+        }
+    assert got == {("1", "2")}
+
+
 def test_setsim_join_ulp_safe_ceil(spark):
     from ahrd_spark.operators.dedup import setsim_join
 

@@ -151,6 +151,7 @@ def test_no_broadcast_hint_on_data_sized_frames():
         r"|nrm\b|anc\b|anc_ic\b|t_total\b|b_total\b|offsets\b|a_max\b"
         r"|h_max\b|pred_schema\b|constraints\b|n_subj\b|go_dag_closure\("
         r"|requirements\b|disjoint\b|sym_preds\b|inv_pairs\b"
+        r"|mirror_map\b"
         r"|cm_counts\b|pred_n_a\b|pred_n_b\b)"
     )
     # t_total / b_total (operators/corpus.py::pmi_collocations) are 1-row
@@ -170,7 +171,9 @@ def test_no_broadcast_hint_on_data_sized_frames():
     # pair list — bounded by the ontology's class vocabulary squared at
     # worst, in practice a short declaration list.  sym_preds / inv_pairs
     # (kgschema.py::owl_property_rules) are slices of the axiom table —
-    # one row per declared predicate.
+    # one row per declared predicate.  mirror_map (kgschema.py::
+    # _owl_mirror) is the driver-built predicate-level mirror fixpoint
+    # table — at most 2x the axiom predicate vocabulary rows.
     # cm_counts (sketches.py::countmin_query) is the Count-Min bucket
     # table, bounded by depth x width by construction regardless of
     # input size.  pred_n_a / pred_n_b (truth.py::predicate_alignment)

@@ -621,12 +621,13 @@ def test_random_walks_matches_hashlib_replay(spark):
         nbrs.setdefault(s, set()).add(d)
     nbrs = {k: sorted(v) for k, v in nbrs.items()}
 
-    def step(u, t, w):
+    def step(u, v, t, w):
         ns = nbrs.get(u)
         if not ns:
             return None
         h = int(
-            hashlib.md5(f"{u}|{t}|{w}|t".encode()).hexdigest()[:15], 16
+            hashlib.md5(f"{u}|{v}|{t}|{w}|t".encode()).hexdigest()[:15],
+            16,
         )
         return ns[h % len(ns)]
 
@@ -635,7 +636,7 @@ def test_random_walks_matches_hashlib_replay(spark):
             path = [start]
             cur = start
             for t in range(1, 4):
-                cur = step(cur, t, w)
+                cur = step(cur, start, t, w)
                 if cur is None:
                     break
                 path.append(cur)
@@ -673,6 +674,30 @@ def test_random_walks_deterministic_across_runs(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_random_walks_same_step_same_node_decorrelated(spark):
+    """Walks with the SAME walk index meeting at the same node at the
+    same step must not coalesce: the hop hash includes the walk's start
+    (regression for the corpus-correlation bias — every same-index walk
+    leaving hub H at step 2 would otherwise take the same edge)."""
+    from ahrd_spark.operators.graph import random_walks
+
+    feeders = [(f"S{i}", "H") for i in range(8)]
+    fan = [("H", f"n{j}") for j in range(16)]
+    df = spark.createDataFrame(
+        feeders + fan, "src STRING, dst STRING"
+    )
+    rows = random_walks(df, walk_len=2, walks_per_node=1, seed="d")
+    picks = {
+        r.start: r.path[2]
+        for r in rows.collect()
+        if r.start.startswith("S") and len(r.path) == 3
+    }
+    # all 8 feeder walks sit at H at step 2; with 16 fan-out edges and
+    # start-salted hashes they must not all agree on one neighbor
+    assert len(picks) == 8
+    assert len(set(picks.values())) > 1
 
 
 def test_skipgram_pairs_window_counting(spark):
@@ -763,7 +788,7 @@ def test_weighted_random_walks_matches_hashlib_replay(spark):
         adj.setdefault(s, {})
         adj[s][d] = adj[s].get(d, 0) + w
 
-    def step(u, t, w_ix):
+    def step(u, v, t, w_ix):
         ns = adj.get(u)
         if not ns:
             return None
@@ -771,7 +796,9 @@ def test_weighted_random_walks_matches_hashlib_replay(spark):
         total = sum(w for _d, w in items)
         target = (
             int(
-                hashlib.md5(f"{u}|{t}|{w_ix}|v".encode()).hexdigest()[:15],
+                hashlib.md5(
+                    f"{u}|{v}|{t}|{w_ix}|v".encode()
+                ).hexdigest()[:15],
                 16,
             )
             % total
@@ -787,7 +814,7 @@ def test_weighted_random_walks_matches_hashlib_replay(spark):
         for w_ix in range(2):
             path, cur = [start], start
             for t in range(1, 4):
-                cur = step(cur, t, w_ix)
+                cur = step(cur, start, t, w_ix)
                 if cur is None:
                     break
                 path.append(cur)

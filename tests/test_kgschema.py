@@ -732,6 +732,57 @@ def test_owl_rules_symmetric_transitive_interplay(spark):
     assert flags[("A", "B")] is False and flags[("B", "A")] is True
 
 
+def test_owl_rules_chained_inverse_fixpoint(spark):
+    """Chained inverseOf declarations (p inv q, q inv r, r inv w — a
+    predicate equivalence chain) must reach a true fixpoint: (s,p,o)
+    entails the flipped q/w forms AND the same-orientation r form.
+    Regression for the fixed 2+1-mirror-pass schedule that provably
+    missed length-3 chains."""
+    triples = spark.createDataFrame([("A", "p", "B")], TRIPLE_SCHEMA)
+    axioms = spark.createDataFrame(
+        [
+            ("p", False, "q", False),
+            ("q", False, "r", False),
+            ("r", False, "w", False),
+        ],
+        AXIOM_SCHEMA,
+    )
+    rows = owl_property_rules(triples, axioms).collect()
+    inferred = {(r.subj, r.pred, r.obj) for r in rows if r.inferred}
+    assert inferred == {
+        ("B", "q", "A"),  # p inv q
+        ("A", "r", "B"),  # q inv r: even chain, same orientation
+        ("B", "w", "A"),  # r inv w
+    }
+
+
+def test_owl_rules_transitive_inverse_symmetric_closure_mirrors(spark):
+    """Transitive p with inverse q where q is ALSO symmetric: closure
+    pairs of p must surface in BOTH q orientations (the (s,q,o) mirror
+    a single final mirror pass used to lose)."""
+    triples = spark.createDataFrame(
+        [("A", "p", "B"), ("B", "p", "C")], TRIPLE_SCHEMA
+    )
+    axioms = spark.createDataFrame(
+        [("p", False, "q", True), ("q", True, "p", False)],
+        AXIOM_SCHEMA,
+    )
+    rows = owl_property_rules(triples, axioms).collect()
+    trips = {(r.subj, r.pred, r.obj) for r in rows}
+    # closure pair (A,p,C); its inverse (C,q,A); and q symmetric so
+    # also (A,q,C) — and symmetry back through the inverse makes p
+    # symmetric in effect: (C,p,A) etc.
+    for want in [
+        ("A", "p", "C"),
+        ("C", "q", "A"),
+        ("A", "q", "C"),
+        ("C", "p", "A"),
+        ("B", "q", "A"),
+        ("A", "q", "B"),
+    ]:
+        assert want in trips, want
+
+
 def test_owl_rules_no_axioms_is_identity(spark):
     triples = spark.createDataFrame([("A", "p", "B")], TRIPLE_SCHEMA)
     axioms = spark.createDataFrame([], AXIOM_SCHEMA)

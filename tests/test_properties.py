@@ -138,7 +138,9 @@ def test_setsim_join_fuzz_no_false_negatives(_spark, docs, theta):
     df = _spark.createDataFrame(rows, "doc_id STRING, toks ARRAY<STRING>")
     got = {
         (r.id_a, r.id_b): r.jaccard_r
-        for r in setsim_join(df, theta).collect()
+        for r in setsim_join(
+            df, theta, allow_low_threshold=True
+        ).collect()
     }
     sets = {i: set(t) for i, t in rows}
     want = {}
@@ -183,8 +185,14 @@ def test_link_prediction_fuzz_matches_reference(_spark, scores):
     )
     row = link_prediction_metrics(df).collect()[0]
 
-    by_q: dict = {}
+    # the operator's contract: duplicate (query, candidate) rows
+    # collapse first (max score, OR gold) — the panel is a set
+    dedup: dict = {}
     for q, c, s, g in rows:
+        ps, pg = dedup.get((q, c), (float("-inf"), False))
+        dedup[(q, c)] = (max(ps, s), pg or g)
+    by_q: dict = {}
+    for (q, c), (s, g) in dedup.items():
         by_q.setdefault(q, []).append((c, s, g))
     ranks = []
     for q, cands in by_q.items():
@@ -205,3 +213,66 @@ def test_link_prediction_fuzz_matches_reference(_spark, scores):
             ),
             abs=1e-6,
         )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    preds=st.lists(
+        st.tuples(
+            # deliberately include exact bin edges (i/10, i/20) and the
+            # awkward doubles whose *10 product floors DOWN (0.3, 0.7):
+            # bin membership must agree with the same double math
+            st.sampled_from(
+                [i / 20.0 for i in range(21)]
+                + [0.3, 0.7, 0.1, 0.9999995, 1e-7, 0.123456789]
+            ),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_calibration_bins_fuzz_matches_reference(_spark, preds):
+    """Random probability/label panels with duplicates and exact
+    bin-edge probabilities: bins, per-bin stats, and ECE equal a
+    plain-Python reliability-diagram reference (same round-6 gate,
+    same double arithmetic for the bin floor)."""
+    from ahrd_spark.operators.evaluation import calibration_bins
+
+    rows = [(round(p, 6), bool(y)) for p, y in preds]
+    df = _spark.createDataFrame(rows, "prob_r DOUBLE, label BOOLEAN")
+    got = {
+        r.bin: (r.n, r.conf_r, r.acc_r, r.ece_r)
+        for r in calibration_bins(df, n_bins=10).collect()
+    }
+
+    bins: dict = {}
+    for p, y in rows:
+        b = min(math.floor(p * 10), 9)
+        bins.setdefault(b, []).append((p, float(y)))
+    n_total = len(rows)
+    want = {}
+    stats = {
+        b: (
+            len(v),
+            round(sum(p for p, _y in v) / len(v), 6),
+            round(sum(y for _p, y in v) / len(v), 6),
+        )
+        for b, v in bins.items()
+    }
+    ece = round(
+        sum(n * abs(acc - conf) for n, conf, acc in stats.values())
+        / n_total,
+        6,
+    )
+    for b, (n, conf, acc) in stats.items():
+        want[b] = (n, conf, acc, ece)
+    assert got == {
+        b: (n, pytest.approx(conf, abs=1e-6), pytest.approx(acc, abs=1e-6),
+            pytest.approx(e, abs=1e-6))
+        for b, (n, conf, acc, e) in want.items()
+    }

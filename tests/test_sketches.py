@@ -56,6 +56,22 @@ def test_kmv_estimator_matches_hashlib_replay(spark):
     assert 300 <= row.est_distinct <= 700
 
 
+def test_kmv_ungrouped_layout_independent(spark):
+    """The ungrouped build's two-level bottom-k (per-partition local
+    bottom-k, then global) must equal the plain replay whatever the
+    input partitioning — the global bottom-k is contained in the union
+    of local bottom-ks for ANY layout."""
+    values = [f"tok{i}" for i in range(300)]
+    base = spark.createDataFrame([(v,) for v in values], "v STRING")
+    want = _kmv_expected(values, 16)
+    for parts in (1, 7, 32):
+        row = kmv_distinct(base.repartition(parts), "v", k=16).collect()[0]
+        assert row.hashes == want[0], parts
+        assert (row.n_seen, row.kth_hash, row.est_distinct) == want[1:], (
+            parts
+        )
+
+
 def test_kmv_groups_and_null_exclusion(spark):
     rows = [("g1", "a"), ("g1", "b"), ("g2", "a"), ("g2", None)]
     df = spark.createDataFrame(rows, "g STRING, v STRING")

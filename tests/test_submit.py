@@ -73,3 +73,25 @@ def test_spark_submit_pyfiles_pipeline(tmp_path):
         f"SELECT count(*) FROM read_parquet('{out}/*.parquet')"
     ).fetchone()[0]
     assert n == report["triples"]
+
+
+def test_committed_pyfiles_artifact_is_fresh(tmp_path):
+    """The committed dist/ahrd_spark.zip must be byte-identical to a
+    fresh deterministic build of the source tree — a stale artifact
+    makes the documented spark-submit --py-files path ImportError on
+    operators added after the last rebuild (regeneration rule:
+    `python tools/make_pyfiles.py` in the same commit as any
+    ahrd_spark/ source change)."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from make_pyfiles import build
+
+    committed = os.path.join(REPO, "dist", "ahrd_spark.zip")
+    assert os.path.exists(committed), (
+        "dist/ahrd_spark.zip missing — run python tools/make_pyfiles.py"
+    )
+    fresh = build(str(tmp_path / "fresh.zip"))
+    with open(committed, "rb") as a, open(fresh, "rb") as b:
+        assert a.read() == b.read(), (
+            "dist/ahrd_spark.zip is stale vs the source tree — "
+            "regenerate with python tools/make_pyfiles.py"
+        )
