@@ -156,9 +156,17 @@ def child_pipeline(par: int, docs_path: str):
         # 35 s cold vs 21-22 s for every later run in the same JVM) — a
         # fixed per-JVM cost a long-running cluster job pays once, which
         # would otherwise deflate the big level's throughput far more than
-        # the small level's.  One discarded warm-up run, then the timed run.
+        # the small level's.  One discarded warm-up run, then
+        # $BENCH_TIMED_RUNS (default 2) timed runs with the best kept:
+        # a single timed window lets one transient host-contention spike
+        # sink the whole level's number; two windows per JVM halve that
+        # risk at ~20 s extra cost, cheaper than another cold child.
         one_run()
-        dt, stages, n_triples = one_run()
+        dt = stages = n_triples = None
+        for _ in range(max(1, int(os.environ.get("BENCH_TIMED_RUNS", "2")))):
+            d, s, n = one_run()
+            if dt is None or d < dt:
+                dt, stages, n_triples = d, s, n
         print(json.dumps({
             "parallelism": par,
             "docs": SYNTH_DOCS,

@@ -582,3 +582,92 @@ def test_owl_rules_delta_equals_full_difference(_spark, old, delta):
         assert inferred == ((s, p, o) not in delta_set)
     # union invariant
     assert old_set | got_set == new_set
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    triples=st.lists(
+        st.tuples(
+            st.integers(0, 3),
+            st.sampled_from(["p", "q", "r", "w"]),
+            st.integers(0, 3),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    # random axiom table over a 4-predicate vocab: arbitrary symmetric /
+    # transitive flags and arbitrary inverse_of targets — including the
+    # chained and self-inverse declarations a legal ontology can hold
+    flags=st.tuples(
+        st.integers(0, 15),               # symmetric bitmask over p,q,r,w
+        st.integers(0, 15),               # transitive bitmask
+        st.lists(
+            st.sampled_from([None, "p", "q", "r", "w"]),
+            min_size=4,
+            max_size=4,
+        ),
+    ),
+)
+def test_owl_rules_equals_naive_fixpoint(_spark, triples, flags):
+    """owl_property_rules == a brute-force Python fixpoint that applies
+    all three rules (symmetric mirror, inverseOf both ways, transitive
+    compose) to saturation — over RANDOM axiom tables including chained
+    and mixed inverseOf declarations.  Node vocab <= 4, so depth 8
+    covers any transitive chain and the naive fixpoint terminates."""
+    from ahrd_spark.operators.kgschema import owl_property_rules
+
+    preds = ["p", "q", "r", "w"]
+    sym_mask, trans_mask, inv = flags
+    sym = {preds[i] for i in range(4) if sym_mask >> i & 1}
+    trans = {preds[i] for i in range(4) if trans_mask >> i & 1}
+    inv_map = {
+        preds[i]: inv[i]
+        for i in range(4)
+        if inv[i] is not None and inv[i] != preds[i]
+    }
+    axioms = _spark.createDataFrame(
+        [
+            (pr, pr in sym, inv_map.get(pr), pr in trans)
+            for pr in preds
+        ],
+        "pred STRING, symmetric BOOLEAN, inverse_of STRING,"
+        " transitive BOOLEAN",
+    )
+    rows = [("n%d" % s, pr, "n%d" % o) for s, pr, o in triples]
+    df = _spark.createDataFrame(
+        rows, "subj STRING, pred STRING, obj STRING"
+    )
+
+    # brute-force saturation (inverse declarations act both ways, the
+    # operator's documented owl:inverseOf contract)
+    inv_edges = set()
+    for a, b in inv_map.items():
+        inv_edges.add((a, b))
+        inv_edges.add((b, a))
+    closure = set(rows)
+    while True:
+        new = set()
+        for s, pr, o in closure:
+            if pr in sym:
+                new.add((o, pr, s))
+            for a, b in inv_edges:
+                if pr == a:
+                    new.add((o, b, s))
+        for s, pr, o in closure:
+            if pr in trans:
+                for s2, pr2, o2 in closure:
+                    if pr2 == pr and s2 == o:
+                        new.add((s, pr, o2))
+        if new <= closure:
+            break
+        closure |= new
+
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in owl_property_rules(df, axioms, max_depth=8).collect()
+    }
+    assert got == closure
