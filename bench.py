@@ -56,7 +56,12 @@ HEADLINE = [
     "interleaved_chunks_arrow",
 ]
 
-SYNTH_DOCS = int(os.environ.get("BENCH_SYNTH_DOCS", "80000"))
+# 160k docs (~2x the round-4 corpus): the pipeline carries ~1.5 s of
+# per-run fixed cost (job scheduling + the materialize stage's constant
+# tail) that dilutes the big level's throughput far more than the small
+# level's at 80k — a longer run amortizes it, the "fewer, longer runs"
+# rule for a scaling measurement
+SYNTH_DOCS = int(os.environ.get("BENCH_SYNTH_DOCS", "160000"))
 SYNTH_HITS = 24
 # each child now runs warm-up + timed (2x pipeline executions), so two
 # interleaved children per level keep total bench wall-clock near the old
@@ -237,9 +242,13 @@ def main():
     for name in HEADLINE:
         fn = qs[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):  # best-of-2: one transient spike can't own
+            t0 = time.time()  # a query's number for the whole round
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        times[name] = round(best, 3)
     spark.stop()
 
     docs_dir = tempfile.mkdtemp(prefix="ahrd_bench_docs_")
