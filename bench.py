@@ -63,10 +63,13 @@ HEADLINE = [
 # rule for a scaling measurement
 SYNTH_DOCS = int(os.environ.get("BENCH_SYNTH_DOCS", "160000"))
 SYNTH_HITS = 24
-# each child now runs warm-up + timed (2x pipeline executions), so two
-# interleaved children per level keep total bench wall-clock near the old
-# three-cold-children schedule while measuring steady state
-PIPELINE_RUNS = int(os.environ.get("BENCH_PIPELINE_RUNS", "2"))
+# each child runs warm-up + $BENCH_TIMED_RUNS timed executions and keeps
+# the best, so ONE child per level already yields two decorrelated
+# samples; the 160k corpus makes each sample long enough that another
+# cold JVM (+ its discarded warm-up) buys little extra signal for ~4 min
+# of wall-clock — the ALU calibration brackets (before/after the
+# pipeline block) carry the window-drift correction instead
+PIPELINE_RUNS = int(os.environ.get("BENCH_PIPELINE_RUNS", "1"))
 SCALE_N = int(os.environ.get("BENCH_SCALE_N", "1"))
 
 
