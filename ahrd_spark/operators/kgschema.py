@@ -449,9 +449,10 @@ def owl_rules_delta(
       graph — which IS that predicate's complete old closure, because
       the full operator materialized ``pred+`` (its docstring's
       fixpoint argument makes the slice composition-closed).
-    * A final mirror pass routes closure pairs of symmetric/inverse
-      transitive predicates back across the rename, mirroring the full
-      operator's final pass.
+    * A final mirror-fixpoint pass (the same closed predicate-level
+      map) routes closure pairs of symmetric/inverse transitive
+      predicates back across every rename/flip chain, mirroring the
+      full operator's final pass.
 
     Contract (same as ``rdfs_delta``): rows are compared on
     ``(subj, pred, obj)`` only — a delta triple the old fixpoint already
